@@ -1,0 +1,112 @@
+"""``python -m cosmology_gnn_simulation_tpu.cli.render_rollout`` — rollout
+CLI (parity with ``/root/reference/render_rollout.py:145-241``): performs the
+jitted rollout, computes per-step errors, writes the error plot, ``.npy``
+trajectories and ``rollout_summary.txt``."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from cosmology_gnn_simulation_tpu.cli.one_step_test import (
+    add_model_flags,
+    load_model_from_checkpoint,
+)
+from cosmology_gnn_simulation_tpu.data.hdf5 import read_simulation
+from cosmology_gnn_simulation_tpu.evaluation import (
+    calculate_rollout_errors,
+    write_rollout_summary,
+)
+from cosmology_gnn_simulation_tpu.rollout import rollout
+from cosmology_gnn_simulation_tpu.types import NormalizationStats
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Perform model rollout")
+    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--test_data", type=str, required=True)
+    parser.add_argument("--metadata_path", type=str, required=True)
+    parser.add_argument("--output_dir", type=str, default="rollout_results")
+    parser.add_argument("--noise_std", type=float, default=0.0)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--num_steps", type=int, default=None,
+                        help="Steps to simulate (default: full trajectory)")
+    add_model_flags(parser)
+    args = parser.parse_args(argv)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(args.metadata_path) as f:
+        metadata = json.load(f)
+    stats = NormalizationStats.from_metadata(metadata)
+    print(f"Using time step (dt): {stats.dt}")
+    print(f"Using box size: {stats.box_size}")
+
+    params, model_config = load_model_from_checkpoint(args.model_path, args)
+    ground_truth = read_simulation(
+        args.test_data, fields=["Coordinates", "InternalEnergy"]
+    )
+    total_time = ground_truth["Coordinates"].shape[0]
+    num_steps = (
+        args.num_steps
+        if args.num_steps is not None
+        else total_time - args.window_size
+    )
+
+    print("Performing rollout")
+    rollout_data = rollout(
+        params,
+        model_config,
+        jnp.asarray(ground_truth["Coordinates"][: args.window_size]),
+        jnp.asarray(ground_truth["InternalEnergy"][: args.window_size]),
+        stats,
+        num_steps,
+        num_neighbors=args.num_neighbors,
+    )
+    rollout_data = {k: np.asarray(v) for k, v in rollout_data.items()}
+
+    print("Calculating errors")
+    errors = calculate_rollout_errors(rollout_data, ground_truth)
+
+    try:
+        from cosmology_gnn_simulation_tpu.training.plots import (
+            plot_rollout_errors,
+        )
+
+        plot_rollout_errors(
+            errors,
+            os.path.join(args.output_dir, "errors.png"),
+            args.window_size,
+            stats.box_size,
+        )
+    except Exception as exc:
+        print(f"plotting skipped: {exc}")
+
+    np.save(
+        os.path.join(args.output_dir, "rollout_coordinates.npy"),
+        rollout_data["Coordinates"],
+    )
+    np.save(
+        os.path.join(args.output_dir, "rollout_temperatures.npy"),
+        rollout_data["InternalEnergy"],
+    )
+    write_rollout_summary(
+        os.path.join(args.output_dir, "rollout_summary.txt"),
+        errors,
+        model_path=args.model_path,
+        test_data=args.test_data,
+        num_particles=rollout_data["Coordinates"].shape[1],
+        window_size=args.window_size,
+        num_steps=num_steps,
+        dt=stats.dt,
+        box_size=stats.box_size,
+    )
+    print(f"Evaluation complete. Results saved to {args.output_dir}")
+    return errors
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""``python -m cosmology_gnn_simulation_tpu.cli.train`` — training entry
+point (CLI parity with ``python train.py`` in the reference,
+``/root/reference/train.py:391-392``)."""
+
+from __future__ import annotations
+
+from cosmology_gnn_simulation_tpu.config import get_config
+from cosmology_gnn_simulation_tpu.data.dataset import SequenceDataset
+from cosmology_gnn_simulation_tpu.training.trainer import (
+    TrainConfig,
+    Trainer,
+    default_model_config,
+)
+from cosmology_gnn_simulation_tpu.types import NormalizationStats
+from cosmology_gnn_simulation_tpu.utils import checkpoint as ckpt_lib
+
+
+def main(argv=None):
+    args = get_config(argv)
+    stats = NormalizationStats.from_metadata(args.metadata)
+    print(f"Using time step (dt): {stats.dt}")
+    print(f"Using box size: {stats.box_size}")
+
+    train_dataset = SequenceDataset(
+        args.train_dir, args.window_size, args.metadata
+    )
+    val_dataset = SequenceDataset(args.val_dir, args.window_size, args.metadata)
+
+    model_config = default_model_config(
+        window_size=args.window_size,
+        latent_size=args.latent_size,
+        mlp_hidden_size=args.mlp_hidden_size,
+        mlp_num_hidden_layers=args.mlp_num_hidden_layers,
+        num_message_passing_steps=args.num_message_passing_steps,
+        output_size=args.output_size,
+        aggregate=args.aggregate,
+    )
+    train_config = TrainConfig(
+        num_neighbors=args.num_neighbors,
+        batch_size=args.batch_size,
+        window_size=args.window_size,
+        noise_std=args.noise_std,
+        num_epochs=args.num_epochs,
+        learning_rate=args.learning_rate,
+        final_learning_rate=args.final_learning_rate,
+        weight_decay=args.weight_decay,
+        seed=args.seed,
+        save_every=args.save_every,
+        augment_prob=args.augment_prob,
+        acc_loss_weight=args.acc_loss_weight,
+        temp_rate_loss_weight=args.temp_rate_loss_weight,
+        momentum_loss_weight=args.momentum_loss_weight,
+        output_dir=args.output_dir,
+        compute_dtype=args.compute_dtype,
+    )
+    steps_per_epoch = max(len(train_dataset) // args.batch_size, 1)
+
+    init_params = None
+    if args.pretrained_model:
+        try:
+            restored = ckpt_lib.load_checkpoint(args.pretrained_model)
+            init_params = restored["params"]
+            print(f"Starting from pretrained model: {args.pretrained_model}")
+        except Exception as exc:
+            # The reference continues with random weights on load failure
+            # (train.py:99-105); we keep the behavior but make it loud.
+            print(f"Error loading pretrained model ({exc}); "
+                  "continuing with random init")
+
+    trainer = Trainer(
+        model_config, stats, train_config, steps_per_epoch, init_params
+    )
+    trainer.fit(train_dataset, val_dataset)
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,192 @@
+"""Evaluation drivers: one-step integrated-space MSE and rollout error
+metrics, plus rollout->HDF5 conversion.
+
+Capability parity:
+* ``validate_one_step`` (``/root/reference/one_step_test.py:26-124``): error
+  is measured in *integrated* position/temperature space (after the Euler
+  update), not normalized-acceleration space. The reference draws start
+  indices with an **unseeded** ``np.random.choice`` (``one_step_test.py:45``)
+  — we take an explicit seed instead (nondeterministic eval is an
+  anti-feature; pass ``seed=None`` for parity-in-spirit).
+* ``calculate_errors`` / rollout summary (``render_rollout.py:92-143,
+  224-239``).
+* ``convert_rollout_to_hdf5`` (``rollout_conversion.py:7-112``): rebuild
+  ``Velocities`` by minimum-image finite differences and
+  ``HydroAcceleration`` by differencing velocities, yielding a rollout file
+  that is itself a valid dataset.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from cosmology_gnn_simulation_tpu.models.encode_process_decode import (
+    EncodeProcessDecodeConfig,
+)
+from cosmology_gnn_simulation_tpu.rollout import one_step_prediction
+from cosmology_gnn_simulation_tpu.types import NormalizationStats
+
+
+def validate_one_step(
+    params,
+    model_config: EncodeProcessDecodeConfig,
+    data: Dict[str, np.ndarray],
+    stats: NormalizationStats,
+    window_size: int,
+    *,
+    num_neighbors: int = 16,
+    num_timesteps: int = 10,
+    seed: Optional[int] = 0,
+    dtype=None,
+) -> Dict:
+    """One-step position/temperature MSE over sampled start indices."""
+    coords = np.asarray(data["Coordinates"], dtype=np.float32)
+    temps = np.asarray(data["InternalEnergy"], dtype=np.float32)
+    if temps.ndim == 2:
+        temps = temps[..., None]
+    total_frames = coords.shape[0]
+    max_start_idx = total_frames - window_size - 1
+    if max_start_idx < num_timesteps:
+        num_timesteps = max_start_idx
+    rng = np.random.default_rng(seed) if seed is not None else np.random
+    start_indices = sorted(
+        rng.choice(max_start_idx, size=num_timesteps, replace=False).tolist()
+    )
+
+    position_errors, temperature_errors, tested = [], [], []
+    for start in start_indices:
+        window_pos = jnp.asarray(coords[start: start + window_size])
+        window_temp = jnp.asarray(temps[start: start + window_size])
+        new_pos, new_temp = one_step_prediction(
+            params,
+            model_config,
+            window_pos,
+            window_temp,
+            stats,
+            num_neighbors=num_neighbors,
+            dtype=dtype,
+        )
+        next_pos = coords[start + window_size]
+        next_temp = temps[start + window_size]
+        position_errors.append(float(np.mean((np.asarray(new_pos) - next_pos) ** 2)))
+        temperature_errors.append(
+            float(np.mean((np.asarray(new_temp) - next_temp) ** 2))
+        )
+        tested.append(start + window_size)
+
+    return {
+        "position_error": float(np.mean(position_errors)),
+        "temperature_error": float(np.mean(temperature_errors)),
+        "position_errors": position_errors,
+        "temperature_errors": temperature_errors,
+        "tested_timesteps": tested,
+    }
+
+
+def calculate_rollout_errors(
+    rollout_data: Dict[str, np.ndarray], ground_truth: Dict[str, np.ndarray]
+) -> Dict:
+    """Per-timestep MSE vs ground truth (``render_rollout.py:92-120``)."""
+    pred_coords = np.asarray(rollout_data["Coordinates"])
+    true_coords = np.asarray(ground_truth["Coordinates"])
+    t = min(len(pred_coords), len(true_coords))
+    pos_errors = [
+        float(np.mean((pred_coords[i] - true_coords[i]) ** 2)) for i in range(t)
+    ]
+    pred_temps = np.squeeze(np.asarray(rollout_data["InternalEnergy"]))
+    true_temps = np.squeeze(np.asarray(ground_truth["InternalEnergy"]))
+    tt = min(len(pred_temps), len(true_temps))
+    temp_errors = [
+        float(np.mean((pred_temps[i] - true_temps[i]) ** 2)) for i in range(tt)
+    ]
+    return {
+        "position_errors": pos_errors,
+        "temperature_errors": temp_errors,
+        "mean_position_error": float(np.mean(pos_errors)) if pos_errors else None,
+        "mean_temperature_error": (
+            float(np.mean(temp_errors)) if temp_errors else None
+        ),
+    }
+
+
+def write_rollout_summary(
+    path: str,
+    errors: Dict,
+    *,
+    model_path: str,
+    test_data: str,
+    num_particles: int,
+    window_size: int,
+    num_steps: int,
+    dt: float,
+    box_size: float,
+) -> None:
+    """``rollout_summary.txt`` artifact (``render_rollout.py:224-239``)."""
+    with open(path, "w") as f:
+        f.write("Rollout Summary\n==============\n\n")
+        f.write(f"Model: {model_path}\n")
+        f.write(f"Test data: {test_data}\n")
+        f.write(f"Number of particles: {num_particles}\n")
+        f.write(f"Window size: {window_size}\n")
+        f.write(f"Time steps simulated: {num_steps}\n")
+        f.write(f"Time step (dt): {dt}\n")
+        f.write(f"Box size: {box_size}\n\n")
+        if errors.get("mean_position_error") is not None:
+            f.write(f"Mean position MSE: {errors['mean_position_error']:.6e}\n")
+        if errors.get("mean_temperature_error") is not None:
+            f.write(
+                f"Mean temperature MSE: {errors['mean_temperature_error']:.6e}\n"
+            )
+
+
+def convert_rollout_to_hdf5(
+    rollout_dir: str,
+    original_data: Dict[str, np.ndarray],
+    box_size: float,
+    dt: float,
+    output_path: str,
+    window_size: int = 5,
+) -> Dict[str, np.ndarray]:
+    """Reconstruct the full 6-field schema from saved rollout ``.npy`` files
+    (``rollout_conversion.py:7-112``), vectorized over time."""
+    from cosmology_gnn_simulation_tpu.data.hdf5 import write_simulation
+    from cosmology_gnn_simulation_tpu.ops.periodic import min_image_displacement
+
+    coords = np.load(os.path.join(rollout_dir, "rollout_coordinates.npy"))
+    temps = np.load(os.path.join(rollout_dir, "rollout_temperatures.npy"))
+
+    orig_coords = np.asarray(original_data["Coordinates"])
+    if coords.shape[1:] != orig_coords.shape[1:]:
+        raise ValueError(
+            f"Particle dimension mismatch: rollout {coords.shape[1:]} vs "
+            f"original {orig_coords.shape[1:]}"
+        )
+
+    velocities = np.zeros_like(coords)
+    displacement = np.asarray(
+        min_image_displacement(jnp.asarray(coords[1:] - coords[:-1]), box_size)
+    )
+    velocities[1:] = displacement / dt
+    if window_size > 1:
+        velocities[0] = np.asarray(original_data["Velocities"])[window_size - 1]
+    else:
+        velocities[0] = displacement[0] / dt
+
+    accelerations = np.zeros_like(coords)
+    accelerations[1:] = (velocities[1:] - velocities[:-1]) / dt
+    accelerations[0] = accelerations[1]
+
+    out = {
+        "Coordinates": coords.astype(np.float32),
+        "InternalEnergy": temps.astype(np.float32),
+        "Velocities": velocities.astype(np.float32),
+        "HydroAcceleration": accelerations.astype(np.float32),
+        "BoxSize": box_size,
+        "TimeStep": dt,
+    }
+    write_simulation(output_path, out)
+    return out

@@ -1,0 +1,136 @@
+"""Graph featurization — the on-device equivalent of the reference's
+``preprocess`` (``/root/reference/data_utils.py:72-228``).
+
+Everything here is pure JAX with static shapes, designed to run *inside* the
+jitted train step / rollout scan. The reference instead runs this per-sample
+on the host CPU each step (``train.py:227-244``, ``render_rollout.py:44-52``)
+— the dominant structural bottleneck this framework removes.
+
+Replicated behavioral details (each cited):
+* noise-then-wrap of positions (``data_utils.py:91-92``);
+* minimum-image finite-difference velocities (``:100-107``);
+* node features = flattened normalized velocity history + normalized
+  temperature history, [N, 3*(T-1) + T] (``:127-145``);
+* k-NN with self-loop over the periodic box (``:147-152``);
+* edge features = **raw** (non-minimum-image) displacement + norm (``:161-164``);
+* targets shifted by the final noise term so the model learns to denoise
+  (``:180-182``, ``:204-206``), normalized by dataset stats (``:194-197``,
+  ``:211-214``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from cosmology_gnn_simulation_tpu.ops.neighbors import knn_periodic
+from cosmology_gnn_simulation_tpu.ops.noise import (
+    random_walk_position_noise,
+    random_walk_temperature_noise,
+)
+from cosmology_gnn_simulation_tpu.ops.periodic import (
+    min_image_displacement,
+    wrap_positions,
+)
+from cosmology_gnn_simulation_tpu.types import NormalizationStats, ParticleGraph
+
+
+def node_feature_size(window_size: int) -> int:
+    """3*(T-1) velocity dims + T temperature dims (``data_utils.py:138-145``)."""
+    return 3 * (window_size - 1) + window_size
+
+
+def featurize(
+    position_seq: jnp.ndarray,
+    temperature_seq: jnp.ndarray,
+    stats: NormalizationStats,
+    key: jax.Array,
+    *,
+    noise_std=0.0,
+    num_neighbors: int = 16,
+    target_position: Optional[jnp.ndarray] = None,
+    target_temperature: Optional[jnp.ndarray] = None,
+    neighbor_query_tile: int = 512,
+) -> ParticleGraph:
+    """Build a ``ParticleGraph`` from a trajectory window.
+
+    Args:
+      position_seq: ``[T, N, 3]`` time-major position history (HDF5 layout).
+      temperature_seq: ``[T, N, 1]`` internal-energy history.
+      stats: normalization statistics + box/dt.
+      key: PRNG key for training noise (pass any key with ``noise_std=0``
+        for deterministic eval — the draw is multiplied to exact zeros).
+      noise_std: random-walk noise scale (may be a traced scalar).
+      num_neighbors: k, **including** the self-loop.
+      target_position / target_temperature: ``[N, 3]`` / ``[N, 1]`` next-frame
+        ground truth; if given, normalized training targets are attached.
+
+    Returns:
+      ``ParticleGraph`` with static shapes ``[N, F]``, ``[N, k]``, ``[N, k, 4]``.
+    """
+    box = stats.box_size
+    dt = stats.dt
+
+    pos_seq = jnp.transpose(position_seq, (1, 0, 2)).astype(jnp.float32)  # [N,T,3]
+    temp_seq = jnp.transpose(temperature_seq, (1, 0, 2)).astype(jnp.float32)
+
+    pos_key, temp_key = jax.random.split(key)
+    position_noise = random_walk_position_noise(pos_key, pos_seq, noise_std, dt)
+    pos_seq = wrap_positions(pos_seq + position_noise, box)
+
+    temperature_noise = random_walk_temperature_noise(
+        temp_key, temp_seq, noise_std, stats.temp_rate_std, dt
+    )
+    temp_seq = temp_seq + temperature_noise
+
+    recent_position = pos_seq[:, -1]  # [N, 3]
+    velocity_seq = (
+        min_image_displacement(pos_seq[:, 1:] - pos_seq[:, :-1], box) / dt
+    )  # [N, T-1, 3]
+
+    n = pos_seq.shape[0]
+    normal_velocity = (velocity_seq - stats.vel_mean) / stats.vel_std
+    normal_temp = (temp_seq - stats.temp_mean) / stats.temp_std
+    nodes = jnp.concatenate(
+        [normal_velocity.reshape(n, -1), normal_temp.reshape(n, -1)], axis=-1
+    )
+
+    neighbors = knn_periodic(
+        recent_position, num_neighbors, box, query_tile=neighbor_query_tile
+    )
+
+    # Raw displacement sender - receiver, deliberately NOT minimum-image
+    # (data_utils.py:162): boundary-crossing edges carry ~box-sized features.
+    edge_displacement = (
+        jnp.take(recent_position, neighbors, axis=0) - recent_position[:, None, :]
+    )
+    edge_distance = jnp.linalg.norm(edge_displacement, axis=-1, keepdims=True)
+    edges = jnp.concatenate([edge_displacement, edge_distance], axis=-1)
+
+    target_acceleration = None
+    target_temp_rate = None
+    if target_position is not None:
+        shifted_target = target_position.astype(jnp.float32) + position_noise[:, -1]
+        next_velocity = (
+            min_image_displacement(shifted_target - recent_position, box) / dt
+        )
+        acceleration = (next_velocity - velocity_seq[:, -1]) / dt
+        target_acceleration = (acceleration - stats.acc_mean) / stats.acc_std
+    if target_temperature is not None:
+        recent_temperature = temp_seq[:, -1]
+        shifted_temp = (
+            target_temperature.astype(jnp.float32) + temperature_noise[:, -1]
+        )
+        temp_rate = (shifted_temp - recent_temperature) / dt
+        target_temp_rate = (temp_rate - stats.temp_rate_mean) / stats.temp_rate_std
+
+    return ParticleGraph(
+        nodes=nodes,
+        neighbors=neighbors,
+        edges=edges,
+        positions=recent_position,
+        target_acceleration=target_acceleration,
+        target_temp_rate=target_temp_rate,
+    )

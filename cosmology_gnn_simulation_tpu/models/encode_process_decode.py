@@ -1,0 +1,258 @@
+"""Encode–Process–Decode Interaction Network, TPU-native.
+
+Capability parity with ``/root/reference/graph_network.py:108-187``:
+
+* Encoder: independent node/edge MLPs + LayerNorm (``:133-140``).
+* Processor: M InteractionNetwork steps with additive residuals on both node
+  and edge latents (``:177-183``), run here as one ``lax.scan`` over stacked
+  per-step params (weights are NOT shared across steps, matching the
+  reference's ``nn.ModuleList``).
+* **Aggregation quirk replicated exactly**: the reference never overrides
+  PyG's ``message``, so ``propagate`` scatter-adds *sender node latents*
+  ``x_j`` — not the freshly-computed edge messages (``graph_network.py:92``;
+  see SURVEY.md C11). The updated edge features survive only through the edge
+  residual stream. ``aggregate="sender_latents"`` (default) reproduces this;
+  ``aggregate="edge_messages"`` gives canonical GNS as an extension.
+
+  **Consequence (provable from the reference's dataflow)**: under
+  ``sender_latents`` the edge stream is *dead code for predictions*: node
+  latents never read edge latents (``graph_network.py:92-96``), decoders
+  read only node latents (``:158-159``), so edge features/MLPs cannot
+  influence the output — and their parameters receive exactly zero gradient
+  in the reference's training too. ``prune_dead_edge_stream=True`` (default)
+  therefore skips the edge stream entirely in this mode: outputs, losses and
+  all live-parameter gradients are mathematically identical to the
+  reference, at ~1/4 of the FLOPs. Set it False to reproduce the reference's
+  wasted edge compute for FLOP-parity measurements.
+* Dual decoder heads without LayerNorm (``:151-152,158-159``).
+
+TPU-first restructurings (exact in real arithmetic, not approximations):
+
+1. Regular graphs: aggregation is a dense gather+sum over the ``[N, k]``
+   neighbor axis — no scatter.
+2. Matmul-then-gather: for the edge-MLP first layer, the concat
+   ``[x_src, x_dst, e] @ W`` is split into ``x @ W_src`` / ``x @ W_dst``
+   (computed once per *node*, then gathered/broadcast) plus the per-edge
+   ``e @ W_e`` term — cutting the dominant first-layer FLOPs by ~3x vs. the
+   per-edge concat matmul, and shrinking the gathered tensor.
+3. Sum-then-matmul for sender-latent aggregation: ``(sum_j x_j) @ W_agg`` is
+   evaluated as a gather+sum of the *pre-projected* ``x @ W_agg`` rows,
+   turning an [N*k, L] matmul into an [N, L] one.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cosmology_gnn_simulation_tpu.models.mlp import (
+    apply_mlp,
+    dense,
+    init_mlp,
+    layer_norm,
+)
+from cosmology_gnn_simulation_tpu.types import ParticleGraph
+
+Params = Dict[str, Any]
+
+
+class EncodeProcessDecodeConfig(NamedTuple):
+    """Hyperparameters (defaults = reference ``config.py:16-23``)."""
+
+    node_input_size: int  # 3*(window-1) + window = 17 at window 5
+    edge_input_size: int = 4
+    latent_size: int = 128
+    mlp_hidden_size: int = 128
+    mlp_num_hidden_layers: int = 2
+    num_message_passing_steps: int = 10
+    output_size: int = 3
+    aggregate: str = "sender_latents"  # or "edge_messages" (canonical GNS)
+    prune_dead_edge_stream: bool = True  # skip provably-dead edge compute
+
+
+def init_encode_process_decode(
+    key: jax.Array, config: EncodeProcessDecodeConfig
+) -> Params:
+    latent = config.latent_size
+    hidden = config.mlp_hidden_size
+    n_hidden = config.mlp_num_hidden_layers
+    keys = jax.random.split(key, 4 + config.num_message_passing_steps)
+
+    def mlp_ln(k, in_dim):
+        return init_mlp(k, in_dim, hidden, n_hidden, latent, layer_norm=True)
+
+    encoder = {
+        "node": mlp_ln(keys[0], config.node_input_size),
+        "edge": mlp_ln(keys[1], config.edge_input_size),
+    }
+    steps = [
+        {"edge": mlp_ln(jax.random.fold_in(k, 0), 3 * latent),
+         "node": mlp_ln(jax.random.fold_in(k, 1), 2 * latent)}
+        for k in keys[4:]
+    ]
+    processor = jax.tree.map(lambda *xs: jnp.stack(xs), *steps)
+    return {
+        "encoder": encoder,
+        "processor": processor,
+        "decoder_acc": init_mlp(
+            keys[2], latent, hidden, n_hidden, config.output_size
+        ),
+        "decoder_temp_rate": init_mlp(keys[3], latent, hidden, n_hidden, 1),
+    }
+
+
+def _split_dense(
+    x: jnp.ndarray, w: jnp.ndarray, dtype: Optional[jnp.dtype]
+) -> jnp.ndarray:
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+def _mlp_tail(
+    params: Params, h: jnp.ndarray, dtype: Optional[jnp.dtype]
+) -> jnp.ndarray:
+    """Hidden layers after the (externally computed) first layer, + final + LN."""
+    layers = params["layers"]
+    for layer in layers[1:-1]:
+        h = jax.nn.relu(dense(h, layer, dtype))
+    h = dense(h, layers[-1], dtype)
+    if "ln" in params:
+        h = layer_norm(h, params["ln"])
+    return h
+
+
+def _processor_step(
+    x: jnp.ndarray,
+    e: jnp.ndarray,
+    neighbors: jnp.ndarray,
+    step_params: Params,
+    aggregate: str,
+    dtype: Optional[jnp.dtype],
+):
+    """One InteractionNetwork step (pre-residual outputs)."""
+    latent = x.shape[-1]
+
+    # --- Edge update: edge_mlp(cat[x_src, x_dst, e]) (graph_network.py:89-90),
+    # first layer decomposed into per-node projections + per-edge e-term.
+    edge_first = step_params["edge"]["layers"][0]
+    w = edge_first["w"]
+    w_src, w_dst, w_e = w[:latent], w[latent: 2 * latent], w[2 * latent:]
+    y_src = _split_dense(x, w_src, dtype)  # [N, H]
+    y_dst = _split_dense(x, w_dst, dtype)  # [N, H]
+    h_e = jax.nn.relu(
+        jnp.take(y_src, neighbors, axis=0)
+        + y_dst[:, None, :]
+        + _split_dense(e, w_e, dtype)
+        + edge_first["b"]
+    )
+    e_new = _mlp_tail(step_params["edge"], h_e, dtype)  # [N, k, L]
+
+    # --- Aggregation at receivers (graph_network.py:92).
+    node_first = step_params["node"]["layers"][0]
+    nw = node_first["w"]
+    w_self, w_agg = nw[:latent], nw[latent:]
+    if aggregate == "sender_latents":
+        # Reference semantics: scatter-add of x_j. Projected-then-gathered.
+        z = _split_dense(x, w_agg, dtype)  # [N, H]
+        agg_h = jnp.take(z, neighbors, axis=0).sum(axis=1)
+    elif aggregate == "edge_messages":
+        agg_h = _split_dense(e_new.sum(axis=1), w_agg, dtype)
+    else:
+        raise ValueError(f"unknown aggregate mode: {aggregate}")
+
+    h_n = jax.nn.relu(_split_dense(x, w_self, dtype) + agg_h + node_first["b"])
+    x_new = _mlp_tail(step_params["node"], h_n, dtype)  # [N, L]
+    return x_new, e_new
+
+
+def _pruned_processor_step(
+    x: jnp.ndarray,
+    neighbors: jnp.ndarray,
+    step_params: Params,
+    dtype: Optional[jnp.dtype],
+) -> jnp.ndarray:
+    """Node-stream-only InteractionNetwork step, valid under
+    ``sender_latents`` aggregation where the edge stream is provably dead
+    (see module docstring)."""
+    latent = x.shape[-1]
+    node_first = step_params["node"]["layers"][0]
+    nw = node_first["w"]
+    w_self, w_agg = nw[:latent], nw[latent:]
+    z = _split_dense(x, w_agg, dtype)
+    agg_h = jnp.take(z, neighbors, axis=0).sum(axis=1)
+    h_n = jax.nn.relu(_split_dense(x, w_self, dtype) + agg_h + node_first["b"])
+    return _mlp_tail(step_params["node"], h_n, dtype)
+
+
+def apply_encode_process_decode(
+    params: Params,
+    graph: ParticleGraph,
+    config: EncodeProcessDecodeConfig,
+    dtype: Optional[jnp.dtype] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Forward pass. Returns ``{'acceleration': [N, 3], 'temp_rate': [N, 1]}``."""
+    x = apply_mlp(params["encoder"]["node"], graph.nodes, dtype)
+    neighbors = graph.neighbors
+    prune = (
+        config.aggregate == "sender_latents" and config.prune_dead_edge_stream
+    )
+
+    if prune:
+        def body(carry, step_params):
+            x_new = _pruned_processor_step(carry, neighbors, step_params, dtype)
+            return carry + x_new, None
+
+        x, _ = jax.lax.scan(body, x, params["processor"])
+    else:
+        e = apply_mlp(params["encoder"]["edge"], graph.edges, dtype)
+
+        def body(carry, step_params):
+            x, e = carry
+            x_new, e_new = _processor_step(
+                x, e, neighbors, step_params, config.aggregate, dtype
+            )
+            return (x + x_new, e + e_new), None
+
+        (x, e), _ = jax.lax.scan(body, (x, e), params["processor"])
+    return {
+        "acceleration": apply_mlp(params["decoder_acc"], x, dtype),
+        "temp_rate": apply_mlp(params["decoder_temp_rate"], x, dtype),
+    }
+
+
+def reference_apply_encode_process_decode(
+    params: Params,
+    graph: ParticleGraph,
+    config: EncodeProcessDecodeConfig,
+) -> Dict[str, jnp.ndarray]:
+    """Direct (unoptimized) forward matching the reference's tensor program
+    shape-for-shape — concat inputs, per-edge matmuls, Python loop over steps.
+
+    Used only in tests as the semantic oracle for ``apply_encode_process_decode``.
+    """
+    x = apply_mlp(params["encoder"]["node"], graph.nodes)
+    e = apply_mlp(params["encoder"]["edge"], graph.edges)
+    neighbors = graph.neighbors
+    m = config.num_message_passing_steps
+    for i in range(m):
+        step_params = jax.tree.map(lambda p: p[i], params["processor"])
+        x_src = jnp.take(x, neighbors, axis=0)  # [N, k, L]
+        x_dst = jnp.broadcast_to(x[:, None, :], x_src.shape)
+        edge_in = jnp.concatenate([x_src, x_dst, e], axis=-1)
+        e_new = apply_mlp(step_params["edge"], edge_in)
+        if config.aggregate == "sender_latents":
+            agg = x_src.sum(axis=1)
+        else:
+            agg = e_new.sum(axis=1)
+        node_in = jnp.concatenate([x, agg], axis=-1)
+        x_new = apply_mlp(step_params["node"], node_in)
+        x = x + x_new
+        e = e + e_new
+    return {
+        "acceleration": apply_mlp(params["decoder_acc"], x),
+        "temp_rate": apply_mlp(params["decoder_temp_rate"], x),
+    }

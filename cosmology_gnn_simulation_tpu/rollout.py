@@ -1,0 +1,190 @@
+"""Jitted rollout and one-step evaluation engines.
+
+The reference rollout (``/root/reference/render_rollout.py:26-90``) rebuilds
+the graph on the host CPU and crosses the host<->device boundary twice per
+simulated step. Here the entire loop — on-device re-neighboring, M message
+passing steps, un-normalization, semi-implicit Euler integration, periodic
+wrap — is one ``jax.lax.scan`` under ``jit``: zero host round-trips.
+
+Replicated integration semantics:
+* un-normalize predictions (``render_rollout.py:60-69``);
+* ``recent_velocity = (x[-1] - x[-2]) / dt`` **without** minimum-image
+  correction — a reference quirk (``render_rollout.py:73``,
+  ``one_step_test.py:96``) kept by default for fidelity;
+  ``min_image_velocity=True`` enables the physically-correct form;
+* ``v' = v + a*dt``; ``x' = remainder(x + v'*dt, box)``; ``T' = T + Tdot*dt``
+  (``render_rollout.py:77-82``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cosmology_gnn_simulation_tpu.featurize import featurize
+from cosmology_gnn_simulation_tpu.models.encode_process_decode import (
+    EncodeProcessDecodeConfig,
+    apply_encode_process_decode,
+)
+from cosmology_gnn_simulation_tpu.ops.periodic import (
+    min_image_displacement,
+    wrap_positions,
+)
+from cosmology_gnn_simulation_tpu.types import NormalizationStats
+
+
+def _predict_physical(params, graph, model_config, stats, dtype):
+    """Forward pass + un-normalization to physical units."""
+    preds = apply_encode_process_decode(params, graph, model_config, dtype)
+    acceleration = preds["acceleration"] * stats.acc_std + stats.acc_mean
+    temp_rate = preds["temp_rate"] * stats.temp_rate_std + stats.temp_rate_mean
+    return acceleration, temp_rate
+
+
+def integrate_step(
+    recent_position: jnp.ndarray,
+    previous_position: jnp.ndarray,
+    recent_temperature: jnp.ndarray,
+    acceleration: jnp.ndarray,
+    temp_rate: jnp.ndarray,
+    stats: NormalizationStats,
+    *,
+    min_image_velocity: bool = False,
+):
+    """Semi-implicit Euler update (``render_rollout.py:72-82``)."""
+    dt = stats.dt
+    raw = recent_position - previous_position
+    if min_image_velocity:
+        raw = min_image_displacement(raw, stats.box_size)
+    recent_velocity = raw / dt
+    new_velocity = recent_velocity + acceleration * dt
+    new_position = wrap_positions(recent_position + new_velocity * dt, stats.box_size)
+    new_temperature = recent_temperature + temp_rate * dt
+    return new_position, new_temperature
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model_config",
+        "num_steps",
+        "num_neighbors",
+        "min_image_velocity",
+        "dtype",
+        "neighbor_query_tile",
+    ),
+)
+def rollout(
+    params,
+    model_config: EncodeProcessDecodeConfig,
+    initial_positions: jnp.ndarray,
+    initial_temperatures: jnp.ndarray,
+    stats: NormalizationStats,
+    num_steps: int,
+    *,
+    num_neighbors: int = 16,
+    min_image_velocity: bool = False,
+    dtype: Optional[jnp.dtype] = None,
+    neighbor_query_tile: int = 512,
+) -> Dict[str, jnp.ndarray]:
+    """Roll the learned simulator forward ``num_steps`` steps.
+
+    Args:
+      initial_positions: ``[W, N, 3]`` ground-truth seed window
+        (``render_rollout.py:32-37``).
+      initial_temperatures: ``[W, N, 1]``.
+
+    Returns:
+      ``{"Coordinates": [W + num_steps, N, 3],
+         "InternalEnergy": [W + num_steps, N, 1]}`` — seed window first, like
+      the reference trajectory layout (``render_rollout.py:87-90``).
+    """
+    window = initial_positions.shape[0]
+    zero_key = jax.random.PRNGKey(0)
+
+    def body(carry, _):
+        pos_window, temp_window = carry  # [W, N, 3], [W, N, 1]
+        graph = featurize(
+            pos_window,
+            temp_window,
+            stats,
+            zero_key,
+            noise_std=0.0,
+            num_neighbors=num_neighbors,
+            neighbor_query_tile=neighbor_query_tile,
+        )
+        acceleration, temp_rate = _predict_physical(
+            params, graph, model_config, stats, dtype
+        )
+        new_position, new_temperature = integrate_step(
+            pos_window[-1],
+            pos_window[-2],
+            temp_window[-1],
+            acceleration,
+            temp_rate,
+            stats,
+            min_image_velocity=min_image_velocity,
+        )
+        new_carry = (
+            jnp.concatenate([pos_window[1:], new_position[None]], axis=0),
+            jnp.concatenate([temp_window[1:], new_temperature[None]], axis=0),
+        )
+        return new_carry, (new_position, new_temperature)
+
+    init = (
+        initial_positions.astype(jnp.float32),
+        initial_temperatures.astype(jnp.float32),
+    )
+    _, (positions, temperatures) = jax.lax.scan(body, init, None, length=num_steps)
+    return {
+        "Coordinates": jnp.concatenate([init[0], positions], axis=0),
+        "InternalEnergy": jnp.concatenate([init[1], temperatures], axis=0),
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_config", "num_neighbors", "min_image_velocity", "dtype"),
+)
+def one_step_prediction(
+    params,
+    model_config: EncodeProcessDecodeConfig,
+    position_seq: jnp.ndarray,
+    temperature_seq: jnp.ndarray,
+    stats: NormalizationStats,
+    *,
+    num_neighbors: int = 16,
+    min_image_velocity: bool = False,
+    dtype: Optional[jnp.dtype] = None,
+):
+    """Predict the next frame from a ``[W, N, ·]`` window
+    (``one_step_test.py:67-105`` semantics, fully jitted).
+
+    Note the reference integrates from the **raw input** window (pre-noise,
+    pre-wrap positions), not from the featurized ones (``one_step_test.py:95``)
+    — with ``noise_std=0`` and wrapped data these coincide.
+    """
+    graph = featurize(
+        position_seq,
+        temperature_seq,
+        stats,
+        jax.random.PRNGKey(0),
+        noise_std=0.0,
+        num_neighbors=num_neighbors,
+    )
+    acceleration, temp_rate = _predict_physical(
+        params, graph, model_config, stats, dtype
+    )
+    new_position, new_temperature = integrate_step(
+        position_seq[-1],
+        position_seq[-2],
+        temperature_seq[-1],
+        acceleration,
+        temp_rate,
+        stats,
+        min_image_velocity=min_image_velocity,
+    )
+    return new_position, new_temperature

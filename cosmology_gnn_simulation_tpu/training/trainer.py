@@ -1,0 +1,404 @@
+"""Jitted training loop.
+
+Where the reference runs per-sample host-side graph building inside the batch
+loop and crosses to the device once per batch (``/root/reference/train.py:
+219-265``), the entire step here — device-side axis-permutation augmentation,
+noise, k-NN graph construction, forward, 3-component loss, backward, Adam
+update — is a single jitted, vmapped function. One compilation, zero
+host-side featurization.
+
+Replicated training semantics:
+* Adam (torch defaults) + optional L2 weight decay folded into the gradient,
+  matching ``torch.optim.Adam(weight_decay=...)`` (``train.py:183``);
+* per-epoch exponential LR decay with gamma = (final/initial)^(1/epochs)
+  (``train.py:184-187,316``);
+* xyz axis-permutation augmentation with probability ``augment_prob`` per
+  sample, applied to input and target coordinates (``dataloader.py:137-150``
+  — run here on device; velocities are derived from coordinates inside
+  featurization, so permuting coordinates covers every 3-vector field);
+* validation with noise_std forced to 0 (``train.py:304``);
+* best/periodic/final checkpoints + ``training_history.json``
+  (``train.py:329-387``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cosmology_gnn_simulation_tpu.featurize import featurize, node_feature_size
+from cosmology_gnn_simulation_tpu.models.encode_process_decode import (
+    EncodeProcessDecodeConfig,
+    apply_encode_process_decode,
+    init_encode_process_decode,
+)
+from cosmology_gnn_simulation_tpu.training.losses import combined_loss
+from cosmology_gnn_simulation_tpu.types import NormalizationStats
+from cosmology_gnn_simulation_tpu.utils import checkpoint as ckpt_lib
+
+# All 6 permutations of the xyz axes (dataloader.py:141-150 draws
+# torch.randperm(3); uniform over these).
+_AXIS_PERMS = np.array(
+    [[0, 1, 2], [0, 2, 1], [1, 0, 2], [1, 2, 0], [2, 0, 1], [2, 1, 0]],
+    dtype=np.int32,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (defaults = reference ``config.py:16-36``)."""
+
+    num_neighbors: int = 16
+    batch_size: int = 1
+    window_size: int = 5
+    noise_std: float = 0.0
+    num_epochs: int = 10
+    learning_rate: float = 1e-4
+    final_learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    seed: int = 42
+    save_every: int = 10
+    augment_prob: float = 1.0
+    acc_loss_weight: float = 1.0
+    temp_rate_loss_weight: float = 1.0
+    momentum_loss_weight: float = 0.0
+    output_dir: str = "model_output"
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16"
+    neighbor_query_tile: int = 512
+
+
+def _augment_axes(key: jax.Array, positions, target_positions, augment_prob):
+    """Random xyz permutation with probability ``augment_prob`` (on device)."""
+    pk, uk = jax.random.split(key)
+    perm = jnp.asarray(_AXIS_PERMS)[jax.random.randint(pk, (), 0, 6)]
+    perm = jnp.where(
+        jax.random.uniform(uk) < augment_prob, perm, jnp.arange(3)
+    )
+    return positions[..., perm], target_positions[..., perm]
+
+
+def make_train_step(
+    model_config: EncodeProcessDecodeConfig,
+    stats: NormalizationStats,
+    train_config: TrainConfig,
+    optimizer: optax.GradientTransformation,
+) -> Callable:
+    """Build the jitted train step: ``(params, opt_state, batch, key) ->
+    (params, opt_state, metrics)``. ``batch`` holds ``positions [B,T,N,3]``,
+    ``temperatures [B,T,N,1]``, ``target_positions [B,N,3]``,
+    ``target_temperatures [B,N,1]``."""
+    tc = train_config
+    dtype = jnp.dtype(tc.compute_dtype) if tc.compute_dtype else None
+
+    def per_sample(params, pos, temp, tpos, ttemp, key):
+        aug_key, feat_key = jax.random.split(key)
+        pos, tpos = _augment_axes(aug_key, pos, tpos, tc.augment_prob)
+        graph = featurize(
+            pos,
+            temp,
+            stats,
+            feat_key,
+            noise_std=tc.noise_std,
+            num_neighbors=tc.num_neighbors,
+            target_position=tpos,
+            target_temperature=ttemp,
+            neighbor_query_tile=tc.neighbor_query_tile,
+        )
+        preds = apply_encode_process_decode(params, graph, model_config, dtype)
+        return preds, graph.target_acceleration, graph.target_temp_rate
+
+    def loss_fn(params, batch, key):
+        keys = jax.random.split(key, batch["positions"].shape[0])
+        preds, tgt_acc, tgt_rate = jax.vmap(
+            per_sample, in_axes=(None, 0, 0, 0, 0, 0)
+        )(
+            params,
+            batch["positions"],
+            batch["temperatures"],
+            batch["target_positions"],
+            batch["target_temperatures"],
+            keys,
+        )
+        total, components = combined_loss(
+            preds,
+            tgt_acc,
+            tgt_rate,
+            stats.dt,
+            acc_weight=tc.acc_loss_weight,
+            temp_rate_weight=tc.temp_rate_loss_weight,
+            momentum_weight=tc.momentum_loss_weight,
+        )
+        return total, components
+
+    @jax.jit
+    def train_step(params, opt_state, batch, key):
+        (loss, components), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, key
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {"loss": loss, **components}
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    model_config: EncodeProcessDecodeConfig,
+    stats: NormalizationStats,
+    train_config: TrainConfig,
+) -> Callable:
+    """Validation step: no noise, no augmentation, no grad
+    (``validation.py:18-90`` semantics)."""
+    tc = train_config
+    dtype = jnp.dtype(tc.compute_dtype) if tc.compute_dtype else None
+    zero_key = jax.random.PRNGKey(0)
+
+    def per_sample(params, pos, temp, tpos, ttemp):
+        graph = featurize(
+            pos,
+            temp,
+            stats,
+            zero_key,
+            noise_std=0.0,
+            num_neighbors=tc.num_neighbors,
+            target_position=tpos,
+            target_temperature=ttemp,
+            neighbor_query_tile=tc.neighbor_query_tile,
+        )
+        preds = apply_encode_process_decode(params, graph, model_config, dtype)
+        return preds, graph.target_acceleration, graph.target_temp_rate
+
+    @jax.jit
+    def eval_step(params, batch):
+        preds, tgt_acc, tgt_rate = jax.vmap(
+            per_sample, in_axes=(None, 0, 0, 0, 0)
+        )(
+            params,
+            batch["positions"],
+            batch["temperatures"],
+            batch["target_positions"],
+            batch["target_temperatures"],
+        )
+        total, components = combined_loss(
+            preds,
+            tgt_acc,
+            tgt_rate,
+            stats.dt,
+            acc_weight=tc.acc_loss_weight,
+            temp_rate_weight=tc.temp_rate_loss_weight,
+            momentum_weight=tc.momentum_loss_weight,
+        )
+        return {"loss": total, **components}
+
+    return eval_step
+
+
+def make_optimizer(
+    train_config: TrainConfig, steps_per_epoch: int
+) -> optax.GradientTransformation:
+    """Adam + per-epoch exponential decay (``train.py:183-187``)."""
+    tc = train_config
+    gamma = (tc.final_learning_rate / tc.learning_rate) ** (1.0 / tc.num_epochs)
+
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return tc.learning_rate * gamma**epoch
+
+    transforms = []
+    if tc.weight_decay:
+        transforms.append(optax.add_decayed_weights(tc.weight_decay))
+    transforms += [optax.scale_by_adam(), optax.scale_by_learning_rate(schedule)]
+    return optax.chain(*transforms)
+
+
+class Trainer:
+    """Epoch-driven trainer with the reference's observability artifacts:
+    per-epoch prints, best/periodic/final checkpoints, loss-dashboard plots,
+    ``training_history.json`` (``train.py:208-387``)."""
+
+    def __init__(
+        self,
+        model_config: EncodeProcessDecodeConfig,
+        stats: NormalizationStats,
+        train_config: TrainConfig,
+        steps_per_epoch: int,
+        init_params: Any = None,
+    ):
+        self.model_config = model_config
+        self.stats = stats
+        self.tc = train_config
+        self.key = jax.random.PRNGKey(train_config.seed)
+        self.key, init_key = jax.random.split(self.key)
+        self.params = (
+            init_params
+            if init_params is not None
+            else init_encode_process_decode(init_key, model_config)
+        )
+        self.optimizer = make_optimizer(train_config, steps_per_epoch)
+        self.opt_state = self.optimizer.init(self.params)
+        self.train_step = make_train_step(
+            model_config, stats, train_config, self.optimizer
+        )
+        self.eval_step = make_eval_step(model_config, stats, train_config)
+        self.history: Dict[str, Any] = {
+            "train_loss": [],
+            "val_loss": [],
+            "learning_rates": [],
+            "component_losses": {
+                "acc_train": [], "acc_val": [],
+                "temp_rate_train": [], "temp_rate_val": [],
+                "momentum_train": [], "momentum_val": [],
+            },
+            "best_epoch": -1,
+            "best_val_loss": float("inf"),
+        }
+
+    def _config_dict(self) -> Dict:
+        return {
+            "model": self.model_config._asdict(),
+            "train": dataclasses.asdict(self.tc),
+        }
+
+    def fit(self, train_dataset, val_dataset, *, verbose: bool = True):
+        tc = self.tc
+        os.makedirs(tc.output_dir, exist_ok=True)
+        plots_dir = os.path.join(tc.output_dir, "plots")
+        os.makedirs(plots_dir, exist_ok=True)
+        gamma = (tc.final_learning_rate / tc.learning_rate) ** (
+            1.0 / tc.num_epochs
+        )
+        h = self.history
+
+        for epoch in range(tc.num_epochs):
+            current_lr = tc.learning_rate * gamma**epoch
+            h["learning_rates"].append(current_lr)
+            epoch_metrics = []
+            t0 = time.perf_counter()
+            for batch in train_dataset.batches(
+                tc.batch_size, shuffle=True, seed=tc.seed + epoch
+            ):
+                self.key, step_key = jax.random.split(self.key)
+                self.params, self.opt_state, metrics = self.train_step(
+                    self.params, self.opt_state, batch, step_key
+                )
+                epoch_metrics.append(metrics)
+            train_avg = {
+                k: float(np.mean([np.asarray(m[k]) for m in epoch_metrics]))
+                for k in epoch_metrics[0]
+            }
+
+            val_avg = self.evaluate(val_dataset)
+
+            h["train_loss"].append(train_avg["loss"])
+            h["val_loss"].append(val_avg["loss"])
+            cl = h["component_losses"]
+            cl["acc_train"].append(train_avg["acceleration"])
+            cl["acc_val"].append(val_avg["acceleration"])
+            cl["temp_rate_train"].append(train_avg["temp_rate"])
+            cl["temp_rate_val"].append(val_avg["temp_rate"])
+            cl["momentum_train"].append(train_avg["momentum"])
+            cl["momentum_val"].append(val_avg["momentum"])
+
+            if verbose:
+                print(
+                    f"Epoch {epoch}: training loss = {train_avg['loss']:.6f}, "
+                    f"validation loss = {val_avg['loss']:.6f}, "
+                    f"learning rate = {current_lr:.2e}, "
+                    f"epoch time = {time.perf_counter() - t0:.1f}s"
+                )
+
+            if val_avg["loss"] < h["best_val_loss"]:
+                h["best_val_loss"] = val_avg["loss"]
+                h["best_epoch"] = epoch
+                self.save("model_best")
+                if verbose:
+                    print(
+                        "New best model saved with validation loss: "
+                        f"{val_avg['loss']:.6f}"
+                    )
+
+            if epoch % 5 == 0:
+                self._plot(os.path.join(plots_dir, f"losses_epoch_{epoch}.png"))
+            if (epoch + 1) % tc.save_every == 0 or epoch == tc.num_epochs - 1:
+                self.save(f"model_epoch_{epoch}")
+
+        self._plot(os.path.join(tc.output_dir, "plots", "losses_final.png"))
+        # Reload best, save final (train.py:361-368).
+        best_path = os.path.join(tc.output_dir, "model_best")
+        if os.path.exists(best_path):
+            restored = ckpt_lib.load_checkpoint(
+                best_path, template={"params": self.params}
+            )
+            self.params = restored["params"]
+        self.save("model_final")
+        with open(
+            os.path.join(tc.output_dir, "training_history.json"), "w"
+        ) as f:
+            json.dump(h, f, indent=4)
+        return self.params
+
+    def evaluate(self, dataset) -> Dict[str, float]:
+        metrics = []
+        for batch in dataset.batches(self.tc.batch_size, shuffle=False):
+            metrics.append(self.eval_step(self.params, batch))
+        if not metrics:
+            return {k: float("inf") for k in
+                    ("loss", "acceleration", "temp_rate", "momentum")}
+        return {
+            k: float(np.mean([np.asarray(m[k]) for m in metrics]))
+            for k in metrics[0]
+        }
+
+    def save(self, name: str) -> str:
+        return ckpt_lib.save_checkpoint(
+            self.tc.output_dir,
+            name,
+            self.params,
+            self.opt_state,
+            rng_key=self.key,
+            config=self._config_dict(),
+        )
+
+    def _plot(self, path: str) -> None:
+        try:
+            from cosmology_gnn_simulation_tpu.training.plots import plot_losses
+
+            plot_losses(
+                self.history["train_loss"],
+                self.history["val_loss"],
+                path,
+                self.history["component_losses"],
+                self.history["learning_rates"],
+            )
+        except Exception as exc:  # plotting is best-effort observability
+            print(f"plotting skipped: {exc}")
+
+
+def default_model_config(
+    window_size: int = 5,
+    latent_size: int = 128,
+    mlp_hidden_size: int = 128,
+    mlp_num_hidden_layers: int = 2,
+    num_message_passing_steps: int = 10,
+    output_size: int = 3,
+    aggregate: str = "sender_latents",
+) -> EncodeProcessDecodeConfig:
+    return EncodeProcessDecodeConfig(
+        node_input_size=node_feature_size(window_size),
+        edge_input_size=4,
+        latent_size=latent_size,
+        mlp_hidden_size=mlp_hidden_size,
+        mlp_num_hidden_layers=mlp_num_hidden_layers,
+        num_message_passing_steps=num_message_passing_steps,
+        output_size=output_size,
+        aggregate=aggregate,
+    )
