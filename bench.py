@@ -1,0 +1,105 @@
+"""Headline benchmark: rollout throughput at N=65k, k=16, 10 MP steps
+(BASELINE.md primary metric), on one chip.
+
+Measures the fully-jitted rollout `lax.scan` — on-device periodic k-NN
+re-neighboring + Encode-Process-Decode forward + un-normalize + Euler
+integrate + wrap, every step — on the flagship config (reference defaults,
+``/root/reference/config.py:16-23``).
+
+Baseline: the reference publishes no numbers (BASELINE.md). Its rollout
+rebuilds a 27x ghost-copy k-NN graph on the host CPU and crosses the
+host<->device boundary twice per step (``render_rollout.py:39-58``): at
+N=65k that is a 1.77M-point host kNN build (~1s-class) plus transfers plus
+the PyG forward — ~1 step/s on a modern GPU is a *favorable* estimate, i.e.
+BASELINE_PARTICLE_STEPS_PER_SEC = 65536. vs_baseline is measured/that.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_PARTICLES = 65536
+K_NEIGHBORS = 16
+WINDOW = 5
+ROLLOUT_STEPS = 25
+BASELINE_PARTICLE_STEPS_PER_SEC = 65536.0  # ~1 ref step/s at N=65k (est.)
+
+
+def main():
+    from cosmology_gnn_simulation_tpu.models.encode_process_decode import (
+        init_encode_process_decode,
+    )
+    from cosmology_gnn_simulation_tpu.rollout import rollout
+    from cosmology_gnn_simulation_tpu.training.trainer import (
+        default_model_config,
+    )
+    from cosmology_gnn_simulation_tpu.types import NormalizationStats
+
+    model_config = default_model_config()  # latent 128, 10 MP steps
+    stats = NormalizationStats(
+        temp_mean=jnp.asarray(1.0),
+        temp_std=jnp.asarray(0.3),
+        temp_rate_mean=jnp.asarray(0.0),
+        temp_rate_std=jnp.asarray(0.02),
+        vel_mean=jnp.asarray(0.0),
+        vel_std=jnp.asarray(0.06),
+        acc_mean=jnp.asarray(0.0),
+        acc_std=jnp.asarray(0.2),
+        box_size=1.0,
+        dt=0.05,
+    )
+    params = init_encode_process_decode(jax.random.PRNGKey(0), model_config)
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 1, (1, N_PARTICLES, 3))
+    drift = rng.normal(0, 5e-4, (WINDOW, N_PARTICLES, 3)).cumsum(axis=0)
+    positions = jnp.asarray(np.remainder(base + drift, 1.0), jnp.float32)
+    temperatures = jnp.asarray(
+        np.abs(rng.normal(1.0, 0.3, (WINDOW, N_PARTICLES, 1))), jnp.float32
+    )
+
+    def run():
+        out = rollout(
+            params,
+            model_config,
+            positions,
+            temperatures,
+            stats,
+            ROLLOUT_STEPS,
+            num_neighbors=K_NEIGHBORS,
+            dtype=jnp.bfloat16,
+            neighbor_query_tile=1024,
+        )
+        jax.block_until_ready(out)
+        return out
+
+    run()  # compile + warm up
+    t0 = time.perf_counter()
+    run()
+    elapsed = time.perf_counter() - t0
+
+    particle_steps_per_sec = N_PARTICLES * ROLLOUT_STEPS / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"rollout particle-steps/s/chip @ N={N_PARTICLES}, "
+                    f"k={K_NEIGHBORS}, 10 MP steps, latent 128"
+                ),
+                "value": round(particle_steps_per_sec, 1),
+                "unit": "particle-steps/s",
+                "vs_baseline": round(
+                    particle_steps_per_sec / BASELINE_PARTICLE_STEPS_PER_SEC, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,7 @@ def featurize(
     target_position: Optional[jnp.ndarray] = None,
     target_temperature: Optional[jnp.ndarray] = None,
     neighbor_query_tile: int = 512,
+    particle_axis: Optional[str] = None,
 ) -> ParticleGraph:
     """Build a ``ParticleGraph`` from a trajectory window.
 
@@ -66,9 +67,14 @@ def featurize(
       num_neighbors: k, **including** the self-loop.
       target_position / target_temperature: ``[N, 3]`` / ``[N, 1]`` next-frame
         ground truth; if given, normalized training targets are attached.
+      particle_axis: mesh axis name when called inside ``shard_map`` with
+        particles sharded over that axis. Recent positions are all-gathered
+        so the k-NN sees the global box; ``neighbors`` then hold **global**
+        particle indices. All other features stay shard-local.
 
     Returns:
-      ``ParticleGraph`` with static shapes ``[N, F]``, ``[N, k]``, ``[N, k, 4]``.
+      ``ParticleGraph`` with static shapes ``[N, F]``, ``[N, k]``, ``[N, k, 4]``
+      (N = shard-local count under ``particle_axis``).
     """
     box = stats.box_size
     dt = stats.dt
@@ -97,14 +103,24 @@ def featurize(
         [normal_velocity.reshape(n, -1), normal_temp.reshape(n, -1)], axis=-1
     )
 
+    if particle_axis is not None:
+        all_positions = jax.lax.all_gather(
+            recent_position, particle_axis, tiled=True
+        )
+    else:
+        all_positions = recent_position
     neighbors = knn_periodic(
-        recent_position, num_neighbors, box, query_tile=neighbor_query_tile
+        all_positions,
+        num_neighbors,
+        box,
+        queries=recent_position,
+        query_tile=neighbor_query_tile,
     )
 
     # Raw displacement sender - receiver, deliberately NOT minimum-image
     # (data_utils.py:162): boundary-crossing edges carry ~box-sized features.
     edge_displacement = (
-        jnp.take(recent_position, neighbors, axis=0) - recent_position[:, None, :]
+        jnp.take(all_positions, neighbors, axis=0) - recent_position[:, None, :]
     )
     edge_distance = jnp.linalg.norm(edge_displacement, axis=-1, keepdims=True)
     edges = jnp.concatenate([edge_displacement, edge_distance], axis=-1)

@@ -125,6 +125,17 @@ def _mlp_tail(
     return h
 
 
+def _maybe_all_gather(
+    values: jnp.ndarray, particle_axis: Optional[str]
+) -> jnp.ndarray:
+    """Under particle sharding, expose every shard's rows so global neighbor
+    indices can be gathered. Positions/latents are small relative to edge
+    tensors, so this all-gather rides ICI cheaply; identity on one shard."""
+    if particle_axis is None:
+        return values
+    return jax.lax.all_gather(values, particle_axis, tiled=True)
+
+
 def _processor_step(
     x: jnp.ndarray,
     e: jnp.ndarray,
@@ -132,6 +143,7 @@ def _processor_step(
     step_params: Params,
     aggregate: str,
     dtype: Optional[jnp.dtype],
+    particle_axis: Optional[str] = None,
 ):
     """One InteractionNetwork step (pre-residual outputs)."""
     latent = x.shape[-1]
@@ -144,7 +156,7 @@ def _processor_step(
     y_src = _split_dense(x, w_src, dtype)  # [N, H]
     y_dst = _split_dense(x, w_dst, dtype)  # [N, H]
     h_e = jax.nn.relu(
-        jnp.take(y_src, neighbors, axis=0)
+        jnp.take(_maybe_all_gather(y_src, particle_axis), neighbors, axis=0)
         + y_dst[:, None, :]
         + _split_dense(e, w_e, dtype)
         + edge_first["b"]
@@ -158,7 +170,9 @@ def _processor_step(
     if aggregate == "sender_latents":
         # Reference semantics: scatter-add of x_j. Projected-then-gathered.
         z = _split_dense(x, w_agg, dtype)  # [N, H]
-        agg_h = jnp.take(z, neighbors, axis=0).sum(axis=1)
+        agg_h = jnp.take(
+            _maybe_all_gather(z, particle_axis), neighbors, axis=0
+        ).sum(axis=1)
     elif aggregate == "edge_messages":
         agg_h = _split_dense(e_new.sum(axis=1), w_agg, dtype)
     else:
@@ -174,6 +188,7 @@ def _pruned_processor_step(
     neighbors: jnp.ndarray,
     step_params: Params,
     dtype: Optional[jnp.dtype],
+    particle_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Node-stream-only InteractionNetwork step, valid under
     ``sender_latents`` aggregation where the edge stream is provably dead
@@ -183,7 +198,9 @@ def _pruned_processor_step(
     nw = node_first["w"]
     w_self, w_agg = nw[:latent], nw[latent:]
     z = _split_dense(x, w_agg, dtype)
-    agg_h = jnp.take(z, neighbors, axis=0).sum(axis=1)
+    agg_h = jnp.take(
+        _maybe_all_gather(z, particle_axis), neighbors, axis=0
+    ).sum(axis=1)
     h_n = jax.nn.relu(_split_dense(x, w_self, dtype) + agg_h + node_first["b"])
     return _mlp_tail(step_params["node"], h_n, dtype)
 
@@ -193,8 +210,14 @@ def apply_encode_process_decode(
     graph: ParticleGraph,
     config: EncodeProcessDecodeConfig,
     dtype: Optional[jnp.dtype] = None,
+    particle_axis: Optional[str] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """Forward pass. Returns ``{'acceleration': [N, 3], 'temp_rate': [N, 1]}``."""
+    """Forward pass. Returns ``{'acceleration': [N, 3], 'temp_rate': [N, 1]}``.
+
+    Under particle sharding (``particle_axis`` inside ``shard_map``), ``x``
+    rows are shard-local while ``graph.neighbors`` hold global indices; the
+    per-step projected latents are all-gathered before the neighbor gather.
+    """
     x = apply_mlp(params["encoder"]["node"], graph.nodes, dtype)
     neighbors = graph.neighbors
     prune = (
@@ -203,7 +226,9 @@ def apply_encode_process_decode(
 
     if prune:
         def body(carry, step_params):
-            x_new = _pruned_processor_step(carry, neighbors, step_params, dtype)
+            x_new = _pruned_processor_step(
+                carry, neighbors, step_params, dtype, particle_axis
+            )
             return carry + x_new, None
 
         x, _ = jax.lax.scan(body, x, params["processor"])
@@ -213,7 +238,8 @@ def apply_encode_process_decode(
         def body(carry, step_params):
             x, e = carry
             x_new, e_new = _processor_step(
-                x, e, neighbors, step_params, config.aggregate, dtype
+                x, e, neighbors, step_params, config.aggregate, dtype,
+                particle_axis,
             )
             return (x + x_new, e + e_new), None
 

@@ -50,31 +50,39 @@ def knn_periodic(
     k: int,
     box_size,
     *,
+    queries: jnp.ndarray = None,
     query_tile: int = 512,
     return_distances: bool = False,
 ):
     """Exact k-NN under the minimum-image (periodic) metric.
 
     Args:
-      positions: ``[N, 3]`` wrapped coordinates in ``[0, box)``.
+      positions: ``[N, 3]`` wrapped coordinates in ``[0, box)`` — the
+        reference set neighbor indices point into.
       k: neighbor count, **including** the self-loop (matching the reference's
         ``num_neighbors``; each node's k nearest ghost points include itself
         at distance 0 — ``data_utils.py:149``).
       box_size: scalar box edge length.
+      queries: optional ``[Q, 3]`` query points (defaults to ``positions``).
+        Used by the particle-sharded path: local queries against the
+        all-gathered global reference set.
       query_tile: rows of the distance matrix computed at once. Peak temporary
         memory is ``query_tile * N * 4`` bytes.
-      return_distances: also return ``[N, k]`` squared min-image distances.
+      return_distances: also return ``[Q, k]`` squared min-image distances.
 
     Returns:
-      ``[N, k]`` int32 neighbor indices, ascending by distance (self first);
-      optionally also the squared distances.
+      ``[Q, k]`` int32 neighbor indices, ascending by distance (self first
+      when queries == positions); optionally also the squared distances.
     """
     n = positions.shape[0]
     if k > n:
         raise ValueError(f"k={k} exceeds particle count {n}")
     box = jnp.asarray(box_size, positions.dtype)
+    if queries is None:
+        queries = positions
+    nq = queries.shape[0]
 
-    padded_q = _pad_to_multiple(positions, query_tile, axis=0)
+    padded_q = _pad_to_multiple(queries, query_tile, axis=0)
     num_tiles = padded_q.shape[0] // query_tile
     tiles = padded_q.reshape(num_tiles, query_tile, positions.shape[1])
 
@@ -86,7 +94,7 @@ def knn_periodic(
         return idx.astype(jnp.int32), -neg_d2
 
     idx, d2 = jax.lax.map(one_tile, tiles)
-    idx = idx.reshape(-1, k)[:n]
+    idx = idx.reshape(-1, k)[:nq]
     if return_distances:
-        return idx, d2.reshape(-1, k)[:n]
+        return idx, d2.reshape(-1, k)[:nq]
     return idx

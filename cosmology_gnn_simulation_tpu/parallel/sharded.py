@@ -1,0 +1,244 @@
+"""Sharded training/forward over a (data, particle) device mesh.
+
+The reference is strictly single-process, single-device (SURVEY.md §2: no
+``torch.distributed`` anywhere). This module adds the TPU-native scale-out:
+
+* **Data parallelism** — the sample batch is sharded over the ``data`` mesh
+  axis; gradients are summed with ``psum`` over ICI.
+* **Particle (spatial/graph) parallelism** — the workload's analog of
+  sequence/context parallelism: each device owns ``N / P_particle``
+  particles. Graph construction all-gathers only the ``[N, 3]`` recent
+  positions; per message-passing step, only the *projected* ``[N, H]``
+  latents are all-gathered (the heavy ``[N, k, H]`` edge tensors stay
+  shard-local). Exact — not an approximation; halo-exchange (``ppermute``
+  of boundary particles only) is the planned bandwidth optimization.
+
+Both axes compose; a single ``shard_map``'d step handles (1, P), (P, 1) and
+(Pd, Pp) meshes uniformly.
+
+Loss semantics under sharding (kept exact vs. the reference definitions):
+* acceleration / temp-rate MSE: per-shard means combined with ``pmean``
+  (equal shard sizes => true global mean, ``train.py:255-256``);
+* momentum PINN loss: the per-graph impulse is summed over *all* particle
+  shards with ``psum`` **inside** the squared norm — the loss is a nonlinear
+  function of the global sum and cannot be decomposed per-shard
+  (``train.py:107-118``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cosmology_gnn_simulation_tpu.featurize import featurize
+from cosmology_gnn_simulation_tpu.models.encode_process_decode import (
+    EncodeProcessDecodeConfig,
+    apply_encode_process_decode,
+)
+from cosmology_gnn_simulation_tpu.training.trainer import (
+    TrainConfig,
+    _augment_axes,
+)
+from cosmology_gnn_simulation_tpu.types import NormalizationStats
+
+DATA_AXIS = "data"
+PARTICLE_AXIS = "particle"
+
+
+def _sharded_loss(
+    params,
+    batch,
+    keys,
+    *,
+    model_config: EncodeProcessDecodeConfig,
+    stats: NormalizationStats,
+    tc: TrainConfig,
+    dtype,
+):
+    """Global loss, computed inside shard_map. ``batch`` arrays are
+    shard-local: positions [B_l, T, N_l, 3], etc. Returns a value identical
+    on every device."""
+
+    def per_sample(pos, temp, tpos, ttemp, key):
+        aug_key, feat_key = jax.random.split(key)
+        # The axis permutation must be identical across particle shards of a
+        # sample (aug_key is shared), but the random-walk noise must be iid
+        # per particle — fold the shard index into the featurize key.
+        feat_key = jax.random.fold_in(
+            feat_key, jax.lax.axis_index(PARTICLE_AXIS)
+        )
+        pos, tpos = _augment_axes(aug_key, pos, tpos, tc.augment_prob)
+        graph = featurize(
+            pos,
+            temp,
+            stats,
+            feat_key,
+            noise_std=tc.noise_std,
+            num_neighbors=tc.num_neighbors,
+            target_position=tpos,
+            target_temperature=ttemp,
+            neighbor_query_tile=tc.neighbor_query_tile,
+            particle_axis=PARTICLE_AXIS,
+        )
+        preds = apply_encode_process_decode(
+            params, graph, model_config, dtype, particle_axis=PARTICLE_AXIS
+        )
+        acc_se = jnp.mean((preds["acceleration"] - graph.target_acceleration) ** 2)
+        temp_se = jnp.mean((preds["temp_rate"] - graph.target_temp_rate) ** 2)
+        # Global per-graph impulse: sum over every particle shard.
+        local_impulse = jnp.sum(preds["acceleration"] * stats.dt, axis=0)
+        global_impulse = jax.lax.psum(local_impulse, PARTICLE_AXIS)
+        momentum = jnp.sum(global_impulse**2)
+        return acc_se, temp_se, momentum
+
+    acc_se, temp_se, momentum = jax.vmap(per_sample)(
+        batch["positions"],
+        batch["temperatures"],
+        batch["target_positions"],
+        batch["target_temperatures"],
+        keys,
+    )
+    # Mean over local batch, then over data shards; particle-shard means are
+    # equal-weight partial means -> pmean completes the global node mean.
+    acc_loss = jax.lax.pmean(
+        jax.lax.pmean(jnp.mean(acc_se), PARTICLE_AXIS), DATA_AXIS
+    )
+    temp_loss = jax.lax.pmean(
+        jax.lax.pmean(jnp.mean(temp_se), PARTICLE_AXIS), DATA_AXIS
+    )
+    momentum_loss = tc.momentum_loss_weight * jax.lax.pmean(
+        jnp.mean(momentum), DATA_AXIS
+    )
+    total = (
+        tc.acc_loss_weight * acc_loss
+        + tc.temp_rate_loss_weight * temp_loss
+        + momentum_loss
+    )
+    components = {
+        "acceleration": acc_loss,
+        "temp_rate": temp_loss,
+        "momentum": momentum_loss,
+    }
+    return total, components
+
+
+def make_data_parallel_train_step(
+    model_config: EncodeProcessDecodeConfig,
+    stats: NormalizationStats,
+    train_config: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+) -> Callable:
+    """Build the sharded train step for a (data, particle) mesh.
+
+    Returns jitted ``(params, opt_state, batch, keys) ->
+    (params, opt_state, metrics)`` where ``batch`` is globally shaped
+    ([B, T, N, 3], ...) and ``keys`` is ``[B]`` of PRNG keys; jit's
+    in_shardings place B over ``data`` and N over ``particle``.
+    """
+    tc = train_config
+    dtype = jnp.dtype(tc.compute_dtype) if tc.compute_dtype else None
+
+    batch_specs = {
+        "positions": P(DATA_AXIS, None, PARTICLE_AXIS, None),
+        "temperatures": P(DATA_AXIS, None, PARTICLE_AXIS, None),
+        "target_positions": P(DATA_AXIS, PARTICLE_AXIS, None),
+        "target_temperatures": P(DATA_AXIS, PARTICLE_AXIS, None),
+    }
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), batch_specs, P(DATA_AXIS)),
+        out_specs=(P(), P()),
+    )
+    def sharded_value_and_grad(params, batch, keys):
+        (loss, components), grads = jax.value_and_grad(
+            _sharded_loss, has_aux=True
+        )(
+            params,
+            batch,
+            keys,
+            model_config=model_config,
+            stats=stats,
+            tc=tc,
+            dtype=dtype,
+        )
+        # Each device's grad covers only the loss terms flowing through its
+        # local compute; the total gradient is their sum.
+        grads = jax.lax.psum(grads, (DATA_AXIS, PARTICLE_AXIS))
+        return (loss, components), grads
+
+    @jax.jit
+    def train_step(params, opt_state, batch, keys):
+        (loss, components), grads = sharded_value_and_grad(params, batch, keys)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, **components}
+
+    return train_step
+
+
+def make_particle_sharded_forward(
+    model_config: EncodeProcessDecodeConfig,
+    stats: NormalizationStats,
+    mesh: Mesh,
+    *,
+    num_neighbors: int = 16,
+    dtype=None,
+    neighbor_query_tile: int = 512,
+) -> Callable:
+    """Particle-sharded inference: ``(params, position_seq [T,N,3],
+    temperature_seq [T,N,1]) -> {'acceleration' [N,3], 'temp_rate' [N,1]}``
+    with N sharded over the ``particle`` axis (data axis replicated)."""
+
+    zero_key = jax.random.PRNGKey(0)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(None, PARTICLE_AXIS, None),
+            P(None, PARTICLE_AXIS, None),
+        ),
+        out_specs={
+            "acceleration": P(PARTICLE_AXIS, None),
+            "temp_rate": P(PARTICLE_AXIS, None),
+        },
+    )
+    def forward(params, position_seq, temperature_seq):
+        graph = featurize(
+            position_seq,
+            temperature_seq,
+            stats,
+            zero_key,
+            noise_std=0.0,
+            num_neighbors=num_neighbors,
+            neighbor_query_tile=neighbor_query_tile,
+            particle_axis=PARTICLE_AXIS,
+        )
+        return apply_encode_process_decode(
+            params, graph, model_config, dtype, particle_axis=PARTICLE_AXIS
+        )
+
+    return jax.jit(forward)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch dict onto the mesh with the train-step shardings."""
+    specs = {
+        "positions": P(DATA_AXIS, None, PARTICLE_AXIS, None),
+        "temperatures": P(DATA_AXIS, None, PARTICLE_AXIS, None),
+        "target_positions": P(DATA_AXIS, PARTICLE_AXIS, None),
+        "target_temperatures": P(DATA_AXIS, PARTICLE_AXIS, None),
+    }
+    return {
+        name: jax.device_put(arr, NamedSharding(mesh, specs[name]))
+        for name, arr in batch.items()
+    }
