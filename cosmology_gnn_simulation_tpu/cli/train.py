@@ -21,10 +21,32 @@ def main(argv=None):
     print(f"Using time step (dt): {stats.dt}")
     print(f"Using box size: {stats.box_size}")
 
-    train_dataset = SequenceDataset(
-        args.train_dir, args.window_size, args.metadata
-    )
-    val_dataset = SequenceDataset(args.val_dir, args.window_size, args.metadata)
+    if getattr(args, "native_loader", False):
+        from cosmology_gnn_simulation_tpu.data import native_loader
+
+        if native_loader.is_available():
+            train_dataset = native_loader.open_directory(
+                args.train_dir, args.window_size
+            )
+            val_dataset = native_loader.open_directory(
+                args.val_dir, args.window_size
+            )
+            print("Using native C++ batch loader")
+        else:
+            print("Native loader unavailable; falling back to Python loader")
+            train_dataset = SequenceDataset(
+                args.train_dir, args.window_size, args.metadata
+            )
+            val_dataset = SequenceDataset(
+                args.val_dir, args.window_size, args.metadata
+            )
+    else:
+        train_dataset = SequenceDataset(
+            args.train_dir, args.window_size, args.metadata
+        )
+        val_dataset = SequenceDataset(
+            args.val_dir, args.window_size, args.metadata
+        )
 
     model_config = default_model_config(
         window_size=args.window_size,
@@ -52,6 +74,7 @@ def main(argv=None):
         momentum_loss_weight=args.momentum_loss_weight,
         output_dir=args.output_dir,
         compute_dtype=args.compute_dtype,
+        neighbor_method=args.neighbor_method,
     )
     steps_per_epoch = max(len(train_dataset) // args.batch_size, 1)
 
@@ -70,7 +93,11 @@ def main(argv=None):
     trainer = Trainer(
         model_config, stats, train_config, steps_per_epoch, init_params
     )
-    trainer.fit(train_dataset, val_dataset)
+    start_epoch = 0
+    if args.resume:
+        start_epoch = trainer.restore(args.resume)
+        print(f"Resumed from {args.resume}; continuing at epoch {start_epoch}")
+    trainer.fit(train_dataset, val_dataset, start_epoch=start_epoch)
     return trainer
 
 

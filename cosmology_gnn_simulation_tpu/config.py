@@ -63,6 +63,15 @@ def build_train_parser() -> argparse.ArgumentParser:
                         choices=["sender_latents", "edge_messages"])
     parser.add_argument("--data_parallel", action="store_true",
                         help="Shard the batch across all visible devices")
+    parser.add_argument("--neighbor_method", type=str, default="auto",
+                        choices=["auto", "bruteforce", "celllist"],
+                        help="Periodic k-NN backend")
+    parser.add_argument("--native_loader", action="store_true",
+                        help="Use the C++ mmap/prefetch batch loader")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Checkpoint dir for FULL resume (params + "
+                             "optimizer + epoch + RNG), unlike "
+                             "--pretrained_model which loads weights only")
     return parser
 
 

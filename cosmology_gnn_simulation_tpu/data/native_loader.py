@@ -1,0 +1,248 @@
+"""Native (C++) windowed-batch loader: ctypes bindings + binary-cache
+conversion + Python iterator facade.
+
+Division of labor:
+* Python converts each HDF5 simulation once into a flat mmap-able binary
+  cache (``.cgnn`` file; see csrc/window_loader.cpp for the layout);
+* the C++ library mmaps the caches and assembles training batches with
+  multithreaded memcpy plus a background prefetch thread, so batch i+1 is
+  built while the device executes step i — replacing the reference's
+  Python/h5py slicing in the hot loop (``dataloader.py:102-131``).
+
+Falls back cleanly: ``is_available()`` is False when no compiler exists, and
+``SequenceDataset`` (pure numpy) remains the default path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+import tempfile
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+_MAGIC = 0x43474E4E53494D31
+_LIB = None
+_LIB_ERR: Optional[str] = None
+
+
+def _source_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "csrc",
+        "window_loader.cpp",
+    )
+
+
+def _build_library() -> str:
+    """Compile csrc/window_loader.cpp to a shared library (cached)."""
+    src = _source_path()
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), "cgnn_native", str(os.getuid())
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    lib_path = os.path.join(cache_dir, "libwindow_loader.so")
+    if (
+        os.path.exists(lib_path)
+        and os.path.getmtime(lib_path) >= os.path.getmtime(src)
+    ):
+        return lib_path
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        src, "-o", lib_path,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return lib_path
+
+
+def _load_library():
+    global _LIB, _LIB_ERR
+    if _LIB is not None or _LIB_ERR is not None:
+        return _LIB
+    try:
+        lib = ctypes.CDLL(_build_library())
+    except Exception as exc:  # no compiler / build failure
+        _LIB_ERR = str(exc)
+        return None
+    lib.wl_open.restype = ctypes.c_void_p
+    lib.wl_open.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.wl_num_sequences.restype = ctypes.c_int64
+    lib.wl_num_sequences.argtypes = [ctypes.c_void_p]
+    lib.wl_num_particles.restype = ctypes.c_int64
+    lib.wl_num_particles.argtypes = [ctypes.c_void_p]
+    lib.wl_num_snapshots.restype = ctypes.c_int64
+    lib.wl_num_snapshots.argtypes = [ctypes.c_void_p]
+    lib.wl_box_size.restype = ctypes.c_double
+    lib.wl_box_size.argtypes = [ctypes.c_void_p]
+    lib.wl_dt.restype = ctypes.c_double
+    lib.wl_dt.argtypes = [ctypes.c_void_p]
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.wl_get_batch.restype = None
+    lib.wl_get_batch.argtypes = [
+        ctypes.c_void_p, i64p, ctypes.c_int, f32p, f32p, f32p, f32p,
+    ]
+    lib.wl_close.restype = None
+    lib.wl_close.argtypes = [ctypes.c_void_p]
+    lib.wl_prefetch_start.restype = ctypes.c_void_p
+    lib.wl_prefetch_start.argtypes = [
+        ctypes.c_void_p, i64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.wl_prefetch_next.restype = ctypes.c_int
+    lib.wl_prefetch_next.argtypes = [ctypes.c_void_p, f32p, f32p, f32p, f32p]
+    lib.wl_prefetch_stop.restype = None
+    lib.wl_prefetch_stop.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def is_available() -> bool:
+    return _load_library() is not None
+
+
+def convert_hdf5_to_cache(hdf5_path: str, cache_path: str) -> str:
+    """One-time conversion of a reference-schema HDF5 file into the flat
+    binary cache the native loader mmaps."""
+    from cosmology_gnn_simulation_tpu.data.hdf5 import read_simulation
+
+    sim = read_simulation(hdf5_path)
+    coords = np.ascontiguousarray(sim["Coordinates"], dtype=np.float32)
+    energy = np.ascontiguousarray(sim["InternalEnergy"], dtype=np.float32)
+    t, n = coords.shape[0], coords.shape[1]
+    with open(cache_path, "wb") as f:
+        f.write(struct.pack("<qqqdd", _MAGIC, t, n,
+                            float(sim["BoxSize"]), float(sim["TimeStep"])))
+        f.write(coords.tobytes())
+        f.write(energy.tobytes())
+    return cache_path
+
+
+class NativeSequenceLoader:
+    """Drop-in batch source backed by the C++ loader.
+
+    ``batches()`` mirrors ``SequenceDataset.batches`` (same dict-of-arrays
+    contract) but assembles batches in native threads with background
+    prefetch.
+    """
+
+    def __init__(
+        self,
+        cache_paths: Sequence[str],
+        window_size: int,
+        num_threads: int = 4,
+    ):
+        lib = _load_library()
+        if lib is None:
+            raise RuntimeError(f"native loader unavailable: {_LIB_ERR}")
+        self._lib = lib
+        arr = (ctypes.c_char_p * len(cache_paths))(
+            *[p.encode() for p in cache_paths]
+        )
+        self._handle = lib.wl_open(arr, len(cache_paths), window_size,
+                                   num_threads)
+        if not self._handle:
+            raise ValueError(
+                f"failed to open caches (bad magic/shape mismatch): "
+                f"{list(cache_paths)}"
+            )
+        self.window_size = window_size
+        self.num_particles = int(lib.wl_num_particles(self._handle))
+        self.num_snapshots = int(lib.wl_num_snapshots(self._handle))
+        self.box_size = float(lib.wl_box_size(self._handle))
+        self.dt = float(lib.wl_dt(self._handle))
+
+    def __len__(self) -> int:
+        return int(self._lib.wl_num_sequences(self._handle))
+
+    def _alloc(self, batch_size: int) -> Dict[str, np.ndarray]:
+        w, n = self.window_size, self.num_particles
+        return {
+            "positions": np.empty((batch_size, w, n, 3), np.float32),
+            "temperatures": np.empty((batch_size, w, n, 1), np.float32),
+            "target_positions": np.empty((batch_size, n, 3), np.float32),
+            "target_temperatures": np.empty((batch_size, n, 1), np.float32),
+        }
+
+    def get_batch(self, seq_indices: Sequence[int]) -> Dict[str, np.ndarray]:
+        seqs = np.asarray(seq_indices, dtype=np.int64)
+        out = self._alloc(len(seqs))
+        self._lib.wl_get_batch(
+            self._handle, seqs, len(seqs),
+            out["positions"], out["temperatures"],
+            out["target_positions"], out["target_temperatures"],
+        )
+        return out
+
+    def batches(
+        self,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_remainder: bool = True,
+        prefetch_depth: int = 2,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        del drop_remainder  # native path always drops the remainder
+        order = np.arange(len(self), dtype=np.int64)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        pf = self._lib.wl_prefetch_start(
+            self._handle, order, len(order), batch_size, prefetch_depth
+        )
+        try:
+            while True:
+                out = self._alloc(batch_size)
+                ok = self._lib.wl_prefetch_next(
+                    pf,
+                    out["positions"], out["temperatures"],
+                    out["target_positions"], out["target_temperatures"],
+                )
+                if not ok:
+                    break
+                yield out
+        finally:
+            self._lib.wl_prefetch_stop(pf)
+
+    def close(self):
+        if self._handle:
+            self._lib.wl_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def open_directory(
+    path: str, window_size: int, *, cache_dir: Optional[str] = None
+) -> NativeSequenceLoader:
+    """Convert all HDF5 files under ``path`` to binary caches (if stale) and
+    open a native loader over them."""
+    from glob import glob
+
+    files = sorted(glob(os.path.join(path, "*.hdf5"))) or sorted(
+        glob(os.path.join(path, "*.h5"))
+    )
+    if not files:
+        raise FileNotFoundError(f"No HDF5 files found in {path}")
+    cache_dir = cache_dir or os.path.join(path, ".cgnn_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    caches: List[str] = []
+    for f in files:
+        cache = os.path.join(
+            cache_dir, os.path.splitext(os.path.basename(f))[0] + ".cgnn"
+        )
+        if not os.path.exists(cache) or os.path.getmtime(
+            cache
+        ) < os.path.getmtime(f):
+            convert_hdf5_to_cache(f, cache)
+        caches.append(cache)
+    return NativeSequenceLoader(caches, window_size)

@@ -25,6 +25,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from cosmology_gnn_simulation_tpu.ops.cell_list import (
+    cell_list_knn,
+    choose_cell_grid,
+)
 from cosmology_gnn_simulation_tpu.ops.neighbors import knn_periodic
 from cosmology_gnn_simulation_tpu.ops.noise import (
     random_walk_position_noise,
@@ -42,6 +46,45 @@ def node_feature_size(window_size: int) -> int:
     return 3 * (window_size - 1) + window_size
 
 
+# Below this reference-set size the brute-force distance matrix beats the
+# cell-list's table-build overhead.
+_CELL_LIST_MIN_N = 8192
+
+
+def neighbor_search(
+    positions: jnp.ndarray,
+    k: int,
+    box_size,
+    *,
+    queries: Optional[jnp.ndarray] = None,
+    method: str = "auto",
+    query_tile: int = 512,
+) -> jnp.ndarray:
+    """Dispatch between exact brute-force and cell-list periodic k-NN.
+
+    ``auto`` uses the cell list for large reference sets (its 27-cell
+    candidate search is ~N/(27*occupancy) times cheaper) and brute force for
+    small ones (and when no viable grid exists).
+    """
+    n = positions.shape[0]
+    if method == "auto":
+        method = "celllist" if n >= _CELL_LIST_MIN_N else "bruteforce"
+    if method == "celllist":
+        grid = choose_cell_grid(n, k)
+        if grid.grid_size < 3:
+            method = "bruteforce"
+        else:
+            return cell_list_knn(
+                positions, k, box_size, grid, queries=queries,
+                query_tile=max(query_tile, 4096),
+            )
+    if method != "bruteforce":
+        raise ValueError(f"unknown neighbor method: {method}")
+    return knn_periodic(
+        positions, k, box_size, queries=queries, query_tile=query_tile
+    )
+
+
 def featurize(
     position_seq: jnp.ndarray,
     temperature_seq: jnp.ndarray,
@@ -53,6 +96,7 @@ def featurize(
     target_position: Optional[jnp.ndarray] = None,
     target_temperature: Optional[jnp.ndarray] = None,
     neighbor_query_tile: int = 512,
+    neighbor_method: str = "auto",
     particle_axis: Optional[str] = None,
 ) -> ParticleGraph:
     """Build a ``ParticleGraph`` from a trajectory window.
@@ -109,11 +153,12 @@ def featurize(
         )
     else:
         all_positions = recent_position
-    neighbors = knn_periodic(
+    neighbors = neighbor_search(
         all_positions,
         num_neighbors,
         box,
         queries=recent_position,
+        method=neighbor_method,
         query_tile=neighbor_query_tile,
     )
 

@@ -42,6 +42,7 @@ TPU-first restructurings (exact in real arithmetic, not approximations):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -75,6 +76,13 @@ class EncodeProcessDecodeConfig(NamedTuple):
 def init_encode_process_decode(
     key: jax.Array, config: EncodeProcessDecodeConfig
 ) -> Params:
+    """Initialize all parameters. Internally jitted: eager init issues ~100
+    tiny device ops, which is pathologically slow on remote-tunneled TPUs."""
+    return _jit_init(key, config)
+
+
+@functools.partial(jax.jit, static_argnames="config")
+def _jit_init(key: jax.Array, config: EncodeProcessDecodeConfig) -> Params:
     latent = config.latent_size
     hidden = config.mlp_hidden_size
     n_hidden = config.mlp_num_hidden_layers

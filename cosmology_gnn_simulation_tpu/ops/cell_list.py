@@ -1,0 +1,176 @@
+"""Cell-list (bucketed) periodic k-NN — the production neighbor search.
+
+Replaces the O(N^2) brute-force distance matrix (``ops/neighbors.py``) with a
+classic cell-list: bin particles into a G^3 periodic grid with cell edge >=
+the expected k-th-neighbor radius, then search only the 27 surrounding cells
+(~27 * occupancy candidates instead of N). This is the TPU-native equivalent
+of the reference's host-side ``torch_cluster.knn`` over 27x ghost copies
+(``/root/reference/data_utils.py:9-33,147-152``) — SURVEY.md §7.3's "hardest
+novel component".
+
+Everything is static-shape and jit/scan-friendly:
+
+* the cell table is ``[G^3, C]`` with a fixed per-cell capacity ``C``;
+  particles beyond ``C`` in a cell are dropped from the *candidate* set and
+  counted in the ``overflow`` diagnostic;
+* candidate gathering is a dense ``[Q, 27*C]`` gather + masked min-image
+  distance reduction + ``top_k`` over 27*C (hundreds, not N);
+* exactness is *verifiable per query*: if the k-th neighbor distance is
+  <= cell_size the 27-cell neighborhood provably contains every true
+  neighbor. ``max_d2``/``overflow`` outputs let callers assert this.
+
+Cost at N=65k, k=16, G=25, C=24: ~65k x 648 distances ≈ 0.34 GFLOP (vs
+34 GFLOP brute) and top_k width 648 (vs 65536) — a ~40x step-time win.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosmology_gnn_simulation_tpu.ops.periodic import min_image_displacement
+
+
+class CellGrid(NamedTuple):
+    """Static cell-list configuration (python ints — part of the jit key)."""
+
+    grid_size: int  # G: cells per box edge
+    cell_capacity: int  # C: max particles tabulated per cell
+
+
+def choose_cell_grid(
+    num_particles: int,
+    k: int,
+    *,
+    safety: float = 1.5,
+    capacity_multiplier: float = 4.0,
+) -> CellGrid:
+    """Pick (G, C) for a roughly uniform distribution of ``num_particles``
+    in a unit-scaled box.
+
+    Cell edge is ``safety`` x the uniform k-th-neighbor radius
+    r_k = (3k / (4 pi n))^(1/3); capacity is ``capacity_multiplier`` x the
+    mean occupancy (clustered data needs headroom — check ``overflow``).
+    """
+    r_k = (3.0 * k / (4.0 * math.pi * num_particles)) ** (1.0 / 3.0)
+    grid_size = max(3, int(1.0 / (safety * r_k)))
+    mean_occupancy = num_particles / grid_size**3
+    capacity = max(k, int(math.ceil(capacity_multiplier * mean_occupancy)) + 4)
+    return CellGrid(grid_size=grid_size, cell_capacity=capacity)
+
+
+# The 27 neighbor-cell offsets, precomputed host-side.
+_OFFSETS = np.array(
+    [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+    dtype=np.int32,
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "grid", "query_tile", "return_diagnostics"),
+)
+def cell_list_knn(
+    positions: jnp.ndarray,
+    k: int,
+    box_size,
+    grid: CellGrid,
+    *,
+    queries: Optional[jnp.ndarray] = None,
+    query_tile: int = 8192,
+    return_diagnostics: bool = False,
+):
+    """Periodic k-NN via cell lists.
+
+    Args:
+      positions: ``[N, 3]`` wrapped coordinates (the reference set).
+      k: neighbor count including the self-loop.
+      box_size: scalar box edge.
+      grid: static ``CellGrid``; ``grid.grid_size`` must be >= 3 (27 distinct
+        cells under periodic wrap).
+      queries: optional ``[Q, 3]`` query points (default: ``positions``).
+      query_tile: queries processed per tile (memory = tile * 27C * 4 B).
+      return_diagnostics: also return ``(overflow, max_d2)`` where
+        ``overflow`` counts particles dropped from candidate tables and
+        ``max_d2`` is the largest k-th-neighbor squared distance — exact iff
+        ``overflow == 0`` and ``max_d2 <= (box/G)^2``.
+
+    Returns:
+      ``[Q, k]`` int32 neighbor indices (ascending distance), plus
+      diagnostics if requested.
+    """
+    g, cap = grid.grid_size, grid.cell_capacity
+    if g < 3:
+        raise ValueError("grid_size must be >= 3 (use brute force below that)")
+    n = positions.shape[0]
+    box = jnp.asarray(box_size, positions.dtype)
+    if queries is None:
+        queries = positions
+    nq = queries.shape[0]
+
+    inv_cell = g / box
+
+    def cell_coords(p):
+        c = jnp.floor(p * inv_cell).astype(jnp.int32)
+        return jnp.clip(c, 0, g - 1)
+
+    # --- Build the cell table: [G^3, C] of particle ids (n = empty sentinel).
+    coords = cell_coords(positions)
+    cell_id = (coords[:, 0] * g + coords[:, 1]) * g + coords[:, 2]  # [N]
+    order = jnp.argsort(cell_id)  # stable
+    sorted_cid = cell_id[order]
+    # Rank of each sorted particle within its cell run.
+    run_start = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - run_start.astype(jnp.int32)
+    # Scatter into the table; overflow ranks target an out-of-bounds slot and
+    # are dropped.
+    slot = jnp.where(rank < cap, sorted_cid * cap + rank, g**3 * cap)
+    table = jnp.full((g**3 * cap,), n, dtype=jnp.int32)
+    table = table.at[slot].set(
+        order.astype(jnp.int32), mode="drop", unique_indices=True
+    )
+    overflow = jnp.sum(rank >= cap)
+
+    # Positions padded with a sentinel row so gathers of empty slots are
+    # safe. Stored as three [N+1] planes: gathering a [T, 27C, 3] tensor
+    # would put the size-3 axis minor-most, which TPU pads to 128 lanes
+    # (a 42x memory blowup at N=65k) — per-dimension [T, 27C] gathers keep
+    # the wide candidate axis minor instead.
+    pad_row = jnp.zeros((1,), positions.dtype)
+    planes = tuple(
+        jnp.concatenate([positions[:, d], pad_row]) for d in range(3)
+    )
+    offsets = jnp.asarray(_OFFSETS)
+
+    def one_tile(q):
+        qc = cell_coords(q)  # [T, 3]
+        ncells = jnp.mod(qc[:, None, :] + offsets[None, :, :], g)  # [T, 27, 3]
+        ncell_id = (ncells[..., 0] * g + ncells[..., 1]) * g + ncells[..., 2]
+        # Candidate particle ids: [T, 27, C] -> [T, 27C]
+        cand = table.reshape(g**3, cap)[ncell_id].reshape(q.shape[0], -1)
+        d2 = jnp.zeros(cand.shape, positions.dtype)
+        for d in range(3):
+            delta = min_image_displacement(q[:, d: d + 1] - planes[d][cand], box)
+            d2 = d2 + delta * delta
+        d2 = jnp.where(cand == n, jnp.inf, d2)  # mask empty slots
+        neg_d2, pick = jax.lax.top_k(-d2, k)
+        return jnp.take_along_axis(cand, pick, axis=1), -neg_d2
+
+    if nq <= query_tile:
+        idx, d2 = one_tile(queries)
+    else:
+        rem = (-nq) % query_tile
+        padded_q = jnp.pad(queries, ((0, rem), (0, 0)))
+        tiles = padded_q.reshape(-1, query_tile, queries.shape[1])
+        idx, d2 = jax.lax.map(one_tile, tiles)
+        idx = idx.reshape(-1, k)[:nq]
+        d2 = d2.reshape(-1, k)[:nq]
+
+    if return_diagnostics:
+        return idx, (overflow, jnp.max(d2))
+    return idx

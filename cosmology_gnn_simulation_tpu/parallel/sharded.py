@@ -83,6 +83,7 @@ def _sharded_loss(
             target_position=tpos,
             target_temperature=ttemp,
             neighbor_query_tile=tc.neighbor_query_tile,
+            neighbor_method=tc.neighbor_method,
             particle_axis=PARTICLE_AXIS,
         )
         preds = apply_encode_process_decode(

@@ -75,6 +75,7 @@ def integrate_step(
         "min_image_velocity",
         "dtype",
         "neighbor_query_tile",
+        "neighbor_method",
     ),
 )
 def rollout(
@@ -89,6 +90,7 @@ def rollout(
     min_image_velocity: bool = False,
     dtype: Optional[jnp.dtype] = None,
     neighbor_query_tile: int = 512,
+    neighbor_method: str = "auto",
 ) -> Dict[str, jnp.ndarray]:
     """Roll the learned simulator forward ``num_steps`` steps.
 
@@ -115,6 +117,7 @@ def rollout(
             noise_std=0.0,
             num_neighbors=num_neighbors,
             neighbor_query_tile=neighbor_query_tile,
+            neighbor_method=neighbor_method,
         )
         acceleration, temp_rate = _predict_physical(
             params, graph, model_config, stats, dtype
@@ -147,7 +150,13 @@ def rollout(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model_config", "num_neighbors", "min_image_velocity", "dtype"),
+    static_argnames=(
+        "model_config",
+        "num_neighbors",
+        "min_image_velocity",
+        "dtype",
+        "neighbor_method",
+    ),
 )
 def one_step_prediction(
     params,
@@ -159,6 +168,7 @@ def one_step_prediction(
     num_neighbors: int = 16,
     min_image_velocity: bool = False,
     dtype: Optional[jnp.dtype] = None,
+    neighbor_method: str = "auto",
 ):
     """Predict the next frame from a ``[W, N, ·]`` window
     (``one_step_test.py:67-105`` semantics, fully jitted).
@@ -174,6 +184,7 @@ def one_step_prediction(
         jax.random.PRNGKey(0),
         noise_std=0.0,
         num_neighbors=num_neighbors,
+        neighbor_method=neighbor_method,
     )
     acceleration, temp_rate = _predict_physical(
         params, graph, model_config, stats, dtype

@@ -73,6 +73,7 @@ class TrainConfig:
     output_dir: str = "model_output"
     compute_dtype: Optional[str] = None  # e.g. "bfloat16"
     neighbor_query_tile: int = 512
+    neighbor_method: str = "auto"
 
 
 def _augment_axes(key: jax.Array, positions, target_positions, augment_prob):
@@ -111,6 +112,7 @@ def make_train_step(
             target_position=tpos,
             target_temperature=ttemp,
             neighbor_query_tile=tc.neighbor_query_tile,
+            neighbor_method=tc.neighbor_method,
         )
         preds = apply_encode_process_decode(params, graph, model_config, dtype)
         return preds, graph.target_acceleration, graph.target_temp_rate
@@ -173,6 +175,7 @@ def make_eval_step(
             target_position=tpos,
             target_temperature=ttemp,
             neighbor_query_tile=tc.neighbor_query_tile,
+            neighbor_method=tc.neighbor_method,
         )
         preds = apply_encode_process_decode(params, graph, model_config, dtype)
         return preds, graph.target_acceleration, graph.target_temp_rate
@@ -268,7 +271,14 @@ class Trainer:
             "train": dataclasses.asdict(self.tc),
         }
 
-    def fit(self, train_dataset, val_dataset, *, verbose: bool = True):
+    def fit(
+        self,
+        train_dataset,
+        val_dataset,
+        *,
+        verbose: bool = True,
+        start_epoch: int = 0,
+    ):
         tc = self.tc
         os.makedirs(tc.output_dir, exist_ok=True)
         plots_dir = os.path.join(tc.output_dir, "plots")
@@ -278,7 +288,7 @@ class Trainer:
         )
         h = self.history
 
-        for epoch in range(tc.num_epochs):
+        for epoch in range(start_epoch, tc.num_epochs):
             current_lr = tc.learning_rate * gamma**epoch
             h["learning_rates"].append(current_lr)
             epoch_metrics = []
@@ -319,7 +329,7 @@ class Trainer:
             if val_avg["loss"] < h["best_val_loss"]:
                 h["best_val_loss"] = val_avg["loss"]
                 h["best_epoch"] = epoch
-                self.save("model_best")
+                self.save("model_best", epoch)
                 if verbose:
                     print(
                         "New best model saved with validation loss: "
@@ -329,7 +339,7 @@ class Trainer:
             if epoch % 5 == 0:
                 self._plot(os.path.join(plots_dir, f"losses_epoch_{epoch}.png"))
             if (epoch + 1) % tc.save_every == 0 or epoch == tc.num_epochs - 1:
-                self.save(f"model_epoch_{epoch}")
+                self.save(f"model_epoch_{epoch}", epoch)
 
         self._plot(os.path.join(tc.output_dir, "plots", "losses_final.png"))
         # Reload best, save final (train.py:361-368).
@@ -339,7 +349,7 @@ class Trainer:
                 best_path, template={"params": self.params}
             )
             self.params = restored["params"]
-        self.save("model_final")
+        self.save("model_final", tc.num_epochs - 1)
         with open(
             os.path.join(tc.output_dir, "training_history.json"), "w"
         ) as f:
@@ -358,15 +368,41 @@ class Trainer:
             for k in metrics[0]
         }
 
-    def save(self, name: str) -> str:
-        return ckpt_lib.save_checkpoint(
+    def save(self, name: str, epoch: int = 0) -> str:
+        path = ckpt_lib.save_checkpoint(
             self.tc.output_dir,
             name,
             self.params,
             self.opt_state,
+            epoch=epoch,
             rng_key=self.key,
             config=self._config_dict(),
         )
+        with open(os.path.join(path, "history.json"), "w") as f:
+            json.dump(self.history, f)
+        return path
+
+    def restore(self, path: str) -> int:
+        """Full resume (params + optimizer state + epoch + PRNG + history) —
+        unlike the reference's weights-only --pretrained_model restart which
+        silently resets Adam moments and the LR schedule (train.py:178-187,
+        SURVEY.md §5). Returns the epoch to resume FROM (last completed + 1).
+        """
+        template = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "epoch": np.asarray(0),
+            "rng_key": jax.random.key_data(self.key),
+        }
+        restored = ckpt_lib.load_checkpoint_with_template(path, template)
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.key = jax.random.wrap_key_data(restored["rng_key"])
+        history_path = os.path.join(path, "history.json")
+        if os.path.exists(history_path):
+            with open(history_path) as f:
+                self.history = json.load(f)
+        return int(restored["epoch"]) + 1
 
     def _plot(self, path: str) -> None:
         try:

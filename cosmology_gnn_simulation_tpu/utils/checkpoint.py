@@ -46,6 +46,15 @@ def save_checkpoint(
     return path
 
 
+def load_checkpoint_with_template(path: str, template: Dict) -> Dict:
+    """Structure-exact restore (for resume: optimizer NamedTuples, PRNG key
+    arrays). ``template`` must be a dict with the same keys/pytree structure
+    as the saved payload, e.g. ``{"params": ..., "opt_state": ...,
+    "epoch": np.int64(0), "rng_key": uint32[2]}``."""
+    checkpointer = ocp.PyTreeCheckpointer()
+    return checkpointer.restore(os.path.abspath(path), item=template)
+
+
 def _lists_to_tuples(tree: Any) -> Any:
     """Orbax round-trips tuples as lists; our param pytrees use tuples
     (e.g. MLP ``layers``), so normalize the container types back."""

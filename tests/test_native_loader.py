@@ -1,0 +1,89 @@
+"""Native C++ window-loader tests: build, cache conversion, batch parity
+with the pure-Python SequenceDataset, and the background prefetcher."""
+
+import numpy as np
+import pytest
+
+from cosmology_gnn_simulation_tpu.data import native_loader
+from cosmology_gnn_simulation_tpu.data.dataset import SequenceDataset
+from cosmology_gnn_simulation_tpu.data.hdf5 import write_simulation
+from cosmology_gnn_simulation_tpu.data.synthetic import (
+    generate_synthetic_simulation,
+)
+from cosmology_gnn_simulation_tpu.metadata import compute_metadata
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.is_available(), reason="no C++ toolchain"
+)
+
+
+@pytest.fixture
+def sim_dir(tmp_path):
+    sims = []
+    for i in range(2):
+        sim = generate_synthetic_simulation(
+            num_snapshots=9, num_particles=24, seed=i
+        )
+        write_simulation(str(tmp_path / f"sim{i}.hdf5"), sim)
+        sims.append(sim)
+    return tmp_path, sims
+
+
+def test_open_and_metadata(sim_dir):
+    path, sims = sim_dir
+    loader = native_loader.open_directory(str(path), window_size=5)
+    assert loader.num_particles == 24
+    assert loader.num_snapshots == 9
+    assert loader.box_size == pytest.approx(sims[0]["BoxSize"])
+    assert loader.dt == pytest.approx(sims[0]["TimeStep"])
+    assert len(loader) == 2 * (9 - 5)
+    loader.close()
+
+
+def test_batches_match_python_dataset(sim_dir):
+    path, sims = sim_dir
+    meta = compute_metadata(sims[0])
+    py_ds = SequenceDataset(str(path), window_size=5, metadata=meta)
+    loader = native_loader.open_directory(str(path), window_size=5)
+
+    native = loader.get_batch([0, 3, 5])
+    for i, seq in enumerate([0, 3, 5]):
+        sample = py_ds[seq]
+        np.testing.assert_array_equal(
+            native["positions"][i], sample["input"]["Coordinates"]
+        )
+        np.testing.assert_array_equal(
+            native["temperatures"][i], sample["input"]["InternalEnergy"]
+        )
+        np.testing.assert_array_equal(
+            native["target_positions"][i], sample["target"]["Coordinates"]
+        )
+        np.testing.assert_array_equal(
+            native["target_temperatures"][i],
+            sample["target"]["InternalEnergy"],
+        )
+    loader.close()
+
+
+def test_prefetch_iteration_covers_epoch(sim_dir):
+    path, _ = sim_dir
+    loader = native_loader.open_directory(str(path), window_size=5)
+    batches = list(loader.batches(2, shuffle=True, seed=3))
+    assert len(batches) == len(loader) // 2
+    assert batches[0]["positions"].shape == (2, 5, 24, 3)
+    # Shuffled epoch must cover distinct samples: compare against the same
+    # shuffle order applied through the synchronous path.
+    order = np.arange(len(loader), dtype=np.int64)
+    np.random.default_rng(3).shuffle(order)
+    expected_first = loader.get_batch(order[:2])
+    np.testing.assert_array_equal(
+        batches[0]["positions"], expected_first["positions"]
+    )
+    loader.close()
+
+
+def test_bad_cache_rejected(tmp_path):
+    bad = tmp_path / "bad.cgnn"
+    bad.write_bytes(b"not a cache file at all....")
+    with pytest.raises(ValueError, match="failed to open"):
+        native_loader.NativeSequenceLoader([str(bad)], window_size=5)
