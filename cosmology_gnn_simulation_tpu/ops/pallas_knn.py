@@ -50,23 +50,6 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.lru_cache(maxsize=32)
-def _neighbor_table(g: int) -> np.ndarray:
-    """[G^3, 27] linear ids of each cell's periodic 27-neighborhood."""
-    idx = np.arange(g**3)
-    cx, cy, cz = idx // (g * g), (idx // g) % g, idx % g
-    out = np.empty((g**3, 27), dtype=np.int32)
-    j = 0
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                out[:, j] = (
-                    ((cx + dx) % g) * g + ((cy + dy) % g)
-                ) * g + ((cz + dz) % g)
-                j += 1
-    return out
-
-
 def _select_kernel(k: int, cells_per_block: int, cap: int, num_cand: int):
     """Build the kernel body: per cell, exact k-smallest-distance selection
     over its candidate row."""
@@ -159,11 +142,18 @@ def pallas_cell_list_knn(
     (plane_x, plane_y, plane_z, valid, ids, cell_id, particle_rank,
      overflow) = _build_table(positions.astype(jnp.float32), g, cap, box)
 
-    nbr = jnp.asarray(_neighbor_table(g))  # [G^3, 27]
-
     def gather_cands(plane, fill):
-        rows = plane[nbr]  # [G^3, 27, cap] — contiguous row gather
-        rows = rows.reshape(g**3, 27 * cap)
+        # 27-neighborhood expansion WITHOUT gathers: the neighbor cells of
+        # every cell at offset (dx,dy,dz) are a periodic roll of the 3-D
+        # cell table — rolls are cheap contiguous memory ops, whereas a
+        # [G^3, 27] row gather is pathologically slow to compile/run on the
+        # TPU backend.
+        p3 = plane.reshape(g, g, g, cap)
+        shifted = [
+            jnp.roll(p3, (-dx, -dy, -dz), axis=(0, 1, 2))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+        ]
+        rows = jnp.concatenate(shifted, axis=-1).reshape(g**3, 27 * cap)
         pad = num_cand - 27 * cap
         if pad:
             rows = jnp.pad(rows, ((0, 0), (0, pad)), constant_values=fill)
@@ -173,6 +163,7 @@ def pallas_cell_list_knn(
     cand_y = gather_cands(plane_y, 0.0)
     cand_z = gather_cands(plane_z, 0.0)
     cand_valid = gather_cands(valid, 0.0)
+    cand_ids = gather_cands(ids, n)
 
     cells_per_block = 8
     num_cells = g**3
@@ -209,17 +200,11 @@ def pallas_cell_list_knn(
       jnp.asarray([box], jnp.float32))
 
     picked = picked[:num_cells, :, :k]  # [G^3, cap, k] lane positions
-    # Lane -> (neighbor cell, slot) -> particle id.
-    nbr_cell = jnp.take_along_axis(
-        jnp.broadcast_to(nbr[:, None, :], (num_cells, cap, 27)),
-        picked // cap,
-        axis=2,
-    )
-    slot = nbr_cell * cap + picked % cap
-    neighbor_ids = ids.reshape(-1)[slot]  # [G^3, cap, k]
+    # Lane position -> particle id (same candidate-row layout as the kernel).
+    neighbor_ids = jnp.take_along_axis(cand_ids[:, None, :], picked, axis=2)
 
     # Back to original particle order via (cell, rank).
-    out = neighbor_ids[cell_id, particle_rank]  # [N, k]
+    out = neighbor_ids.reshape(-1, k)[cell_id * cap + particle_rank]  # [N, k]
 
     if return_diagnostics:
         # d_k bound check: recompute k-th distance cheaply from the selected

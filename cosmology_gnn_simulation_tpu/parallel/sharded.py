@@ -231,6 +231,97 @@ def make_particle_sharded_forward(
     return jax.jit(forward)
 
 
+def make_sharded_rollout(
+    model_config: EncodeProcessDecodeConfig,
+    stats: NormalizationStats,
+    mesh: Mesh,
+    num_steps: int,
+    *,
+    num_neighbors: int = 16,
+    min_image_velocity: bool = False,
+    dtype=None,
+    neighbor_query_tile: int = 512,
+    neighbor_method: str = "auto",
+) -> Callable:
+    """Particle-sharded multi-step rollout (BASELINE config 5: millions of
+    particles spatially partitioned over the mesh).
+
+    Returns jitted ``(params, initial_positions [W, N, 3],
+    initial_temperatures [W, N, 1]) -> {"Coordinates": [W+S, N, 3],
+    "InternalEnergy": [W+S, N, 1]}`` with N sharded over the ``particle``
+    axis. The whole scan runs inside one ``shard_map``: each step
+    all-gathers only the [N, 3] positions (k-NN) and the projected [N, H]
+    latents (message passing); trajectories, integration, and edge tensors
+    stay shard-local.
+    """
+    from cosmology_gnn_simulation_tpu.rollout import integrate_step
+
+    zero_key = jax.random.PRNGKey(0)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(None, PARTICLE_AXIS, None),
+            P(None, PARTICLE_AXIS, None),
+        ),
+        out_specs={
+            "Coordinates": P(None, PARTICLE_AXIS, None),
+            "InternalEnergy": P(None, PARTICLE_AXIS, None),
+        },
+    )
+    def rollout_fn(params, initial_positions, initial_temperatures):
+        def body(carry, _):
+            pos_window, temp_window = carry
+            graph = featurize(
+                pos_window,
+                temp_window,
+                stats,
+                zero_key,
+                noise_std=0.0,
+                num_neighbors=num_neighbors,
+                neighbor_query_tile=neighbor_query_tile,
+                neighbor_method=neighbor_method,
+                particle_axis=PARTICLE_AXIS,
+            )
+            preds = apply_encode_process_decode(
+                params, graph, model_config, dtype, particle_axis=PARTICLE_AXIS
+            )
+            acceleration = preds["acceleration"] * stats.acc_std + stats.acc_mean
+            temp_rate = (
+                preds["temp_rate"] * stats.temp_rate_std + stats.temp_rate_mean
+            )
+            new_position, new_temperature = integrate_step(
+                pos_window[-1],
+                pos_window[-2],
+                temp_window[-1],
+                acceleration,
+                temp_rate,
+                stats,
+                min_image_velocity=min_image_velocity,
+            )
+            new_carry = (
+                jnp.concatenate([pos_window[1:], new_position[None]], axis=0),
+                jnp.concatenate([temp_window[1:], new_temperature[None]], axis=0),
+            )
+            return new_carry, (new_position, new_temperature)
+
+        init = (
+            initial_positions.astype(jnp.float32),
+            initial_temperatures.astype(jnp.float32),
+        )
+        _, (positions, temperatures) = jax.lax.scan(
+            body, init, None, length=num_steps
+        )
+        return {
+            "Coordinates": jnp.concatenate([init[0], positions], axis=0),
+            "InternalEnergy": jnp.concatenate([init[1], temperatures], axis=0),
+        }
+
+    return jax.jit(rollout_fn)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch dict onto the mesh with the train-step shardings."""
     specs = {

@@ -293,14 +293,32 @@ class Trainer:
             h["learning_rates"].append(current_lr)
             epoch_metrics = []
             t0 = time.perf_counter()
-            for batch in train_dataset.batches(
+            batch_iter = train_dataset.batches(
                 tc.batch_size, shuffle=True, seed=tc.seed + epoch
-            ):
+            )
+            bar = None
+            if verbose:
+                try:  # per-batch progress like the reference (train.py:212)
+                    from tqdm import tqdm
+
+                    bar = tqdm(batch_iter, desc=f"Epoch {epoch}", leave=False)
+                    batch_iter = bar
+                except ImportError:
+                    pass
+            for count, batch in enumerate(batch_iter, start=1):
                 self.key, step_key = jax.random.split(self.key)
                 self.params, self.opt_state, metrics = self.train_step(
                     self.params, self.opt_state, batch, step_key
                 )
                 epoch_metrics.append(metrics)
+                if bar is not None and count % 10 == 0:
+                    # Fetching metrics syncs the device; do it sparsely
+                    # (train.py:274-281 parity).
+                    bar.set_postfix({
+                        "loss": float(metrics["loss"]),
+                        "acc_loss": float(metrics["acceleration"]),
+                        "temp_rate_loss": float(metrics["temp_rate"]),
+                    })
             train_avg = {
                 k: float(np.mean([np.asarray(m[k]) for m in epoch_metrics]))
                 for k in epoch_metrics[0]

@@ -1,0 +1,77 @@
+"""Pallas fused cell-list kNN kernel — correctness in interpret mode (the
+kernel's compiled path is exercised on real TPUs by bench.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cosmology_gnn_simulation_tpu.ops.cell_list import (
+    CellGrid,
+    choose_cell_grid,
+)
+from cosmology_gnn_simulation_tpu.ops.neighbors import knn_periodic
+from cosmology_gnn_simulation_tpu.ops.pallas_knn import pallas_cell_list_knn
+
+
+def rowmatch(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.mean(
+        [set(x.tolist()) == set(y.tolist()) for x, y in zip(a, b)]
+    )
+
+
+def test_uniform_exact(rng):
+    n, k = 2048, 16
+    pos = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+    grid = choose_cell_grid(n, k)
+    idx, (overflow, max_d2) = pallas_cell_list_knn(
+        pos, k, 1.0, grid, return_diagnostics=True, interpret=True
+    )
+    assert int(overflow) == 0
+    assert float(max_d2) <= (1.0 / grid.grid_size) ** 2
+    ref = knn_periodic(pos, k, 1.0, query_tile=256)
+    assert rowmatch(idx, ref) == 1.0
+
+
+def test_self_loop_present(rng):
+    n, k = 512, 4
+    pos = jnp.asarray(rng.uniform(0, 2.0, (n, 3)), jnp.float32)
+    grid = choose_cell_grid(n, k)
+    idx = np.asarray(
+        pallas_cell_list_knn(pos, k, 2.0, grid, interpret=True)
+    )
+    for i in range(n):
+        assert i in idx[i]
+
+
+def test_cross_boundary(rng):
+    pos = np.concatenate(
+        [
+            [[0.005, 0.5, 0.5], [0.995, 0.5, 0.5]],
+            rng.uniform(0.3, 0.7, (300, 3)),
+        ]
+    ).astype(np.float32)
+    grid = CellGrid(grid_size=5, cell_capacity=80)
+    idx = np.asarray(
+        pallas_cell_list_knn(jnp.asarray(pos), 2, 1.0, grid, interpret=True)
+    )
+    assert set(idx[0].tolist()) == {0, 1}
+    assert set(idx[1].tolist()) == {0, 1}
+
+
+def test_nonuniform_box_size(rng):
+    n, k = 1024, 8
+    box = 3.7
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    grid = choose_cell_grid(n, k)
+    idx = pallas_cell_list_knn(pos, k, box, grid, interpret=True)
+    ref = knn_periodic(pos, k, box, query_tile=256)
+    assert rowmatch(idx, ref) == 1.0
+
+
+def test_k_too_large_rejected():
+    with pytest.raises(ValueError, match="exceeds"):
+        pallas_cell_list_knn(
+            jnp.zeros((10, 3)), 200, 1.0,
+            CellGrid(grid_size=3, cell_capacity=8), interpret=True,
+        )

@@ -179,3 +179,37 @@ def test_momentum_loss_exact_under_particle_sharding(setup):
         values[shape] = float(metrics["momentum"])
     assert values[(1, 8)] == pytest.approx(values[(1, 1)], rel=1e-5)
     assert values[(1, 1)] > 0
+
+
+def test_sharded_rollout_matches_single_device(setup):
+    from cosmology_gnn_simulation_tpu.parallel.sharded import (
+        make_sharded_rollout,
+    )
+    from cosmology_gnn_simulation_tpu.rollout import rollout
+
+    sim, stats, model_config, params = setup
+    pos = jnp.asarray(sim["Coordinates"][:5])
+    temp = jnp.asarray(sim["InternalEnergy"][:5])
+    steps = 3
+
+    expected = rollout(
+        params, model_config, pos, temp, stats, steps,
+        num_neighbors=8, neighbor_query_tile=32,
+    )
+
+    mesh = make_mesh((1, 8))
+    sharded = make_sharded_rollout(
+        model_config, stats, mesh, steps,
+        num_neighbors=8, neighbor_query_tile=32,
+    )
+    out = sharded(params, pos, temp)
+    np.testing.assert_allclose(
+        np.asarray(out["Coordinates"]),
+        np.asarray(expected["Coordinates"]),
+        rtol=2e-5, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["InternalEnergy"]),
+        np.asarray(expected["InternalEnergy"]),
+        rtol=2e-5, atol=2e-5,
+    )
