@@ -60,15 +60,32 @@ def neighbor_search(
     method: str = "auto",
     query_tile: int = 512,
 ) -> jnp.ndarray:
-    """Dispatch between exact brute-force and cell-list periodic k-NN.
+    """Dispatch between the periodic k-NN backends.
 
-    ``auto`` uses the cell list for large reference sets (its 27-cell
-    candidate search is ~N/(27*occupancy) times cheaper) and brute force for
-    small ones (and when no viable grid exists).
+    ``auto`` picks the fused Pallas cell-list kernel for large self-query
+    sets (TPU's fastest path — no top_k, no hot-loop gathers), the XLA cell
+    list when separate queries are involved (the sharded path), and exact
+    brute force for small N (and when no viable grid exists).
     """
     n = positions.shape[0]
+    self_query = queries is None or queries is positions
     if method == "auto":
-        method = "celllist" if n >= _CELL_LIST_MIN_N else "bruteforce"
+        if n < _CELL_LIST_MIN_N:
+            method = "bruteforce"
+        elif self_query and jax.default_backend() == "tpu":
+            method = "pallas"
+        else:
+            method = "celllist"
+    if method == "pallas":
+        grid = choose_cell_grid(n, k)
+        if grid.grid_size < 3 or not self_query:
+            method = "celllist"
+        else:
+            from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
+                pallas_cell_list_knn,
+            )
+
+            return pallas_cell_list_knn(positions, k, box_size, grid)
     if method == "celllist":
         grid = choose_cell_grid(n, k)
         if grid.grid_size < 3:

@@ -52,9 +52,10 @@ def _round_up(x: int, m: int) -> int:
 
 def _select_kernel(k: int, cells_per_block: int, cap: int, num_cand: int):
     """Build the kernel body: per cell, exact k-smallest-distance selection
-    over its candidate row."""
+    over its candidate row, emitting the selected **particle ids** directly
+    (id resolution on-chip avoids a [G^3, cap, k] gather afterwards)."""
 
-    def kernel(qx, qy, qz, cx, cy, cz, cvalid, box_ref, out_ref):
+    def kernel(qx, qy, qz, cx, cy, cz, cvalid, cids, box_ref, out_ref):
         box = box_ref[0]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (cap, num_cand), 1)
         for c in range(cells_per_block):
@@ -65,16 +66,25 @@ def _select_kernel(k: int, cells_per_block: int, cap: int, num_cand: int):
                 )
                 d2 = d2 + delta * delta
             d2 = d2 + (1.0 - cvalid[c, :][None, :]) * _BIG
+            ids_row = cids[c, :][None, :]  # [1, num_cand]
 
             picked = jnp.zeros((cap, _LANE), jnp.int32)
             out_lane = jax.lax.broadcasted_iota(jnp.int32, (cap, _LANE), 1)
+            big_id = jnp.int32(2**30)
             for j in range(k):
                 m = jnp.min(d2, axis=1, keepdims=True)  # [cap, 1]
+                is_min = d2 <= m
                 am = jnp.min(
-                    jnp.where(d2 <= m, lanes, num_cand), axis=1, keepdims=True
+                    jnp.where(is_min, lanes, num_cand), axis=1, keepdims=True
                 )  # [cap, 1] — lowest lane among minima
-                picked = jnp.where(out_lane == j, am, picked)
-                d2 = jnp.where(lanes == am, _BIG, d2)
+                sel = lanes == am
+                pid = jnp.min(
+                    jnp.where(sel, jnp.broadcast_to(ids_row, sel.shape), big_id),
+                    axis=1,
+                    keepdims=True,
+                )  # [cap, 1] — the id at the selected lane
+                picked = jnp.where(out_lane == j, pid, picked)
+                d2 = jnp.where(sel, _BIG, d2)
             out_ref[c] = picked
 
     return kernel
@@ -169,11 +179,12 @@ def pallas_cell_list_knn(
     num_cells = g**3
     pad_cells = (-num_cells) % cells_per_block
     if pad_cells:
-        def padc(x, fill=0.0):
+        def padc(x, fill=0):
             return jnp.pad(x, ((0, pad_cells), (0, 0)), constant_values=fill)
         plane_x, plane_y, plane_z = padc(plane_x), padc(plane_y), padc(plane_z)
         cand_x, cand_y, cand_z = padc(cand_x), padc(cand_y), padc(cand_z)
         cand_valid = padc(cand_valid)
+        cand_ids = padc(cand_ids, n)
     num_blocks = (num_cells + pad_cells) // cells_per_block
 
     q_spec = pl.BlockSpec(
@@ -186,7 +197,7 @@ def pallas_cell_list_knn(
         _select_kernel(k, cells_per_block, cap, num_cand),
         grid=(num_blocks,),
         in_specs=[q_spec, q_spec, q_spec, c_spec, c_spec, c_spec, c_spec,
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+                  c_spec, pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(
             (cells_per_block, cap, _LANE),
             lambda i: (i, 0, 0),
@@ -197,11 +208,9 @@ def pallas_cell_list_knn(
         ),
         interpret=interpret,
     )(plane_x, plane_y, plane_z, cand_x, cand_y, cand_z, cand_valid,
-      jnp.asarray([box], jnp.float32))
+      cand_ids, jnp.asarray([box], jnp.float32))
 
-    picked = picked[:num_cells, :, :k]  # [G^3, cap, k] lane positions
-    # Lane position -> particle id (same candidate-row layout as the kernel).
-    neighbor_ids = jnp.take_along_axis(cand_ids[:, None, :], picked, axis=2)
+    neighbor_ids = picked[:num_cells, :, :k]  # [G^3, cap, k] particle ids
 
     # Back to original particle order via (cell, rank).
     out = neighbor_ids.reshape(-1, k)[cell_id * cap + particle_rank]  # [N, k]
