@@ -90,8 +90,19 @@ def main(argv=None):
             print(f"Error loading pretrained model ({exc}); "
                   "continuing with random init")
 
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        import jax
+
+        from cosmology_gnn_simulation_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        mesh = make_mesh((n_dev, 1))
+        print(f"Data-parallel training over {n_dev} devices")
+
     trainer = Trainer(
-        model_config, stats, train_config, steps_per_epoch, init_params
+        model_config, stats, train_config, steps_per_epoch, init_params,
+        mesh=mesh,
     )
     start_epoch = 0
     if args.resume:

@@ -144,6 +144,32 @@ def _maybe_all_gather(
     return jax.lax.all_gather(values, particle_axis, tiled=True)
 
 
+# Above this many bytes for the gathered [N, k, H] tensor, neighbor
+# aggregation is chunked over node tiles (N=500k, k=32, H=256 would
+# otherwise materialize ~16 GB).
+_GATHER_CHUNK_BYTES = 1 << 28
+
+
+def _gather_sum(values: jnp.ndarray, neighbors: jnp.ndarray) -> jnp.ndarray:
+    """``out[i] = sum_j values[neighbors[i, j]]`` with automatic node-tile
+    chunking so the intermediate gather never exceeds ~256 MB."""
+    n, k = neighbors.shape
+    h = values.shape[-1]
+    total = n * k * h * 4
+    if total <= _GATHER_CHUNK_BYTES:
+        return jnp.take(values, neighbors, axis=0).sum(axis=1)
+    rows_per_tile = max(1, _GATHER_CHUNK_BYTES // (k * h * 4))
+    # Round to a divisor-friendly tile; pad N to a multiple.
+    num_tiles = -(-n // rows_per_tile)
+    pad = num_tiles * rows_per_tile - n
+    padded = jnp.pad(neighbors, ((0, pad), (0, 0)))
+    tiles = padded.reshape(num_tiles, rows_per_tile, k)
+    out = jax.lax.map(
+        lambda nb: jnp.take(values, nb, axis=0).sum(axis=1), tiles
+    )
+    return out.reshape(-1, h)[:n]
+
+
 def _processor_step(
     x: jnp.ndarray,
     e: jnp.ndarray,
@@ -178,9 +204,7 @@ def _processor_step(
     if aggregate == "sender_latents":
         # Reference semantics: scatter-add of x_j. Projected-then-gathered.
         z = _split_dense(x, w_agg, dtype)  # [N, H]
-        agg_h = jnp.take(
-            _maybe_all_gather(z, particle_axis), neighbors, axis=0
-        ).sum(axis=1)
+        agg_h = _gather_sum(_maybe_all_gather(z, particle_axis), neighbors)
     elif aggregate == "edge_messages":
         agg_h = _split_dense(e_new.sum(axis=1), w_agg, dtype)
     else:
@@ -206,9 +230,7 @@ def _pruned_processor_step(
     nw = node_first["w"]
     w_self, w_agg = nw[:latent], nw[latent:]
     z = _split_dense(x, w_agg, dtype)
-    agg_h = jnp.take(
-        _maybe_all_gather(z, particle_axis), neighbors, axis=0
-    ).sum(axis=1)
+    agg_h = _gather_sum(_maybe_all_gather(z, particle_axis), neighbors)
     h_n = jax.nn.relu(_split_dense(x, w_self, dtype) + agg_h + node_first["b"])
     return _mlp_tail(step_params["node"], h_n, dtype)
 

@@ -47,8 +47,8 @@ def choose_cell_grid(
     num_particles: int,
     k: int,
     *,
-    safety: float = 1.5,
-    capacity_multiplier: float = 4.0,
+    safety: float = 1.35,
+    capacity_multiplier: float = 3.0,
 ) -> CellGrid:
     """Pick (G, C) for a roughly uniform distribution of ``num_particles``
     in a unit-scaled box.
@@ -56,6 +56,8 @@ def choose_cell_grid(
     Cell edge is ``safety`` x the uniform k-th-neighbor radius
     r_k = (3k / (4 pi n))^(1/3); capacity is ``capacity_multiplier`` x the
     mean occupancy (clustered data needs headroom — check ``overflow``).
+    Defaults tuned on TPU at N=65k/k=16 (grid 19: 47ms vs 82ms at grid 17,
+    exactness certificate intact; see git history for the sweep).
     """
     r_k = (3.0 * k / (4.0 * math.pi * num_particles)) ** (1.0 / 3.0)
     grid_size = max(3, int(1.0 / (safety * r_k)))

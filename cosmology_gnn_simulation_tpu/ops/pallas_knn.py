@@ -13,15 +13,16 @@ Pipeline (wrapper ``pallas_cell_list_knn``):
   1. [XLA] bin particles into a G^3 grid, sort by cell id, build dense
      per-cell planes ``x/y/z/valid`` of shape [G^3, C] plus the particle ids
      per slot (C = static cell capacity; overflow counted).
-  2. [XLA] row-gather each cell's 27 neighbor-cell planes into candidate
-     rows [G^3, 27*C] (contiguous 27 x C-float rows, host-precomputed
-     neighbor table — periodic wrap included).
+  2. [XLA] expand each cell's 27-neighborhood into candidate rows
+     [G^3, 27*C] via 27 periodic **rolls** of the 3-D cell table —
+     contiguous memory ops; a [G^3, 27] row gather is pathologically slow
+     to compile/run on this backend.
   3. [Pallas] grid over cell blocks: per cell, d2 = sum_d min_image(q - c)^2
      over the [C, 27C] query-x-candidate tile; select k smallest by k
      iterations of (min, argmin-by-iota, mask) — exact, deterministic
-     (lowest lane wins ties).
-  4. [XLA] map selected lane positions back to particle ids and reorder to
-     the original particle indexing.
+     (lowest lane wins ties) — resolving the winners' particle ids on-chip.
+  4. [XLA] reorder results to the original particle indexing via each
+     particle's (cell, rank).
 
 Exactness matches the cell list's guarantee: provably exact when no cell
 overflows C and every query's k-th neighbor lies within one cell edge
@@ -31,7 +32,7 @@ overflows C and every query's k-th neighbor lies within one cell edge
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

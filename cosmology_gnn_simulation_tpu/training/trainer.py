@@ -27,7 +27,7 @@ import dataclasses
 import json
 import os
 import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -235,10 +235,16 @@ class Trainer:
         train_config: TrainConfig,
         steps_per_epoch: int,
         init_params: Any = None,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with (data, particle)
+        axes — training steps then run sharded via ``shard_map`` (gradient
+        psum over ICI); ``batch_size`` must be divisible by the data-axis
+        size. Without a mesh, single-device jitted steps are used."""
         self.model_config = model_config
         self.stats = stats
         self.tc = train_config
+        self.mesh = mesh
         self.key = jax.random.PRNGKey(train_config.seed)
         self.key, init_key = jax.random.split(self.key)
         self.params = (
@@ -248,9 +254,23 @@ class Trainer:
         )
         self.optimizer = make_optimizer(train_config, steps_per_epoch)
         self.opt_state = self.optimizer.init(self.params)
-        self.train_step = make_train_step(
-            model_config, stats, train_config, self.optimizer
-        )
+        if mesh is not None:
+            from cosmology_gnn_simulation_tpu.parallel.sharded import (
+                make_data_parallel_train_step,
+            )
+
+            if train_config.batch_size % mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size {train_config.batch_size} must divide by "
+                    f"data-axis size {mesh.shape['data']}"
+                )
+            self.train_step = make_data_parallel_train_step(
+                model_config, stats, train_config, self.optimizer, mesh
+            )
+        else:
+            self.train_step = make_train_step(
+                model_config, stats, train_config, self.optimizer
+            )
         self.eval_step = make_eval_step(model_config, stats, train_config)
         self.history: Dict[str, Any] = {
             "train_loss": [],
@@ -307,9 +327,24 @@ class Trainer:
                     pass
             for count, batch in enumerate(batch_iter, start=1):
                 self.key, step_key = jax.random.split(self.key)
-                self.params, self.opt_state, metrics = self.train_step(
-                    self.params, self.opt_state, batch, step_key
-                )
+                if self.mesh is not None:
+                    from cosmology_gnn_simulation_tpu.parallel.sharded import (
+                        shard_batch,
+                    )
+
+                    keys = jax.random.split(
+                        step_key, batch["positions"].shape[0]
+                    )
+                    self.params, self.opt_state, metrics = self.train_step(
+                        self.params,
+                        self.opt_state,
+                        shard_batch(batch, self.mesh),
+                        keys,
+                    )
+                else:
+                    self.params, self.opt_state, metrics = self.train_step(
+                        self.params, self.opt_state, batch, step_key
+                    )
                 epoch_metrics.append(metrics)
                 if bar is not None and count % 10 == 0:
                     # Fetching metrics syncs the device; do it sparsely

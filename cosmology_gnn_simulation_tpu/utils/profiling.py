@@ -19,7 +19,7 @@ import contextlib
 import statistics
 import time
 from collections import defaultdict
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 

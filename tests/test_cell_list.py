@@ -44,7 +44,7 @@ def test_clustered_matches_bruteforce():
     pos = np.remainder(
         centers[which] + rng.normal(0, 0.03, (n, 3)), 1.0
     ).astype(np.float32)
-    grid = choose_cell_grid(n, k, capacity_multiplier=40.0)
+    grid = choose_cell_grid(n, k, capacity_multiplier=90.0)
     idx, (overflow, max_d2) = cell_list_knn(
         jnp.asarray(pos), k, 1.0, grid, return_diagnostics=True
     )
