@@ -248,7 +248,15 @@ def apply_encode_process_decode(
     rows are shard-local while ``graph.neighbors`` hold global indices; the
     per-step projected latents are all-gathered before the neighbor gather.
     """
-    x = apply_mlp(params["encoder"]["node"], graph.nodes, dtype)
+    nodes = graph.nodes
+    if graph.globals_ is not None:
+        # Broadcast globals onto every node before encoding
+        # (graph_network.py:166-173). node_input_size must include them.
+        broadcast = jnp.broadcast_to(
+            graph.globals_[None, :], (nodes.shape[0], graph.globals_.shape[-1])
+        )
+        nodes = jnp.concatenate([nodes, broadcast], axis=-1)
+    x = apply_mlp(params["encoder"]["node"], nodes, dtype)
     neighbors = graph.neighbors
     prune = (
         config.aggregate == "sender_latents" and config.prune_dead_edge_stream
@@ -290,7 +298,13 @@ def reference_apply_encode_process_decode(
 
     Used only in tests as the semantic oracle for ``apply_encode_process_decode``.
     """
-    x = apply_mlp(params["encoder"]["node"], graph.nodes)
+    nodes = graph.nodes
+    if graph.globals_ is not None:
+        broadcast = jnp.broadcast_to(
+            graph.globals_[None, :], (nodes.shape[0], graph.globals_.shape[-1])
+        )
+        nodes = jnp.concatenate([nodes, broadcast], axis=-1)
+    x = apply_mlp(params["encoder"]["node"], nodes)
     e = apply_mlp(params["encoder"]["edge"], graph.edges)
     neighbors = graph.neighbors
     m = config.num_message_passing_steps

@@ -48,7 +48,7 @@ def choose_cell_grid(
     k: int,
     *,
     safety: float = 1.35,
-    capacity_multiplier: float = 3.0,
+    capacity_multiplier: float = 2.5,
 ) -> CellGrid:
     """Pick (G, C) for a roughly uniform distribution of ``num_particles``
     in a unit-scaled box.
@@ -62,7 +62,7 @@ def choose_cell_grid(
     r_k = (3.0 * k / (4.0 * math.pi * num_particles)) ** (1.0 / 3.0)
     grid_size = max(3, int(1.0 / (safety * r_k)))
     mean_occupancy = num_particles / grid_size**3
-    capacity = max(k, int(math.ceil(capacity_multiplier * mean_occupancy)) + 4)
+    capacity = max(k, int(math.ceil(capacity_multiplier * mean_occupancy)))
     return CellGrid(grid_size=grid_size, cell_capacity=capacity)
 
 

@@ -34,6 +34,11 @@ class ParticleGraph(NamedTuple):
                    at inference (``data_utils.py:184-197``).
       target_temp_rate: ``[N, 1]`` normalized target temperature rate, or None
                    (``data_utils.py:208-214``).
+      globals_:    optional ``[G]`` global feature vector, broadcast-
+                   concatenated onto every node by the encoder (the
+                   reference's ``globals`` pass-through,
+                   ``graph_network.py:166-175`` — never populated by its
+                   pipeline, supported for model-API parity).
     """
 
     nodes: jnp.ndarray
@@ -42,6 +47,7 @@ class ParticleGraph(NamedTuple):
     positions: jnp.ndarray
     target_acceleration: Optional[jnp.ndarray] = None
     target_temp_rate: Optional[jnp.ndarray] = None
+    globals_: Optional[jnp.ndarray] = None
 
     @property
     def num_particles(self) -> int:

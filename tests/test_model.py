@@ -184,3 +184,40 @@ def test_bfloat16_compute_close_to_fp32():
     ).max()
     scale = np.abs(np.asarray(full["acceleration"])).max()
     assert err < 0.1 * scale + 0.05
+
+
+def test_globals_broadcast():
+    """Globals concat onto every node before encoding
+    (graph_network.py:166-175 parity)."""
+    g_dim = 4
+    config = small_config()._replace(node_input_size=17 + g_dim)
+    params = init_encode_process_decode(jax.random.PRNGKey(0), config)
+    graph = make_graph(jax.random.PRNGKey(1))
+    glob = jax.random.normal(jax.random.PRNGKey(2), (g_dim,))
+    g_with = graph._replace(globals_=glob)
+    out = apply_encode_process_decode(params, g_with, config)
+    assert out["acceleration"].shape == (64, 3)
+    # Equivalent to manual concat.
+    manual = graph._replace(
+        nodes=jnp.concatenate(
+            [graph.nodes, jnp.broadcast_to(glob[None], (64, g_dim))], axis=-1
+        )
+    )
+    out2 = apply_encode_process_decode(params, manual, config)
+    np.testing.assert_allclose(
+        np.asarray(out["acceleration"]), np.asarray(out2["acceleration"]),
+        rtol=1e-6,
+    )
+    # Changing globals changes the output.
+    out3 = apply_encode_process_decode(
+        params, graph._replace(globals_=glob + 1.0), config
+    )
+    assert not np.allclose(
+        np.asarray(out["acceleration"]), np.asarray(out3["acceleration"])
+    )
+    # Reference oracle agrees too.
+    ref = reference_apply_encode_process_decode(params, g_with, config)
+    np.testing.assert_allclose(
+        np.asarray(out["acceleration"]), np.asarray(ref["acceleration"]),
+        rtol=2e-4, atol=2e-4,
+    )
