@@ -74,6 +74,11 @@ class TrainConfig:
     compute_dtype: Optional[str] = None  # e.g. "bfloat16"
     neighbor_query_tile: int = 512
     neighbor_method: str = "auto"
+    # Failure detection (reference has none, SURVEY.md §5): abort the run
+    # with a clear report when the loss goes non-finite.
+    halt_on_nonfinite: bool = True
+    # Optional jax.profiler trace of one epoch, written under output_dir.
+    profile_epoch: Optional[int] = None
 
 
 def _augment_axes(key: jax.Array, positions, target_positions, augment_prob):
@@ -308,7 +313,16 @@ class Trainer:
         )
         h = self.history
 
+        from cosmology_gnn_simulation_tpu.utils.profiling import StepTimer
+
+        self.step_timer = StepTimer()
+
         for epoch in range(start_epoch, tc.num_epochs):
+            profiling = tc.profile_epoch == epoch
+            if profiling:
+                jax.profiler.start_trace(
+                    os.path.join(tc.output_dir, "profile")
+                )
             current_lr = tc.learning_rate * gamma**epoch
             h["learning_rates"].append(current_lr)
             epoch_metrics = []
@@ -354,10 +368,20 @@ class Trainer:
                         "acc_loss": float(metrics["acceleration"]),
                         "temp_rate_loss": float(metrics["temp_rate"]),
                     })
+            if profiling:
+                jax.block_until_ready(self.params)
+                jax.profiler.stop_trace()
+            self.step_timer.record("train_epoch", time.perf_counter() - t0)
             train_avg = {
                 k: float(np.mean([np.asarray(m[k]) for m in epoch_metrics]))
                 for k in epoch_metrics[0]
             }
+            if tc.halt_on_nonfinite and not np.isfinite(train_avg["loss"]):
+                raise FloatingPointError(
+                    f"Non-finite training loss at epoch {epoch}: "
+                    f"{train_avg} — inspect data/LR; rerun with "
+                    "utils.profiling.enable_nan_debugging() to localize."
+                )
 
             val_avg = self.evaluate(val_dataset)
 
