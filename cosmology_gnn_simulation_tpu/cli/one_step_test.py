@@ -31,6 +31,8 @@ def add_model_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--mlp_num_hidden_layers", type=int, default=2)
     parser.add_argument("--num_message_passing_steps", type=int, default=10)
     parser.add_argument("--output_size", type=int, default=3)
+    parser.add_argument("--neighbor_method", type=str, default="auto",
+                        choices=["auto", "bruteforce", "celllist", "pallas"])
 
 
 def load_model_from_checkpoint(model_path: str, args):
@@ -78,6 +80,7 @@ def main(argv=None):
         num_neighbors=args.num_neighbors,
         num_timesteps=args.num_timesteps,
         seed=args.seed,
+        neighbor_method=args.neighbor_method,
     )
 
     print("\n" + "=" * 50)

@@ -65,6 +65,7 @@ def main(argv=None):
         stats,
         num_steps,
         num_neighbors=args.num_neighbors,
+        neighbor_method=args.neighbor_method,
     )
     rollout_data = {k: np.asarray(v) for k, v in rollout_data.items()}
 

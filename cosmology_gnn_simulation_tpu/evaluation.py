@@ -42,6 +42,7 @@ def validate_one_step(
     num_timesteps: int = 10,
     seed: Optional[int] = 0,
     dtype=None,
+    neighbor_method: str = "auto",
 ) -> Dict:
     """One-step position/temperature MSE over sampled start indices."""
     coords = np.asarray(data["Coordinates"], dtype=np.float32)
@@ -69,6 +70,7 @@ def validate_one_step(
             stats,
             num_neighbors=num_neighbors,
             dtype=dtype,
+            neighbor_method=neighbor_method,
         )
         next_pos = coords[start + window_size]
         next_temp = temps[start + window_size]

@@ -115,6 +115,7 @@ def featurize(
     neighbor_query_tile: int = 512,
     neighbor_method: str = "auto",
     particle_axis: Optional[str] = None,
+    build_reverse: bool = False,
 ) -> ParticleGraph:
     """Build a ``ParticleGraph`` from a trajectory window.
 
@@ -128,6 +129,9 @@ def featurize(
       num_neighbors: k, **including** the self-loop.
       target_position / target_temperature: ``[N, 3]`` / ``[N, 1]`` next-frame
         ground truth; if given, normalized training targets are attached.
+      build_reverse: also invert the neighbor table (training-time option:
+        enables the fast exact custom-VJP aggregation; pointless for
+        inference). Not supported together with ``particle_axis``.
       particle_axis: mesh axis name when called inside ``shard_map`` with
         particles sharded over that axis. Recent positions are all-gathered
         so the k-NN sees the global box; ``neighbors`` then hold **global**
@@ -187,6 +191,17 @@ def featurize(
     edge_distance = jnp.linalg.norm(edge_displacement, axis=-1, keepdims=True)
     edges = jnp.concatenate([edge_displacement, edge_distance], axis=-1)
 
+    reverse_neighbors = None
+    if build_reverse and particle_axis is None:
+        from cosmology_gnn_simulation_tpu.ops.aggregation import (
+            build_reverse_adjacency,
+            default_reverse_capacity,
+        )
+
+        reverse_neighbors = build_reverse_adjacency(
+            neighbors, default_reverse_capacity(num_neighbors)
+        ).receivers
+
     target_acceleration = None
     target_temp_rate = None
     if target_position is not None:
@@ -211,4 +226,5 @@ def featurize(
         positions=recent_position,
         target_acceleration=target_acceleration,
         target_temp_rate=target_temp_rate,
+        reverse_neighbors=reverse_neighbors,
     )

@@ -150,9 +150,23 @@ def _maybe_all_gather(
 _GATHER_CHUNK_BYTES = 1 << 28
 
 
-def _gather_sum(values: jnp.ndarray, neighbors: jnp.ndarray) -> jnp.ndarray:
+def _gather_sum(
+    values: jnp.ndarray,
+    neighbors: jnp.ndarray,
+    reverse_neighbors: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """``out[i] = sum_j values[neighbors[i, j]]`` with automatic node-tile
-    chunking so the intermediate gather never exceeds ~256 MB."""
+    chunking so the intermediate gather never exceeds ~256 MB.
+
+    With ``reverse_neighbors`` (training graphs), the custom-VJP form is
+    used: the backward pass becomes a gather+sum over the reverse adjacency
+    instead of a slow TPU scatter-add (ops/aggregation.py)."""
+    if reverse_neighbors is not None:
+        from cosmology_gnn_simulation_tpu.ops.aggregation import (
+            aggregate_sender_latents,
+        )
+
+        return aggregate_sender_latents(values, neighbors, reverse_neighbors)
     n, k = neighbors.shape
     h = values.shape[-1]
     total = n * k * h * 4
@@ -178,6 +192,7 @@ def _processor_step(
     aggregate: str,
     dtype: Optional[jnp.dtype],
     particle_axis: Optional[str] = None,
+    reverse_neighbors: Optional[jnp.ndarray] = None,
 ):
     """One InteractionNetwork step (pre-residual outputs)."""
     latent = x.shape[-1]
@@ -204,7 +219,9 @@ def _processor_step(
     if aggregate == "sender_latents":
         # Reference semantics: scatter-add of x_j. Projected-then-gathered.
         z = _split_dense(x, w_agg, dtype)  # [N, H]
-        agg_h = _gather_sum(_maybe_all_gather(z, particle_axis), neighbors)
+        agg_h = _gather_sum(
+            _maybe_all_gather(z, particle_axis), neighbors, reverse_neighbors
+        )
     elif aggregate == "edge_messages":
         agg_h = _split_dense(e_new.sum(axis=1), w_agg, dtype)
     else:
@@ -221,6 +238,7 @@ def _pruned_processor_step(
     step_params: Params,
     dtype: Optional[jnp.dtype],
     particle_axis: Optional[str] = None,
+    reverse_neighbors: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Node-stream-only InteractionNetwork step, valid under
     ``sender_latents`` aggregation where the edge stream is provably dead
@@ -230,7 +248,9 @@ def _pruned_processor_step(
     nw = node_first["w"]
     w_self, w_agg = nw[:latent], nw[latent:]
     z = _split_dense(x, w_agg, dtype)
-    agg_h = _gather_sum(_maybe_all_gather(z, particle_axis), neighbors)
+    agg_h = _gather_sum(
+        _maybe_all_gather(z, particle_axis), neighbors, reverse_neighbors
+    )
     h_n = jax.nn.relu(_split_dense(x, w_self, dtype) + agg_h + node_first["b"])
     return _mlp_tail(step_params["node"], h_n, dtype)
 
@@ -265,7 +285,8 @@ def apply_encode_process_decode(
     if prune:
         def body(carry, step_params):
             x_new = _pruned_processor_step(
-                carry, neighbors, step_params, dtype, particle_axis
+                carry, neighbors, step_params, dtype, particle_axis,
+                graph.reverse_neighbors,
             )
             return carry + x_new, None
 
@@ -277,7 +298,7 @@ def apply_encode_process_decode(
             x, e = carry
             x_new, e_new = _processor_step(
                 x, e, neighbors, step_params, config.aggregate, dtype,
-                particle_axis,
+                particle_axis, graph.reverse_neighbors,
             )
             return (x + x_new, e + e_new), None
 

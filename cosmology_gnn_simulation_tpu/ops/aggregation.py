@@ -1,0 +1,97 @@
+"""Neighbor-sum aggregation with a fast exact custom VJP.
+
+Forward: ``agg[i] = sum_j z[neighbors[i, j]]`` — a fused gather+sum (fast on
+TPU). Its autodiff transpose, however, is a scatter-add into ``dz`` — slow
+on TPU (measured: backward ~3.4x forward at N=32k, dominated by these
+scatters across the 10 message-passing steps).
+
+Fix: precompute the **reverse adjacency** once per graph — for each particle
+``p``, the (padded, static-capacity) list of receivers that count ``p`` among
+their neighbors. The cotangent is then ``dz[p] = sum_r g[reverse[p, r]]`` —
+the *same* gather+sum structure as the forward pass. Exact as long as no
+particle's in-degree exceeds the capacity ``R`` (``overflow`` diagnostic
+returned by the builder; in-degree concentrates around k for k-NN graphs, so
+the default R = 3k has enormous headroom for near-uniform data — clustered
+hubs can exceed it, so training surfaces the overflow count).
+
+Status: measured NOT profitable at N=32k/k=16/H=128 on v5e (191ms vs 143ms
+per value_and_grad): the per-step reverse-table sort plus the 3x-padded
+backward gather cost more than the XLA scatter-add they replace (XLA fuses
+the gather transpose better than expected). Kept as a tested opt-in
+(``featurize(build_reverse=True)``) — the trade-off may flip at larger k/H
+or once the table build amortizes over many MP steps via a persisted graph.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ReverseAdjacency(NamedTuple):
+    """Static-shape reverse neighbor lists.
+
+    ``receivers[p, r]`` = index of the r-th particle that has ``p`` in its
+    neighbor list (sentinel N for empty slots); ``overflow`` = number of
+    dropped reverse edges (0 => the custom VJP is exact).
+    """
+
+    receivers: jnp.ndarray  # [N, R] int32
+    overflow: jnp.ndarray  # scalar int32
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def build_reverse_adjacency(
+    neighbors: jnp.ndarray, capacity: int
+) -> ReverseAdjacency:
+    """Invert a regular ``[N, k]`` neighbor table (sort-based, no host)."""
+    n, k = neighbors.shape
+    senders = neighbors.reshape(-1)  # edge e: sender = neighbors.flat[e]
+    receivers = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+    order = jnp.argsort(senders)
+    ss = senders[order]
+    rr = receivers[order]
+    run_start = jnp.searchsorted(ss, ss, side="left")
+    rank = jnp.arange(n * k, dtype=jnp.int32) - run_start.astype(jnp.int32)
+    overflow = jnp.sum(rank >= capacity)
+    slot = jnp.where(rank < capacity, ss * capacity + rank, n * capacity)
+    table = jnp.full((n * capacity,), n, dtype=jnp.int32)
+    table = table.at[slot].set(rr, mode="drop", unique_indices=True)
+    return ReverseAdjacency(
+        receivers=table.reshape(n, capacity), overflow=overflow
+    )
+
+
+@jax.custom_vjp
+def aggregate_sender_latents(
+    z: jnp.ndarray, neighbors: jnp.ndarray, reverse_receivers: jnp.ndarray
+) -> jnp.ndarray:
+    """``sum_j z[neighbors[i, j]]`` with a gather+sum backward pass."""
+    return jnp.take(z, neighbors, axis=0).sum(axis=1)
+
+
+def _agg_fwd(z, neighbors, reverse_receivers):
+    return (
+        jnp.take(z, neighbors, axis=0).sum(axis=1),
+        (reverse_receivers,),
+    )
+
+
+def _agg_bwd(residuals, g):
+    (reverse_receivers,) = residuals
+    # Pad with a zero row so sentinel slots contribute nothing.
+    padded = jnp.concatenate([g, jnp.zeros_like(g[:1])], axis=0)
+    dz = jnp.take(padded, reverse_receivers, axis=0).sum(axis=1)
+    return dz, None, None
+
+
+aggregate_sender_latents.defvjp(_agg_fwd, _agg_bwd)
+
+
+def default_reverse_capacity(k: int) -> int:
+    """3x the out-degree: generous for near-uniform kNN graphs (in-degree
+    concentrates around k with ~sqrt(k) spread)."""
+    return 3 * k

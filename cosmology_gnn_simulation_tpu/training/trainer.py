@@ -118,6 +118,11 @@ def make_train_step(
             target_temperature=ttemp,
             neighbor_query_tile=tc.neighbor_query_tile,
             neighbor_method=tc.neighbor_method,
+            # build_reverse=True enables the custom-VJP aggregation; measured
+            # SLOWER at N=32k/k=16 (191ms vs 143ms: the reverse-table sort +
+            # 3x-padded backward gather outweigh the scatter-add it avoids),
+            # so native autodiff stays the default.
+            build_reverse=False,
         )
         preds = apply_encode_process_decode(params, graph, model_config, dtype)
         return preds, graph.target_acceleration, graph.target_temp_rate
