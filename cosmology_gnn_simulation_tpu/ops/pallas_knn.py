@@ -56,8 +56,9 @@ def _select_kernel(k: int, cells_per_block: int, cap: int, num_cand: int):
     over its candidate row, emitting the selected **particle ids** directly
     (id resolution on-chip avoids a [G^3, cap, k] gather afterwards)."""
 
-    def kernel(qx, qy, qz, cx, cy, cz, cvalid, cids, box_ref, out_ref):
+    def kernel(qx, qy, qz, cx, cy, cz, cids, nref, box_ref, out_ref):
         box = box_ref[0]
+        n_sentinel = nref[0]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (cap, num_cand), 1)
         for c in range(cells_per_block):
             d2 = jnp.zeros((cap, num_cand), jnp.float32)
@@ -66,8 +67,10 @@ def _select_kernel(k: int, cells_per_block: int, cap: int, num_cand: int):
                     q_ref[c, :][:, None] - c_ref[c, :][None, :], box
                 )
                 d2 = d2 + delta * delta
-            d2 = d2 + (1.0 - cvalid[c, :][None, :]) * _BIG
             ids_row = cids[c, :][None, :]  # [1, num_cand]
+            # Empty slots carry the sentinel id — mask them out directly
+            # (no separate validity plane needed).
+            d2 = jnp.where(ids_row >= n_sentinel, _BIG, d2)
 
             picked = jnp.zeros((cap, _LANE), jnp.int32)
             out_lane = jax.lax.broadcasted_iota(jnp.int32, (cap, _LANE), 1)
@@ -116,11 +119,10 @@ def _build_table(positions, g: int, cap: int, box):
     plane_x = scatter(sorted_pos[:, 0], 0.0, jnp.float32)
     plane_y = scatter(sorted_pos[:, 1], 0.0, jnp.float32)
     plane_z = scatter(sorted_pos[:, 2], 0.0, jnp.float32)
-    valid = scatter(jnp.ones((n,)), 0.0, jnp.float32)
-    ids = scatter(order, n, jnp.int32)
+    ids = scatter(order, n, jnp.int32)  # sentinel id n == empty slot
     # Per original particle: its (cell, rank) for result re-ordering.
     particle_rank = jnp.zeros((n,), jnp.int32).at[order].set(rank)
-    return plane_x, plane_y, plane_z, valid, ids, cell_id, particle_rank, overflow
+    return plane_x, plane_y, plane_z, ids, cell_id, particle_rank, overflow
 
 
 @functools.partial(
@@ -150,7 +152,7 @@ def pallas_cell_list_knn(
     cap = _round_up(grid.cell_capacity, 8)
     num_cand = _round_up(27 * cap, _LANE)
 
-    (plane_x, plane_y, plane_z, valid, ids, cell_id, particle_rank,
+    (plane_x, plane_y, plane_z, ids, cell_id, particle_rank,
      overflow) = _build_table(positions.astype(jnp.float32), g, cap, box)
 
     def gather_cands(plane, fill):
@@ -173,7 +175,6 @@ def pallas_cell_list_knn(
     cand_x = gather_cands(plane_x, 0.0)
     cand_y = gather_cands(plane_y, 0.0)
     cand_z = gather_cands(plane_z, 0.0)
-    cand_valid = gather_cands(valid, 0.0)
     cand_ids = gather_cands(ids, n)
 
     cells_per_block = 8
@@ -184,7 +185,6 @@ def pallas_cell_list_knn(
             return jnp.pad(x, ((0, pad_cells), (0, 0)), constant_values=fill)
         plane_x, plane_y, plane_z = padc(plane_x), padc(plane_y), padc(plane_z)
         cand_x, cand_y, cand_z = padc(cand_x), padc(cand_y), padc(cand_z)
-        cand_valid = padc(cand_valid)
         cand_ids = padc(cand_ids, n)
     num_blocks = (num_cells + pad_cells) // cells_per_block
 
@@ -198,7 +198,8 @@ def pallas_cell_list_knn(
         _select_kernel(k, cells_per_block, cap, num_cand),
         grid=(num_blocks,),
         in_specs=[q_spec, q_spec, q_spec, c_spec, c_spec, c_spec, c_spec,
-                  c_spec, pl.BlockSpec(memory_space=pltpu.SMEM)],
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(
             (cells_per_block, cap, _LANE),
             lambda i: (i, 0, 0),
@@ -208,8 +209,8 @@ def pallas_cell_list_knn(
             (num_blocks * cells_per_block, cap, _LANE), jnp.int32
         ),
         interpret=interpret,
-    )(plane_x, plane_y, plane_z, cand_x, cand_y, cand_z, cand_valid,
-      cand_ids, jnp.asarray([box], jnp.float32))
+    )(plane_x, plane_y, plane_z, cand_x, cand_y, cand_z, cand_ids,
+      jnp.asarray([n], jnp.int32), jnp.asarray([box], jnp.float32))
 
     neighbor_ids = picked[:num_cells, :, :k]  # [G^3, cap, k] particle ids
 
