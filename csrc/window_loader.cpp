@@ -112,6 +112,10 @@ bool map_file(const char* path, SimFile* out) {
   if (out->size < header + coords_bytes + energy_bytes) {
     ::munmap(base, st.st_size);
     ::close(fd);
+    // Reset so the caller's cleanup (wl_close) doesn't double-release.
+    out->fd = -1;
+    out->base = nullptr;
+    out->size = 0;
     return false;
   }
   out->coords = reinterpret_cast<const float*>(p + header);
@@ -190,6 +194,8 @@ void prefetch_loop(Prefetcher* pf) {
 
 extern "C" {
 
+void wl_close(void* handle);
+
 // Open a loader over `num_files` binary-cache paths. Returns nullptr on any
 // failure (bad magic, size mismatch across files, unopenable file).
 void* wl_open(const char** paths, int num_files, int window, int num_threads) {
@@ -199,17 +205,14 @@ void* wl_open(const char** paths, int num_files, int window, int num_threads) {
   L->num_threads = num_threads > 0 ? num_threads : 4;
   L->sims.resize(num_files);
   for (int i = 0; i < num_files; ++i) {
-    if (!map_file(paths[i], &L->sims[i])) {
-      delete L;
-      return nullptr;
-    }
-    if (L->sims[i].T != L->sims[0].T || L->sims[i].N != L->sims[0].N) {
-      delete L;
+    if (!map_file(paths[i], &L->sims[i]) ||
+        L->sims[i].T != L->sims[0].T || L->sims[i].N != L->sims[0].N) {
+      wl_close(L);  // unmap everything mapped so far
       return nullptr;
     }
   }
   if (L->sims[0].T < window + 1) {
-    delete L;
+    wl_close(L);
     return nullptr;
   }
   L->seq_per_sim = L->sims[0].T - window;

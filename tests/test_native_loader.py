@@ -87,3 +87,24 @@ def test_bad_cache_rejected(tmp_path):
     bad.write_bytes(b"not a cache file at all....")
     with pytest.raises(ValueError, match="failed to open"):
         native_loader.NativeSequenceLoader([str(bad)], window_size=5)
+
+
+def test_truncated_cache_rejected_safely(tmp_path):
+    """Valid magic but truncated payload: must fail cleanly (regression for
+    a double-munmap on map_file's size-validation failure path)."""
+    import struct
+
+    bad = tmp_path / "truncated.cgnn"
+    header = struct.pack("<qqqdd", 0x43474E4E53494D31, 10, 100, 1.0, 0.05)
+    bad.write_bytes(header + b"\x00" * 64)  # far less than 10*100*16 bytes
+    with pytest.raises(ValueError, match="failed to open"):
+        native_loader.NativeSequenceLoader([str(bad)], window_size=5)
+    # And the process is still healthy: a good loader opens fine afterwards.
+    sim = generate_synthetic_simulation(num_snapshots=8, num_particles=16)
+    write_simulation(str(tmp_path / "ok.hdf5"), sim)
+    cache = native_loader.convert_hdf5_to_cache(
+        str(tmp_path / "ok.hdf5"), str(tmp_path / "ok.cgnn")
+    )
+    loader = native_loader.NativeSequenceLoader([cache], window_size=5)
+    assert len(loader) == 3
+    loader.close()
