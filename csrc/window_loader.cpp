@@ -79,47 +79,51 @@ struct Prefetcher {
 };
 
 bool map_file(const char* path, SimFile* out) {
+  // All validation happens on locals; *out is populated only on full
+  // success, so every early return leaves it default-constructed and the
+  // caller's wl_close cleanup is trivially safe (no double-release class).
   int fd = ::open(path, O_RDONLY);
   if (fd < 0) return false;
   struct stat st;
-  if (fstat(fd, &st) != 0) {
-    ::close(fd);
-    return false;
+  void* base = MAP_FAILED;
+  if (fstat(fd, &st) == 0 && st.st_size >= 40) {
+    base = ::mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
   }
-  void* base = ::mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
   if (base == MAP_FAILED) {
     ::close(fd);
     return false;
   }
   const uint8_t* p = static_cast<const uint8_t*>(base);
-  int64_t magic;
+  int64_t magic, T, N;
+  double box_size, dt;
   std::memcpy(&magic, p, 8);
-  if (magic != kMagic) {
+  std::memcpy(&T, p + 8, 8);
+  std::memcpy(&N, p + 16, 8);
+  std::memcpy(&box_size, p + 24, 8);
+  std::memcpy(&dt, p + 32, 8);
+  // Bounds before multiplying: T*N*16 must not overflow and must fit the
+  // file (a corrupt header with huge T/N would otherwise wrap the product,
+  // pass validation, and SIGBUS on first access).
+  constexpr size_t kHeader = 40;
+  const size_t payload = size_t(st.st_size) - kHeader;
+  bool valid = magic == kMagic && T > 0 && N > 0 &&
+               uint64_t(T) <= payload / 16 / uint64_t(N > 0 ? N : 1) &&
+               size_t(T) * size_t(N) * 16 <= payload;
+  if (!valid) {
     ::munmap(base, st.st_size);
     ::close(fd);
     return false;
   }
+  size_t coords_bytes = size_t(T) * size_t(N) * 3 * sizeof(float);
   out->fd = fd;
   out->base = p;
   out->size = st.st_size;
-  std::memcpy(&out->T, p + 8, 8);
-  std::memcpy(&out->N, p + 16, 8);
-  std::memcpy(&out->box_size, p + 24, 8);
-  std::memcpy(&out->dt, p + 32, 8);
-  size_t header = 40;
-  size_t coords_bytes = size_t(out->T) * out->N * 3 * sizeof(float);
-  size_t energy_bytes = size_t(out->T) * out->N * sizeof(float);
-  if (out->size < header + coords_bytes + energy_bytes) {
-    ::munmap(base, st.st_size);
-    ::close(fd);
-    // Reset so the caller's cleanup (wl_close) doesn't double-release.
-    out->fd = -1;
-    out->base = nullptr;
-    out->size = 0;
-    return false;
-  }
-  out->coords = reinterpret_cast<const float*>(p + header);
-  out->energy = reinterpret_cast<const float*>(p + header + coords_bytes);
+  out->T = T;
+  out->N = N;
+  out->box_size = box_size;
+  out->dt = dt;
+  out->coords = reinterpret_cast<const float*>(p + kHeader);
+  out->energy = reinterpret_cast<const float*>(p + kHeader + coords_bytes);
   return true;
 }
 

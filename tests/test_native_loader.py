@@ -90,8 +90,10 @@ def test_bad_cache_rejected(tmp_path):
 
 
 def test_truncated_cache_rejected_safely(tmp_path):
-    """Valid magic but truncated payload: must fail cleanly (regression for
-    a double-munmap on map_file's size-validation failure path)."""
+    """Valid magic but truncated payload: must be rejected and leave the
+    process healthy (the double-release itself is silent on Linux, so this
+    exercises the path rather than proving its absence — map_file now
+    populates outputs only after full validation)."""
     import struct
 
     bad = tmp_path / "truncated.cgnn"
@@ -108,3 +110,25 @@ def test_truncated_cache_rejected_safely(tmp_path):
     loader = native_loader.NativeSequenceLoader([cache], window_size=5)
     assert len(loader) == 3
     loader.close()
+
+
+def test_overflow_header_rejected(tmp_path):
+    """Corrupt header with huge T/N must not pass validation via size_t
+    overflow of T*N*16 (would SIGBUS on first batch access)."""
+    import struct
+
+    bad = tmp_path / "overflow.cgnn"
+    header = struct.pack(
+        "<qqqdd", 0x43474E4E53494D31, 1 << 60, 4, 1.0, 0.05
+    )
+    bad.write_bytes(header + b"\x00" * 64)
+    with pytest.raises(ValueError, match="failed to open"):
+        native_loader.NativeSequenceLoader([str(bad)], window_size=5)
+
+    neg = tmp_path / "neg.cgnn"
+    neg.write_bytes(
+        struct.pack("<qqqdd", 0x43474E4E53494D31, -3, 16, 1.0, 0.05)
+        + b"\x00" * 64
+    )
+    with pytest.raises(ValueError, match="failed to open"):
+        native_loader.NativeSequenceLoader([str(neg)], window_size=5)
