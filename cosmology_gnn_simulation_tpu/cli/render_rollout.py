@@ -56,6 +56,17 @@ def main(argv=None):
         else total_time - args.window_size
     )
 
+    from cosmology_gnn_simulation_tpu.featurize import (
+        verify_neighbor_exactness,
+    )
+
+    verify_neighbor_exactness(
+        ground_truth["Coordinates"][args.window_size - 1],
+        args.num_neighbors,
+        stats.box_size,
+        method=args.neighbor_method,
+        strict=False,
+    )
     print("Performing rollout")
     rollout_data = rollout(
         params,

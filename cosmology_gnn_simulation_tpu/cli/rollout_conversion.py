@@ -34,10 +34,13 @@ def main(argv=None):
     with open(args.metadata_path) as f:
         metadata = json.load(f)
     original = read_simulation(args.original_data)
+    box_size = metadata["box_size"]
+    if isinstance(box_size, (list, tuple)):  # one-element-list metadata files
+        box_size = box_size[0]
     convert_rollout_to_hdf5(
         args.rollout_dir,
         original,
-        float(metadata["box_size"]),
+        float(box_size),
         float(metadata["dt"]),
         args.output,
         window_size=args.window_size,

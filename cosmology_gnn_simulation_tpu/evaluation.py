@@ -50,9 +50,16 @@ def validate_one_step(
     if temps.ndim == 2:
         temps = temps[..., None]
     total_frames = coords.shape[0]
+    # Parity with the reference bound (one_step_test.py:39), which skips the
+    # final valid start index.
     max_start_idx = total_frames - window_size - 1
     if max_start_idx < num_timesteps:
         num_timesteps = max_start_idx
+    if num_timesteps < 1:
+        raise ValueError(
+            f"No testable timesteps: trajectory has {total_frames} frames, "
+            f"window_size={window_size} needs at least {window_size + 2}."
+        )
     rng = np.random.default_rng(seed) if seed is not None else np.random
     start_indices = sorted(
         rng.choice(max_start_idx, size=num_timesteps, replace=False).tolist()

@@ -102,6 +102,69 @@ def neighbor_search(
     )
 
 
+def verify_neighbor_exactness(
+    positions,
+    k: int,
+    box_size,
+    *,
+    method: str = "auto",
+    strict: bool = True,
+):
+    """Runtime exactness check for the cell-list/pallas k-NN backends.
+
+    The bucketed backends are provably exact only when (a) no cell overflows
+    its static capacity and (b) every query's k-th neighbor lies within one
+    cell edge. Those hold comfortably for near-uniform boxes with the default
+    grid sizing, but strongly clustered (real cosmological) data can violate
+    them — *silently* degrading the neighbor graphs. Call this outside jit on
+    representative positions (Trainer does it on the first batch; the rollout
+    CLI on the seed frame). Returns a dict of diagnostics; raises (strict) or
+    warns when the certificate fails, with the remedy.
+    """
+    import warnings
+
+    from cosmology_gnn_simulation_tpu.ops.cell_list import (
+        cell_list_knn,
+        choose_cell_grid,
+    )
+
+    positions = jnp.asarray(positions, jnp.float32)
+    n = positions.shape[0]
+    if method == "bruteforce" or n < _CELL_LIST_MIN_N:
+        return {"method": "bruteforce", "exact": True}
+    grid = choose_cell_grid(n, k)
+    if grid.grid_size < 3:
+        return {"method": "bruteforce", "exact": True}
+    _, (overflow, max_d2) = cell_list_knn(
+        positions, k, box_size, grid, return_diagnostics=True
+    )
+    overflow = int(overflow)
+    max_d2 = float(max_d2)
+    cell_edge_sq = (float(box_size) / grid.grid_size) ** 2
+    exact = overflow == 0 and max_d2 <= cell_edge_sq
+    result = {
+        "method": "celllist",
+        "grid": grid,
+        "overflow": overflow,
+        "max_kth_distance_sq": max_d2,
+        "cell_edge_sq": cell_edge_sq,
+        "exact": exact,
+    }
+    if not exact:
+        msg = (
+            f"Cell-list k-NN exactness certificate FAILED for this particle "
+            f"distribution: overflow={overflow} particles dropped from "
+            f"candidate tables, max k-th-neighbor distance^2 {max_d2:.3e} vs "
+            f"cell edge^2 {cell_edge_sq:.3e}. Neighbor graphs may be "
+            f"approximate. Remedies: choose_cell_grid(capacity_multiplier=...)"
+            f" larger / safety smaller, or neighbor_method='bruteforce'."
+        )
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg)
+    return result
+
+
 def featurize(
     position_seq: jnp.ndarray,
     temperature_seq: jnp.ndarray,

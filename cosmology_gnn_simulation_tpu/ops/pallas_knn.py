@@ -214,8 +214,15 @@ def pallas_cell_list_knn(
 
     neighbor_ids = picked[:num_cells, :, :k]  # [G^3, cap, k] particle ids
 
-    # Back to original particle order via (cell, rank).
-    out = neighbor_ids.reshape(-1, k)[cell_id * cap + particle_rank]  # [N, k]
+    # Back to original particle order via (cell, rank). Overflowed particles
+    # (rank >= cap: cell held more than `cap` particles) have no query slot
+    # of their own — clamp them to the last slot of their OWN cell so they
+    # receive a same-cell (spatially adjacent) neighbor list rather than an
+    # arbitrary other cell's row. The `overflow` diagnostic reports how many
+    # were affected; `verify_neighbor_exactness` makes this loud.
+    out = neighbor_ids.reshape(-1, k)[
+        cell_id * cap + jnp.minimum(particle_rank, cap - 1)
+    ]  # [N, k]
 
     if return_diagnostics:
         # d_k bound check: recompute k-th distance cheaply from the selected

@@ -27,6 +27,7 @@ Loss semantics under sharding (kept exact vs. the reference definitions):
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Callable, Optional
 
@@ -183,6 +184,45 @@ def make_data_parallel_train_step(
         return params, opt_state, {"loss": loss, **components}
 
     return train_step
+
+
+def make_sharded_eval_step(
+    model_config: EncodeProcessDecodeConfig,
+    stats: NormalizationStats,
+    train_config: TrainConfig,
+    mesh: Mesh,
+) -> Callable:
+    """Sharded validation step (noise 0, no augmentation, no grad) so
+    end-of-epoch evaluation scales like training instead of falling back to
+    one device."""
+    tc = dataclasses.replace(train_config, noise_std=0.0, augment_prob=0.0)
+    dtype = jnp.dtype(tc.compute_dtype) if tc.compute_dtype else None
+
+    batch_specs = {
+        "positions": P(DATA_AXIS, None, PARTICLE_AXIS, None),
+        "temperatures": P(DATA_AXIS, None, PARTICLE_AXIS, None),
+        "target_positions": P(DATA_AXIS, PARTICLE_AXIS, None),
+        "target_temperatures": P(DATA_AXIS, PARTICLE_AXIS, None),
+    }
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), batch_specs, P(DATA_AXIS)),
+        out_specs=P(),
+    )
+    def sharded_eval(params, batch, keys):
+        total, components = _sharded_loss(
+            params, batch, keys,
+            model_config=model_config, stats=stats, tc=tc, dtype=dtype,
+        )
+        return {"loss": total, **components}
+
+    @jax.jit
+    def eval_step(params, batch, keys):
+        return sharded_eval(params, batch, keys)
+
+    return eval_step
 
 
 def make_particle_sharded_forward(

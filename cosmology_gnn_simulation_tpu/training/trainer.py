@@ -274,14 +274,21 @@ class Trainer:
                     f"batch_size {train_config.batch_size} must divide by "
                     f"data-axis size {mesh.shape['data']}"
                 )
+            from cosmology_gnn_simulation_tpu.parallel.sharded import (
+                make_sharded_eval_step,
+            )
+
             self.train_step = make_data_parallel_train_step(
                 model_config, stats, train_config, self.optimizer, mesh
+            )
+            self.eval_step = make_sharded_eval_step(
+                model_config, stats, train_config, mesh
             )
         else:
             self.train_step = make_train_step(
                 model_config, stats, train_config, self.optimizer
             )
-        self.eval_step = make_eval_step(model_config, stats, train_config)
+            self.eval_step = make_eval_step(model_config, stats, train_config)
         self.history: Dict[str, Any] = {
             "train_loss": [],
             "val_loss": [],
@@ -321,6 +328,7 @@ class Trainer:
         from cosmology_gnn_simulation_tpu.utils.profiling import StepTimer
 
         self.step_timer = StepTimer()
+        self._check_neighbor_exactness(train_dataset, verbose)
 
         for epoch in range(start_epoch, tc.num_epochs):
             profiling = tc.profile_epoch == epoch
@@ -377,6 +385,13 @@ class Trainer:
                 jax.block_until_ready(self.params)
                 jax.profiler.stop_trace()
             self.step_timer.record("train_epoch", time.perf_counter() - t0)
+            if not epoch_metrics:
+                raise ValueError(
+                    f"Epoch {epoch} produced zero batches: the dataset has "
+                    f"{len(train_dataset)} windows but batch_size="
+                    f"{tc.batch_size} (the remainder is dropped). Reduce "
+                    "batch_size or add data."
+                )
             train_avg = {
                 k: float(np.mean([np.asarray(m[k]) for m in epoch_metrics]))
                 for k in epoch_metrics[0]
@@ -438,10 +453,50 @@ class Trainer:
             json.dump(h, f, indent=4)
         return self.params
 
+    def _check_neighbor_exactness(self, dataset, verbose: bool) -> None:
+        """One-time runtime certificate that the bucketed kNN backends are
+        exact for THIS particle distribution (clustered data can violate the
+        capacity/cell-edge assumptions silently) — warns with remedies."""
+        tc = self.tc
+        if tc.neighbor_method == "bruteforce":
+            return
+        try:
+            from cosmology_gnn_simulation_tpu.featurize import (
+                verify_neighbor_exactness,
+            )
+
+            batch = next(iter(dataset.batches(1, shuffle=False)))
+            result = verify_neighbor_exactness(
+                batch["positions"][0, -1],
+                tc.num_neighbors,
+                self.stats.box_size,
+                method=tc.neighbor_method,
+                strict=False,
+            )
+            if verbose and not result.get("exact", True):
+                print("WARNING: neighbor-search exactness certificate failed "
+                      f"({result}); see featurize.verify_neighbor_exactness")
+        except StopIteration:
+            pass
+
     def evaluate(self, dataset) -> Dict[str, float]:
         metrics = []
         for batch in dataset.batches(self.tc.batch_size, shuffle=False):
-            metrics.append(self.eval_step(self.params, batch))
+            if self.mesh is not None:
+                from cosmology_gnn_simulation_tpu.parallel.sharded import (
+                    shard_batch,
+                )
+
+                keys = jax.random.split(
+                    jax.random.PRNGKey(0), batch["positions"].shape[0]
+                )
+                metrics.append(
+                    self.eval_step(
+                        self.params, shard_batch(batch, self.mesh), keys
+                    )
+                )
+            else:
+                metrics.append(self.eval_step(self.params, batch))
         if not metrics:
             return {k: float("inf") for k in
                     ("loss", "acceleration", "temp_rate", "momentum")}

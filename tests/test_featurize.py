@@ -4,6 +4,7 @@ oracle implementing the reference ``preprocess`` semantics
 edge displacements, self-loop k-NN, noise-shifted targets."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -177,3 +178,34 @@ def test_featurize_jits_and_vmaps():
                             num_neighbors=4, neighbor_query_tile=16).nodes
     )(jax.random.split(jax.random.PRNGKey(1), 3))
     assert batched.shape == (3, 32, 17)
+
+
+def test_verify_neighbor_exactness_guard():
+    from cosmology_gnn_simulation_tpu.featurize import (
+        verify_neighbor_exactness,
+    )
+
+    rng = np.random.default_rng(0)
+    # Uniform box at cell-list scale: certificate holds. (k=16 has good
+    # concentration; k=8 at small N sits right at the safety boundary —
+    # which is exactly what this guard exists to catch.)
+    uniform = rng.uniform(0, 1, (20000, 3)).astype(np.float32)
+    result = verify_neighbor_exactness(uniform, 16, 1.0, method="celllist")
+    assert result["exact"] and result["overflow"] == 0
+
+    # Pathologically clustered: all particles in one tiny ball -> overflow,
+    # strict mode raises with remedies, non-strict warns.
+    clustered = (
+        0.5 + rng.normal(0, 1e-4, (20000, 3)).astype(np.float32)
+    )
+    with pytest.raises(ValueError, match="certificate FAILED"):
+        verify_neighbor_exactness(clustered, 16, 1.0, method="celllist")
+    with pytest.warns(UserWarning, match="certificate FAILED"):
+        out = verify_neighbor_exactness(
+            clustered, 16, 1.0, method="celllist", strict=False
+        )
+    assert not out["exact"]
+
+    # Small N short-circuits to brute force (always exact).
+    small = rng.uniform(0, 1, (100, 3)).astype(np.float32)
+    assert verify_neighbor_exactness(small, 8, 1.0)["exact"]

@@ -213,3 +213,39 @@ def test_sharded_rollout_matches_single_device(setup):
         np.asarray(expected["InternalEnergy"]),
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_sharded_eval_matches_single_device(setup):
+    from cosmology_gnn_simulation_tpu.parallel.sharded import (
+        make_sharded_eval_step,
+    )
+    from cosmology_gnn_simulation_tpu.training.trainer import make_eval_step
+
+    sim, stats, model_config, params = setup
+    tc = TrainConfig(
+        num_neighbors=8, batch_size=2, momentum_loss_weight=0.5,
+        neighbor_query_tile=32,
+    )
+    batch = {
+        "positions": np.stack([sim["Coordinates"][i: i + 5] for i in range(2)]),
+        "temperatures": np.stack(
+            [sim["InternalEnergy"][i: i + 5] for i in range(2)]
+        ),
+        "target_positions": np.stack(
+            [sim["Coordinates"][i + 5] for i in range(2)]
+        ),
+        "target_temperatures": np.stack(
+            [sim["InternalEnergy"][i + 5] for i in range(2)]
+        ),
+    }
+    single = make_eval_step(model_config, stats, tc)
+    expected = single(params, batch)
+
+    mesh = make_mesh((2, 4))
+    sharded = make_sharded_eval_step(model_config, stats, tc, mesh)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    got = sharded(params, shard_batch(batch, mesh), keys)
+    for key in ("loss", "acceleration", "temp_rate", "momentum"):
+        np.testing.assert_allclose(
+            float(got[key]), float(expected[key]), rtol=2e-5
+        )
