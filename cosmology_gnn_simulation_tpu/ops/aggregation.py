@@ -30,6 +30,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from cosmology_gnn_simulation_tpu.ops.binning import bin_by_key, scatter_to_table
+
 
 class ReverseAdjacency(NamedTuple):
     """Static-shape reverse neighbor lists.
@@ -51,18 +53,9 @@ def build_reverse_adjacency(
     n, k = neighbors.shape
     senders = neighbors.reshape(-1)  # edge e: sender = neighbors.flat[e]
     receivers = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
-    order = jnp.argsort(senders)
-    ss = senders[order]
-    rr = receivers[order]
-    run_start = jnp.searchsorted(ss, ss, side="left")
-    rank = jnp.arange(n * k, dtype=jnp.int32) - run_start.astype(jnp.int32)
-    overflow = jnp.sum(rank >= capacity)
-    slot = jnp.where(rank < capacity, ss * capacity + rank, n * capacity)
-    table = jnp.full((n * capacity,), n, dtype=jnp.int32)
-    table = table.at[slot].set(rr, mode="drop", unique_indices=True)
-    return ReverseAdjacency(
-        receivers=table.reshape(n, capacity), overflow=overflow
-    )
+    b = bin_by_key(senders, n, capacity)
+    table = scatter_to_table(b, receivers[b.order], n, capacity, n, jnp.int32)
+    return ReverseAdjacency(receivers=table, overflow=b.overflow)
 
 
 @jax.custom_vjp

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cosmology_gnn_simulation_tpu.ops.binning import bin_by_key, scatter_to_table
 from cosmology_gnn_simulation_tpu.ops.periodic import min_image_displacement
 
 
@@ -124,19 +125,9 @@ def cell_list_knn(
     # --- Build the cell table: [G^3, C] of particle ids (n = empty sentinel).
     coords = cell_coords(positions)
     cell_id = (coords[:, 0] * g + coords[:, 1]) * g + coords[:, 2]  # [N]
-    order = jnp.argsort(cell_id)  # stable
-    sorted_cid = cell_id[order]
-    # Rank of each sorted particle within its cell run.
-    run_start = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
-    rank = jnp.arange(n, dtype=jnp.int32) - run_start.astype(jnp.int32)
-    # Scatter into the table; overflow ranks target an out-of-bounds slot and
-    # are dropped.
-    slot = jnp.where(rank < cap, sorted_cid * cap + rank, g**3 * cap)
-    table = jnp.full((g**3 * cap,), n, dtype=jnp.int32)
-    table = table.at[slot].set(
-        order.astype(jnp.int32), mode="drop", unique_indices=True
-    )
-    overflow = jnp.sum(rank >= cap)
+    b = bin_by_key(cell_id, g**3, cap)
+    table = scatter_to_table(b, b.order, g**3, cap, n, jnp.int32).reshape(-1)
+    overflow = b.overflow
 
     # Positions padded with a sentinel row so gathers of empty slots are
     # safe. Stored as three [N+1] planes: gathering a [T, 27C, 3] tensor

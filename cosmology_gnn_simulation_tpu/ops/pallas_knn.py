@@ -40,6 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cosmology_gnn_simulation_tpu.ops.binning import bin_by_key, scatter_to_table
 from cosmology_gnn_simulation_tpu.ops.cell_list import CellGrid, choose_cell_grid
 from cosmology_gnn_simulation_tpu.ops.periodic import min_image_displacement
 
@@ -102,27 +103,16 @@ def _build_table(positions, g: int, cap: int, box):
         jnp.floor(positions * inv_cell).astype(jnp.int32), 0, g - 1
     )
     cell_id = (coords[:, 0] * g + coords[:, 1]) * g + coords[:, 2]
-    order = jnp.argsort(cell_id)
-    sorted_cid = cell_id[order]
-    run_start = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
-    rank = jnp.arange(n, dtype=jnp.int32) - run_start.astype(jnp.int32)
-    overflow = jnp.sum(rank >= cap)
-    slot = jnp.where(rank < cap, sorted_cid * cap + rank, g**3 * cap)
-    sorted_pos = positions[order]
+    b = bin_by_key(cell_id, g**3, cap)
+    sorted_pos = positions[b.order]
 
-    def scatter(values, fill, dtype):
-        base = jnp.full((g**3 * cap,), fill, dtype)
-        return base.at[slot].set(
-            values.astype(dtype), mode="drop", unique_indices=True
-        ).reshape(g**3, cap)
-
-    plane_x = scatter(sorted_pos[:, 0], 0.0, jnp.float32)
-    plane_y = scatter(sorted_pos[:, 1], 0.0, jnp.float32)
-    plane_z = scatter(sorted_pos[:, 2], 0.0, jnp.float32)
-    ids = scatter(order, n, jnp.int32)  # sentinel id n == empty slot
+    plane_x = scatter_to_table(b, sorted_pos[:, 0], g**3, cap, 0.0, jnp.float32)
+    plane_y = scatter_to_table(b, sorted_pos[:, 1], g**3, cap, 0.0, jnp.float32)
+    plane_z = scatter_to_table(b, sorted_pos[:, 2], g**3, cap, 0.0, jnp.float32)
+    ids = scatter_to_table(b, b.order, g**3, cap, n, jnp.int32)  # n == empty
     # Per original particle: its (cell, rank) for result re-ordering.
-    particle_rank = jnp.zeros((n,), jnp.int32).at[order].set(rank)
-    return plane_x, plane_y, plane_z, ids, cell_id, particle_rank, overflow
+    particle_rank = jnp.zeros((n,), jnp.int32).at[b.order].set(b.rank)
+    return plane_x, plane_y, plane_z, ids, cell_id, particle_rank, b.overflow
 
 
 @functools.partial(
