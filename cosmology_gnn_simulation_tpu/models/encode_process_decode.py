@@ -248,9 +248,14 @@ def _pruned_processor_step(
     nw = node_first["w"]
     w_self, w_agg = nw[:latent], nw[latent:]
     z = _split_dense(x, w_agg, dtype)
+    if dtype is not None:
+        # The gather+sum of projected latents is the bandwidth-dominant op of
+        # the step; in reduced-precision mode carry it in that dtype (k-wide
+        # bf16 sums add ~2^-8 relative noise, same order as the matmuls).
+        z = z.astype(dtype)
     agg_h = _gather_sum(
         _maybe_all_gather(z, particle_axis), neighbors, reverse_neighbors
-    )
+    ).astype(jnp.float32)
     h_n = jax.nn.relu(_split_dense(x, w_self, dtype) + agg_h + node_first["b"])
     return _mlp_tail(step_params["node"], h_n, dtype)
 
