@@ -60,7 +60,6 @@ def _select_kernel(k: int, cells_per_block: int, cap: int, num_cand: int):
     def kernel(qx, qy, qz, cx, cy, cz, cids, nref, box_ref, out_ref):
         box = box_ref[0]
         n_sentinel = nref[0]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (cap, num_cand), 1)
         for c in range(cells_per_block):
             d2 = jnp.zeros((cap, num_cand), jnp.float32)
             for q_ref, c_ref in ((qx, cx), (qy, cy), (qz, cz)):
@@ -68,7 +67,7 @@ def _select_kernel(k: int, cells_per_block: int, cap: int, num_cand: int):
                     q_ref[c, :][:, None] - c_ref[c, :][None, :], box
                 )
                 d2 = d2 + delta * delta
-            ids_row = cids[c, :][None, :]  # [1, num_cand]
+            ids_row = jnp.broadcast_to(cids[c, :][None, :], (cap, num_cand))
             # Empty slots carry the sentinel id — mask them out directly
             # (no separate validity plane needed).
             d2 = jnp.where(ids_row >= n_sentinel, _BIG, d2)
@@ -77,19 +76,16 @@ def _select_kernel(k: int, cells_per_block: int, cap: int, num_cand: int):
             out_lane = jax.lax.broadcasted_iota(jnp.int32, (cap, _LANE), 1)
             big_id = jnp.int32(2**30)
             for j in range(k):
+                # Ties broken by SMALLEST PARTICLE ID (unique per row — each
+                # particle appears in exactly one of the 27 distinct cells),
+                # matching lax.top_k's lowest-index tie-break and needing one
+                # fewer pass than lane-based argmin + id resolution.
                 m = jnp.min(d2, axis=1, keepdims=True)  # [cap, 1]
-                is_min = d2 <= m
-                am = jnp.min(
-                    jnp.where(is_min, lanes, num_cand), axis=1, keepdims=True
-                )  # [cap, 1] — lowest lane among minima
-                sel = lanes == am
                 pid = jnp.min(
-                    jnp.where(sel, jnp.broadcast_to(ids_row, sel.shape), big_id),
-                    axis=1,
-                    keepdims=True,
-                )  # [cap, 1] — the id at the selected lane
+                    jnp.where(d2 <= m, ids_row, big_id), axis=1, keepdims=True
+                )  # [cap, 1] — min id among the minima
                 picked = jnp.where(out_lane == j, pid, picked)
-                d2 = jnp.where(sel, _BIG, d2)
+                d2 = jnp.where(ids_row == pid, _BIG, d2)
             out_ref[c] = picked
 
     return kernel
