@@ -179,6 +179,7 @@ def featurize(
     neighbor_method: str = "auto",
     particle_axis: Optional[str] = None,
     build_reverse: bool = False,
+    neighbors: Optional[jnp.ndarray] = None,
 ) -> ParticleGraph:
     """Build a ``ParticleGraph`` from a trajectory window.
 
@@ -195,6 +196,9 @@ def featurize(
       build_reverse: also invert the neighbor table (training-time option:
         enables the fast exact custom-VJP aggregation; pointless for
         inference). Not supported together with ``particle_axis``.
+      neighbors: optional precomputed ``[N, k]`` neighbor indices — skips the
+        neighbor search entirely (the rollout engine's
+        ``reneighbor_every > 1`` reuse path).
       particle_axis: mesh axis name when called inside ``shard_map`` with
         particles sharded over that axis. Recent positions are all-gathered
         so the k-NN sees the global box; ``neighbors`` then hold **global**
@@ -237,14 +241,15 @@ def featurize(
         )
     else:
         all_positions = recent_position
-    neighbors = neighbor_search(
-        all_positions,
-        num_neighbors,
-        box,
-        queries=recent_position,
-        method=neighbor_method,
-        query_tile=neighbor_query_tile,
-    )
+    if neighbors is None:
+        neighbors = neighbor_search(
+            all_positions,
+            num_neighbors,
+            box,
+            queries=recent_position,
+            method=neighbor_method,
+            query_tile=neighbor_query_tile,
+        )
 
     # Raw displacement sender - receiver, deliberately NOT minimum-image
     # (data_utils.py:162): boundary-crossing edges carry ~box-sized features.

@@ -76,6 +76,7 @@ def integrate_step(
         "dtype",
         "neighbor_query_tile",
         "neighbor_method",
+        "reneighbor_every",
     ),
 )
 def rollout(
@@ -91,6 +92,7 @@ def rollout(
     dtype: Optional[jnp.dtype] = None,
     neighbor_query_tile: int = 512,
     neighbor_method: str = "auto",
+    reneighbor_every: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """Roll the learned simulator forward ``num_steps`` steps.
 
@@ -98,6 +100,12 @@ def rollout(
       initial_positions: ``[W, N, 3]`` ground-truth seed window
         (``render_rollout.py:32-37``).
       initial_temperatures: ``[W, N, 1]``.
+      reneighbor_every: rebuild the k-NN graph every R steps, reusing the
+        neighbor indices in between (edge features are still recomputed from
+        current positions each step). R=1 (default) is the reference
+        semantics — re-neighbor every step; R>1 is an opt-in approximation
+        exploiting that neighbor lists evolve slowly relative to dt, cutting
+        the dominant per-step cost.
 
     Returns:
       ``{"Coordinates": [W + num_steps, N, 3],
@@ -106,9 +114,11 @@ def rollout(
     """
     window = initial_positions.shape[0]
     zero_key = jax.random.PRNGKey(0)
+    reuse = reneighbor_every > 1
 
-    def body(carry, _):
-        pos_window, temp_window = carry  # [W, N, 3], [W, N, 1]
+    from cosmology_gnn_simulation_tpu.featurize import neighbor_search
+
+    def step(pos_window, temp_window, neighbors):
         graph = featurize(
             pos_window,
             temp_window,
@@ -118,6 +128,7 @@ def rollout(
             num_neighbors=num_neighbors,
             neighbor_query_tile=neighbor_query_tile,
             neighbor_method=neighbor_method,
+            neighbors=neighbors,
         )
         acceleration, temp_rate = _predict_physical(
             params, graph, model_config, stats, dtype
@@ -131,20 +142,59 @@ def rollout(
             stats,
             min_image_velocity=min_image_velocity,
         )
-        new_carry = (
+        return (
             jnp.concatenate([pos_window[1:], new_position[None]], axis=0),
             jnp.concatenate([temp_window[1:], new_temperature[None]], axis=0),
+            graph.neighbors,
+            (new_position, new_temperature),
         )
-        return new_carry, (new_position, new_temperature)
 
-    init = (
+    init_windows = (
         initial_positions.astype(jnp.float32),
         initial_temperatures.astype(jnp.float32),
     )
-    _, (positions, temperatures) = jax.lax.scan(body, init, None, length=num_steps)
+    if not reuse:
+        def body(carry, _):
+            pos_window, temp_window = carry
+            pos_window, temp_window, _, out = step(
+                pos_window, temp_window, None
+            )
+            return (pos_window, temp_window), out
+
+        _, (positions, temperatures) = jax.lax.scan(
+            body, init_windows, None, length=num_steps
+        )
+    else:
+        def search(pos_window):
+            return neighbor_search(
+                pos_window[-1],
+                num_neighbors,
+                stats.box_size,
+                method=neighbor_method,
+                query_tile=neighbor_query_tile,
+            )
+
+        def body(carry, step_index):
+            pos_window, temp_window, neighbors = carry
+            neighbors = jax.lax.cond(
+                step_index % reneighbor_every == 0,
+                lambda pw, nb: search(pw),
+                lambda pw, nb: nb,
+                pos_window,
+                neighbors,
+            )
+            pos_window, temp_window, neighbors, out = step(
+                pos_window, temp_window, neighbors
+            )
+            return (pos_window, temp_window, neighbors), out
+
+        init = (*init_windows, search(init_windows[0]))
+        _, (positions, temperatures) = jax.lax.scan(
+            body, init, jnp.arange(num_steps)
+        )
     return {
-        "Coordinates": jnp.concatenate([init[0], positions], axis=0),
-        "InternalEnergy": jnp.concatenate([init[1], temperatures], axis=0),
+        "Coordinates": jnp.concatenate([init_windows[0], positions], axis=0),
+        "InternalEnergy": jnp.concatenate([init_windows[1], temperatures], axis=0),
     }
 
 

@@ -146,3 +146,49 @@ def test_calculate_rollout_errors():
     np.testing.assert_allclose(errors["position_errors"], [1.0] * 3)
     np.testing.assert_allclose(errors["temperature_errors"], [4.0] * 3)
     assert errors["mean_position_error"] == 1.0
+
+
+def test_rollout_deterministic():
+    """Identical inputs must produce identical trajectories (the reference
+    needs cudnn-deterministic flags for this, render_rollout.py:164-168;
+    jitted XLA is deterministic by construction)."""
+    sim, stats, config, params = _setup()
+    args = (
+        params, config,
+        jnp.asarray(sim["Coordinates"][:5]),
+        jnp.asarray(sim["InternalEnergy"][:5]),
+        stats, 3,
+    )
+    a = rollout(*args, num_neighbors=4, neighbor_query_tile=16)
+    b = rollout(*args, num_neighbors=4, neighbor_query_tile=16)
+    np.testing.assert_array_equal(
+        np.asarray(a["Coordinates"]), np.asarray(b["Coordinates"])
+    )
+
+
+def test_reneighbor_every_matches_exact_when_static():
+    """With reneighbor_every > 1 on a short rollout, step 0 re-neighbors and
+    the reused lists stay valid while particles barely move — the R=1 and
+    R=2 trajectories agree closely at the start and exactly at step 1."""
+    sim, stats, config, params = _setup()
+    args = (
+        params, config,
+        jnp.asarray(sim["Coordinates"][:5]),
+        jnp.asarray(sim["InternalEnergy"][:5]),
+        stats, 4,
+    )
+    exact = rollout(*args, num_neighbors=4, neighbor_query_tile=16,
+                    reneighbor_every=1)
+    reused = rollout(*args, num_neighbors=4, neighbor_query_tile=16,
+                     reneighbor_every=2)
+    # First predicted frame uses freshly-built neighbors in both: identical.
+    np.testing.assert_allclose(
+        np.asarray(exact["Coordinates"][5]),
+        np.asarray(reused["Coordinates"][5]),
+        atol=1e-6,
+    )
+    # Later frames stay close (neighbors drift slowly).
+    drift = np.abs(
+        np.asarray(exact["Coordinates"][-1]) - np.asarray(reused["Coordinates"][-1])
+    ).max()
+    assert drift < 0.05 * stats.box_size
