@@ -19,8 +19,9 @@ Pipeline (wrapper ``pallas_cell_list_knn``):
      to compile/run on this backend.
   3. [Pallas] grid over cell blocks: per cell, d2 = sum_d min_image(q - c)^2
      over the [C, 27C] query-x-candidate tile; select k smallest by k
-     iterations of (min, argmin-by-iota, mask) — exact, deterministic
-     (lowest lane wins ties) — resolving the winners' particle ids on-chip.
+     iterations of (min, min-id-among-minima, mask-by-id) — exact,
+     deterministic (smallest particle id wins exact-distance ties) —
+     resolving the winners' particle ids on-chip.
   4. [XLA] reorder results to the original particle indexing via each
      particle's (cell, rank).
 
@@ -78,12 +79,22 @@ def _select_kernel(k: int, cells_per_block: int, cap: int, num_cand: int):
             for j in range(k):
                 # Ties broken by SMALLEST PARTICLE ID (unique per row — each
                 # particle appears in exactly one of the 27 distinct cells),
-                # matching lax.top_k's lowest-index tie-break and needing one
-                # fewer pass than lane-based argmin + id resolution.
+                # matching the brute-force backend's top_k lowest-index
+                # tie-break (candidate index == particle id there) and
+                # needing one fewer pass than lane-argmin + id resolution.
+                # (The XLA cell list tie-breaks by lane order instead; the
+                # backends can differ on EXACT distance ties — measure-zero
+                # for continuous data, possible for lattice initial
+                # conditions.)
                 m = jnp.min(d2, axis=1, keepdims=True)  # [cap, 1]
                 pid = jnp.min(
                     jnp.where(d2 <= m, ids_row, big_id), axis=1, keepdims=True
                 )  # [cap, 1] — min id among the minima
+                # Exhausted row (fewer than k valid candidates — only in the
+                # uncertified regime): emit the sentinel instead of repeating
+                # an already-picked real id, so the failure is detectable and
+                # no edge gets silently double-counted.
+                pid = jnp.where(m < _BIG * 0.5, pid, n_sentinel)
                 picked = jnp.where(out_lane == j, pid, picked)
                 d2 = jnp.where(ids_row == pid, _BIG, d2)
             out_ref[c] = picked

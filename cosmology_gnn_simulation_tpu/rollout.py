@@ -24,7 +24,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from cosmology_gnn_simulation_tpu.featurize import featurize
+from cosmology_gnn_simulation_tpu.featurize import featurize, neighbor_search
 from cosmology_gnn_simulation_tpu.models.encode_process_decode import (
     EncodeProcessDecodeConfig,
     apply_encode_process_decode,
@@ -112,11 +112,12 @@ def rollout(
          "InternalEnergy": [W + num_steps, N, 1]}`` — seed window first, like
       the reference trajectory layout (``render_rollout.py:87-90``).
     """
-    window = initial_positions.shape[0]
+    if reneighbor_every < 1:
+        raise ValueError(
+            f"reneighbor_every must be >= 1, got {reneighbor_every}"
+        )
     zero_key = jax.random.PRNGKey(0)
     reuse = reneighbor_every > 1
-
-    from cosmology_gnn_simulation_tpu.featurize import neighbor_search
 
     def step(pos_window, temp_window, neighbors):
         graph = featurize(
@@ -166,8 +167,10 @@ def rollout(
         )
     else:
         def search(pos_window):
+            # Match featurize's noise-then-wrap order (featurize wraps before
+            # its internal search; seed windows may carry unwrapped coords).
             return neighbor_search(
-                pos_window[-1],
+                wrap_positions(pos_window[-1], stats.box_size),
                 num_neighbors,
                 stats.box_size,
                 method=neighbor_method,
@@ -176,8 +179,11 @@ def rollout(
 
         def body(carry, step_index):
             pos_window, temp_window, neighbors = carry
+            # Step 0 uses the carry seeded with a real search; re-search only
+            # at later multiples of R (avoids running the dominant kNN twice
+            # for step 0).
             neighbors = jax.lax.cond(
-                step_index % reneighbor_every == 0,
+                (step_index % reneighbor_every == 0) & (step_index > 0),
                 lambda pw, nb: search(pw),
                 lambda pw, nb: nb,
                 pos_window,
