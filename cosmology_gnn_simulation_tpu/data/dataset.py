@@ -13,8 +13,12 @@ Differences (deliberate, TPU-first):
   applied here: it runs **on device inside the jitted train step** (see
   ``training/trainer.py``), keyed by the step PRNG — same distribution,
   reproducible, and free of host-side RNG state.
-* Small LRU file cache (2 files) instead of a single-slot cache, since
-  shuffled access alternates between files.
+* Small LRU file cache (default 2 files) instead of the reference's
+  single-slot cache. NOTE: globally-uniform shuffling over F > cache files
+  thrashes (a full-file HDF5 read per ~F/cache samples) — the reference has
+  the same behavior, worse (capacity 1, dataloader.py:94-97). For many-file
+  corpora either raise ``cache_capacity`` (memory permitting) or use the
+  native loader, which mmaps all files and needs no cache.
 """
 
 from __future__ import annotations

@@ -50,11 +50,15 @@ def _build_library() -> str:
         and os.path.getmtime(lib_path) >= os.path.getmtime(src)
     ):
         return lib_path
+    # Build to a unique temp name and atomically move into place so
+    # concurrent processes never observe (or write) a half-built library.
+    tmp_path = f"{lib_path}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        src, "-o", lib_path,
+        src, "-o", tmp_path,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp_path, lib_path)
     return lib_path
 
 
@@ -108,18 +112,27 @@ def is_available() -> bool:
 
 def convert_hdf5_to_cache(hdf5_path: str, cache_path: str) -> str:
     """One-time conversion of a reference-schema HDF5 file into the flat
-    binary cache the native loader mmaps."""
+    binary cache the native loader mmaps.
+
+    Written atomically (temp file + os.replace) so an interrupted conversion
+    never leaves a newer-than-source truncated cache behind; reads only the
+    fields the cache stores (Coordinates/InternalEnergy + scalars)."""
     from cosmology_gnn_simulation_tpu.data.hdf5 import read_simulation
 
-    sim = read_simulation(hdf5_path)
+    sim = read_simulation(
+        hdf5_path,
+        fields=("Coordinates", "InternalEnergy", "BoxSize", "TimeStep"),
+    )
     coords = np.ascontiguousarray(sim["Coordinates"], dtype=np.float32)
     energy = np.ascontiguousarray(sim["InternalEnergy"], dtype=np.float32)
     t, n = coords.shape[0], coords.shape[1]
-    with open(cache_path, "wb") as f:
+    tmp_path = cache_path + f".tmp.{os.getpid()}"
+    with open(tmp_path, "wb") as f:
         f.write(struct.pack("<qqqdd", _MAGIC, t, n,
                             float(sim["BoxSize"]), float(sim["TimeStep"])))
         f.write(coords.tobytes())
         f.write(energy.tobytes())
+    os.replace(tmp_path, cache_path)
     return cache_path
 
 
@@ -188,12 +201,13 @@ class NativeSequenceLoader:
         drop_remainder: bool = True,
         prefetch_depth: int = 2,
     ) -> Iterator[Dict[str, np.ndarray]]:
-        del drop_remainder  # native path always drops the remainder
         order = np.arange(len(self), dtype=np.int64)
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+        num_full = (len(order) // batch_size) * batch_size
         pf = self._lib.wl_prefetch_start(
-            self._handle, order, len(order), batch_size, prefetch_depth
+            self._handle, order[:num_full], num_full, batch_size,
+            prefetch_depth,
         )
         try:
             while True:
@@ -208,6 +222,10 @@ class NativeSequenceLoader:
                 yield out
         finally:
             self._lib.wl_prefetch_stop(pf)
+        if not drop_remainder and num_full < len(order):
+            # Tail batch assembled synchronously (same contract as
+            # SequenceDataset.batches(drop_remainder=False)).
+            yield self.get_batch(order[num_full:].tolist())
 
     def close(self):
         if self._handle:

@@ -282,6 +282,7 @@ def make_sharded_rollout(
     dtype=None,
     neighbor_query_tile: int = 512,
     neighbor_method: str = "auto",
+    reneighbor_every: int = 1,
 ) -> Callable:
     """Particle-sharded multi-step rollout (BASELINE config 5: millions of
     particles spatially partitioned over the mesh).
@@ -294,9 +295,16 @@ def make_sharded_rollout(
     latents (message passing); trajectories, integration, and edge tensors
     stay shard-local.
     """
+    from cosmology_gnn_simulation_tpu.featurize import neighbor_search
+    from cosmology_gnn_simulation_tpu.ops.periodic import wrap_positions
     from cosmology_gnn_simulation_tpu.rollout import integrate_step
 
+    if reneighbor_every < 1:
+        raise ValueError(
+            f"reneighbor_every must be >= 1, got {reneighbor_every}"
+        )
     zero_key = jax.random.PRNGKey(0)
+    reuse = reneighbor_every > 1
 
     @functools.partial(
         jax.shard_map,
@@ -312,8 +320,7 @@ def make_sharded_rollout(
         },
     )
     def rollout_fn(params, initial_positions, initial_temperatures):
-        def body(carry, _):
-            pos_window, temp_window = carry
+        def step(pos_window, temp_window, neighbors):
             graph = featurize(
                 pos_window,
                 temp_window,
@@ -324,6 +331,7 @@ def make_sharded_rollout(
                 neighbor_query_tile=neighbor_query_tile,
                 neighbor_method=neighbor_method,
                 particle_axis=PARTICLE_AXIS,
+                neighbors=neighbors,
             )
             preds = apply_encode_process_decode(
                 params, graph, model_config, dtype, particle_axis=PARTICLE_AXIS
@@ -341,29 +349,92 @@ def make_sharded_rollout(
                 stats,
                 min_image_velocity=min_image_velocity,
             )
-            new_carry = (
+            return (
                 jnp.concatenate([pos_window[1:], new_position[None]], axis=0),
-                jnp.concatenate([temp_window[1:], new_temperature[None]], axis=0),
+                jnp.concatenate(
+                    [temp_window[1:], new_temperature[None]], axis=0
+                ),
+                graph.neighbors,
+                (new_position, new_temperature),
             )
-            return new_carry, (new_position, new_temperature)
 
-        init = (
+        init_windows = (
             initial_positions.astype(jnp.float32),
             initial_temperatures.astype(jnp.float32),
         )
-        _, (positions, temperatures) = jax.lax.scan(
-            body, init, None, length=num_steps
-        )
+
+        if not reuse:
+            def body(carry, _):
+                pos_window, temp_window = carry
+                pos_window, temp_window, _, out = step(
+                    pos_window, temp_window, None
+                )
+                return (pos_window, temp_window), out
+
+            _, (positions, temperatures) = jax.lax.scan(
+                body, init_windows, None, length=num_steps
+            )
+        else:
+            def search(pos_window):
+                local = wrap_positions(pos_window[-1], stats.box_size)
+                gathered = jax.lax.all_gather(
+                    local, PARTICLE_AXIS, tiled=True
+                )
+                return neighbor_search(
+                    gathered,
+                    num_neighbors,
+                    stats.box_size,
+                    queries=local,
+                    method=neighbor_method,
+                    query_tile=neighbor_query_tile,
+                )
+
+            def body(carry, step_index):
+                pos_window, temp_window, neighbors = carry
+                neighbors = jax.lax.cond(
+                    (step_index % reneighbor_every == 0) & (step_index > 0),
+                    lambda pw, nb: search(pw),
+                    lambda pw, nb: nb,
+                    pos_window,
+                    neighbors,
+                )
+                pos_window, temp_window, neighbors, out = step(
+                    pos_window, temp_window, neighbors
+                )
+                return (pos_window, temp_window, neighbors), out
+
+            init = (*init_windows, search(init_windows[0]))
+            _, (positions, temperatures) = jax.lax.scan(
+                body, init, jnp.arange(num_steps)
+            )
         return {
-            "Coordinates": jnp.concatenate([init[0], positions], axis=0),
-            "InternalEnergy": jnp.concatenate([init[1], temperatures], axis=0),
+            "Coordinates": jnp.concatenate([init_windows[0], positions], axis=0),
+            "InternalEnergy": jnp.concatenate(
+                [init_windows[1], temperatures], axis=0
+            ),
         }
 
     return jax.jit(rollout_fn)
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch dict onto the mesh with the train-step shardings."""
+    """Place a host batch dict onto the mesh with the train-step shardings.
+
+    Validates divisibility up front (batch over the data axis, particles
+    over the particle axis) so failures are clear errors rather than opaque
+    XLA sharding exceptions at the first step."""
+    b = batch["positions"].shape[0]
+    n = batch["positions"].shape[2]
+    if b % mesh.shape[DATA_AXIS]:
+        raise ValueError(
+            f"batch size {b} not divisible by data-axis size "
+            f"{mesh.shape[DATA_AXIS]}"
+        )
+    if n % mesh.shape[PARTICLE_AXIS]:
+        raise ValueError(
+            f"particle count {n} not divisible by particle-axis size "
+            f"{mesh.shape[PARTICLE_AXIS]}"
+        )
     specs = {
         "positions": P(DATA_AXIS, None, PARTICLE_AXIS, None),
         "temperatures": P(DATA_AXIS, None, PARTICLE_AXIS, None),

@@ -480,8 +480,23 @@ class Trainer:
             pass
 
     def evaluate(self, dataset) -> Dict[str, float]:
+        """Average metrics over the FULL validation set (the reference's val
+        DataLoader has no drop_last, train.py:157-162 — the tail batch is
+        evaluated too, at the cost of one extra compile for its shape).
+        Sharded eval keeps drop_remainder (tail batches generally do not
+        divide the mesh); a warning covers the dropped samples."""
+        drop = self.mesh is not None
+        if drop and len(dataset) % self.tc.batch_size:
+            import warnings
+
+            warnings.warn(
+                f"sharded evaluation drops {len(dataset) % self.tc.batch_size}"
+                " tail validation samples (not divisible by batch_size)"
+            )
         metrics = []
-        for batch in dataset.batches(self.tc.batch_size, shuffle=False):
+        for batch in dataset.batches(
+            self.tc.batch_size, shuffle=False, drop_remainder=drop
+        ):
             if self.mesh is not None:
                 from cosmology_gnn_simulation_tpu.parallel.sharded import (
                     shard_batch,
@@ -498,8 +513,10 @@ class Trainer:
             else:
                 metrics.append(self.eval_step(self.params, batch))
         if not metrics:
-            return {k: float("inf") for k in
-                    ("loss", "acceleration", "temp_rate", "momentum")}
+            raise ValueError(
+                f"Validation produced zero batches: dataset has "
+                f"{len(dataset)} windows, batch_size={self.tc.batch_size}."
+            )
         return {
             k: float(np.mean([np.asarray(m[k]) for m in metrics]))
             for k in metrics[0]

@@ -291,7 +291,13 @@ int wl_prefetch_next(void* pfh, float* pos, float* temp, float* tpos,
 
 void wl_prefetch_stop(void* pfh) {
   auto* pf = static_cast<Prefetcher*>(pfh);
-  pf->stop.store(true);
+  {
+    // Take the mutex before setting stop + notifying: otherwise the store
+    // can land between the worker's predicate check and its wait entry (a
+    // missed wakeup), deadlocking the join below.
+    std::lock_guard<std::mutex> lk(pf->mu);
+    pf->stop.store(true);
+  }
   pf->cv_ready.notify_all();
   pf->cv_space.notify_all();
   if (pf->worker.joinable()) pf->worker.join();

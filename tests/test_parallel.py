@@ -249,3 +249,30 @@ def test_sharded_eval_matches_single_device(setup):
         np.testing.assert_allclose(
             float(got[key]), float(expected[key]), rtol=2e-5
         )
+
+
+def test_sharded_rollout_reneighbor_every(setup):
+    from cosmology_gnn_simulation_tpu.parallel.sharded import (
+        make_sharded_rollout,
+    )
+    from cosmology_gnn_simulation_tpu.rollout import rollout
+
+    sim, stats, model_config, params = setup
+    pos = jnp.asarray(sim["Coordinates"][:5])
+    temp = jnp.asarray(sim["InternalEnergy"][:5])
+    mesh = make_mesh((1, 8))
+    sharded = make_sharded_rollout(
+        model_config, stats, mesh, 3,
+        num_neighbors=8, neighbor_query_tile=32, reneighbor_every=2,
+    )
+    out = sharded(params, pos, temp)
+    # Single-device reuse path is the parity target.
+    expected = rollout(
+        params, model_config, pos, temp, stats, 3,
+        num_neighbors=8, neighbor_query_tile=32, reneighbor_every=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["Coordinates"]),
+        np.asarray(expected["Coordinates"]),
+        rtol=2e-5, atol=2e-5,
+    )
