@@ -31,8 +31,14 @@ def main(argv=None):
     parser.add_argument("--test_data", type=str, required=True)
     parser.add_argument("--metadata_path", type=str, required=True)
     parser.add_argument("--output_dir", type=str, default="rollout_results")
-    parser.add_argument("--noise_std", type=float, default=0.0)
+    parser.add_argument("--noise_std", type=float, default=0.0,
+                        help="Accepted for reference-CLI parity but IGNORED "
+                             "(rollouts always run noise-free, matching "
+                             "render_rollout.py:44-52)")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--no_strict_neighbors", action="store_true",
+                        help="Downgrade a failed kNN exactness certificate "
+                             "from an error to a warning")
     parser.add_argument("--num_steps", type=int, default=None,
                         help="Steps to simulate (default: full trajectory)")
     parser.add_argument("--reneighbor_every", type=int, default=1,
@@ -49,6 +55,9 @@ def main(argv=None):
     print(f"Using time step (dt): {stats.dt}")
     print(f"Using box size: {stats.box_size}")
 
+    if args.noise_std:
+        print("WARNING: --noise_std is ignored by rollout (kept for "
+              "reference-CLI parity; rollouts are always noise-free)")
     params, model_config = load_model_from_checkpoint(args.model_path, args)
     ground_truth = read_simulation(
         args.test_data, fields=["Coordinates", "InternalEnergy"]
@@ -69,7 +78,7 @@ def main(argv=None):
         args.num_neighbors,
         stats.box_size,
         method=args.neighbor_method,
-        strict=False,
+        strict=not args.no_strict_neighbors,
     )
     print("Performing rollout")
     rollout_data = rollout(

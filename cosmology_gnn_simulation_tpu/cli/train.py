@@ -34,18 +34,21 @@ def main(argv=None):
             print("Using native C++ batch loader")
         else:
             print("Native loader unavailable; falling back to Python loader")
-            train_dataset = SequenceDataset(
-                args.train_dir, args.window_size, args.metadata
-            )
-            val_dataset = SequenceDataset(
-                args.val_dir, args.window_size, args.metadata
-            )
+            train_dataset = val_dataset = None
     else:
+        train_dataset = val_dataset = None
+    if train_dataset is None:
+        # Restrict to the two fields the model consumes (the dataset can
+        # serve every HDF5 field, but loading Velocities/HydroAcceleration
+        # per cached file would triple IO for no training benefit).
+        model_fields = ("Coordinates", "InternalEnergy")
         train_dataset = SequenceDataset(
-            args.train_dir, args.window_size, args.metadata
+            args.train_dir, args.window_size, args.metadata,
+            fields=model_fields,
         )
         val_dataset = SequenceDataset(
-            args.val_dir, args.window_size, args.metadata
+            args.val_dir, args.window_size, args.metadata,
+            fields=model_fields,
         )
 
     model_config = default_model_config(
@@ -75,6 +78,7 @@ def main(argv=None):
         output_dir=args.output_dir,
         compute_dtype=args.compute_dtype,
         neighbor_method=args.neighbor_method,
+        strict_neighbor_check=not args.no_strict_neighbors,
     )
     steps_per_epoch = max(len(train_dataset) // args.batch_size, 1)
 

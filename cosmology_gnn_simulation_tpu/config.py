@@ -64,8 +64,11 @@ def build_train_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data_parallel", action="store_true",
                         help="Shard the batch across all visible devices")
     parser.add_argument("--neighbor_method", type=str, default="auto",
-                        choices=["auto", "bruteforce", "celllist"],
+                        choices=["auto", "bruteforce", "celllist", "pallas"],
                         help="Periodic k-NN backend")
+    parser.add_argument("--no_strict_neighbors", action="store_true",
+                        help="Downgrade a failed kNN exactness certificate "
+                             "from an error to a warning")
     parser.add_argument("--native_loader", action="store_true",
                         help="Use the C++ mmap/prefetch batch loader")
     parser.add_argument("--resume", type=str, default=None,

@@ -39,9 +39,16 @@ class SequenceDataset:
         window_size: int,
         metadata: Dict,
         start_indices: Optional[Sequence[int]] = None,
-        fields: Sequence[str] = ("Coordinates", "InternalEnergy"),
+        fields: Optional[Sequence[str]] = None,
         cache_capacity: int = 2,
     ):
+        """``fields=None`` (default) serves **every** ndim>0 field found in
+        the files — the reference's field-discovery behavior
+        (``dataloader.py:42-51``). Pass an explicit tuple to restrict (e.g.
+        ``("Coordinates", "InternalEnergy")``, the two the model consumes —
+        that is also what ``batches()`` stacks into its canonical keys; any
+        other served fields ride along under ``extra_inputs``/
+        ``extra_targets``)."""
         if isinstance(paths, str):
             if os.path.isdir(paths):
                 file_lists = sorted(glob(os.path.join(paths, "*.hdf5")))
@@ -63,7 +70,10 @@ class SequenceDataset:
 
         with h5py.File(self.file_lists[0], "r") as f:
             available = [k for k in f.keys() if f[k].ndim > 0]
-            self.field_names = [name for name in fields if name in available]
+            if fields is None:
+                self.field_names = sorted(available)
+            else:
+                self.field_names = [n for n in fields if n in available]
             if not self.field_names:
                 raise ValueError(
                     f"None of {fields} present in {self.file_lists[0]}"
@@ -140,14 +150,31 @@ class SequenceDataset:
         shuffle: bool = True,
         seed: int = 0,
         drop_remainder: bool = True,
+        include_extras: bool = False,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Yield stacked minibatches ready for the jitted train step.
 
         Each batch: ``positions [B, T, N, 3]``, ``temperatures [B, T, N, 1]``,
         ``target_positions [B, N, 3]``, ``target_temperatures [B, N, 1]``.
+        With ``include_extras=True``, any served field beyond Coordinates/
+        InternalEnergy (e.g. Velocities, HydroAcceleration when
+        ``fields=None``) is stacked under ``extra_inputs[name] [B, T, N, ·]``
+        / ``extra_targets[name] [B, N, ·]`` — the reference's every-field
+        windows (``dataloader.py:112-129``). Off by default so the jitted
+        train step's batch pytree stays minimal.
         With ``drop_remainder`` (default) every batch has identical shape, so
         the train step compiles exactly once.
         """
+        for name in ("Coordinates", "InternalEnergy"):
+            if name not in self.field_names:
+                raise ValueError(
+                    f"batches() needs field {name!r}; dataset serves only "
+                    f"{self.field_names}"
+                )
+        extras = [
+            n for n in self.field_names
+            if include_extras and n not in ("Coordinates", "InternalEnergy")
+        ]
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
@@ -156,7 +183,7 @@ class SequenceDataset:
             if drop_remainder and len(chunk) < batch_size:
                 break
             samples = [self[int(j)] for j in chunk]
-            yield {
+            batch = {
                 "positions": np.stack(
                     [s["input"]["Coordinates"] for s in samples]
                 ),
@@ -170,3 +197,13 @@ class SequenceDataset:
                     [s["target"]["InternalEnergy"] for s in samples]
                 ),
             }
+            if extras:
+                batch["extra_inputs"] = {
+                    n: np.stack([s["input"][n] for s in samples])
+                    for n in extras
+                }
+                batch["extra_targets"] = {
+                    n: np.stack([s["target"][n] for s in samples])
+                    for n in extras
+                }
+            yield batch

@@ -259,8 +259,14 @@ def featurize(
     edge_distance = jnp.linalg.norm(edge_displacement, axis=-1, keepdims=True)
     edges = jnp.concatenate([edge_displacement, edge_distance], axis=-1)
 
+    if build_reverse and particle_axis is not None:
+        raise ValueError(
+            "build_reverse=True is not supported together with particle_axis "
+            "(the reverse table would need global indices); the sharded path "
+            "uses native autodiff aggregation."
+        )
     reverse_neighbors = None
-    if build_reverse and particle_axis is None:
+    if build_reverse:
         from cosmology_gnn_simulation_tpu.ops.aggregation import (
             build_reverse_adjacency,
             default_reverse_capacity,

@@ -8,7 +8,6 @@ from cosmology_gnn_simulation_tpu.ops.noise import (
     random_walk_temperature_noise,
 )
 from cosmology_gnn_simulation_tpu.ops.neighbors import knn_periodic
-from cosmology_gnn_simulation_tpu.ops.segment import segment_sum
 
 __all__ = [
     "min_image_displacement",
@@ -17,5 +16,4 @@ __all__ = [
     "random_walk_position_noise",
     "random_walk_temperature_noise",
     "knn_periodic",
-    "segment_sum",
 ]

@@ -87,6 +87,7 @@ def cell_list_knn(
     queries: Optional[jnp.ndarray] = None,
     query_tile: int = 8192,
     return_diagnostics: bool = False,
+    valid: Optional[jnp.ndarray] = None,
 ):
     """Periodic k-NN via cell lists.
 
@@ -102,6 +103,8 @@ def cell_list_knn(
         ``overflow`` counts particles dropped from candidate tables and
         ``max_d2`` is the largest k-th-neighbor squared distance — exact iff
         ``overflow == 0`` and ``max_d2 <= (box/G)^2``.
+      valid: optional ``[N]`` bool — False rows are excluded from the
+        candidate set entirely (the halo-sharded path's padding slots).
 
     Returns:
       ``[Q, k]`` int32 neighbor indices (ascending distance), plus
@@ -125,9 +128,17 @@ def cell_list_knn(
     # --- Build the cell table: [G^3, C] of particle ids (n = empty sentinel).
     coords = cell_coords(positions)
     cell_id = (coords[:, 0] * g + coords[:, 1]) * g + coords[:, 2]  # [N]
+    if valid is not None:
+        # Out-of-range key -> the scatter's drop mode discards the row.
+        cell_id = jnp.where(valid, cell_id, g**3)
     b = bin_by_key(cell_id, g**3, cap)
     table = scatter_to_table(b, b.order, g**3, cap, n, jnp.int32).reshape(-1)
     overflow = b.overflow
+    if valid is not None:
+        # Invalid rows all share the sentinel key; don't count the ones
+        # beyond `cap` as real cell overflow.
+        invalid = jnp.sum(~valid)
+        overflow = overflow - jnp.maximum(invalid - cap, 0)
 
     # Positions padded with a sentinel row so gathers of empty slots are
     # safe. Stored as three [N+1] planes: gathering a [T, 27C, 3] tensor
@@ -152,7 +163,15 @@ def cell_list_knn(
             d2 = d2 + delta * delta
         d2 = jnp.where(cand == n, jnp.inf, d2)  # mask empty slots
         neg_d2, pick = jax.lax.top_k(-d2, k)
-        return jnp.take_along_axis(cand, pick, axis=1), -neg_d2
+        picked = jnp.take_along_axis(cand, pick, axis=1)
+        # Rows with fewer than k valid candidates pick the empty-slot
+        # sentinel n; downstream takes would clamp it to particle N-1 —
+        # an arbitrary far particle. Clamp to the row's nearest valid pick
+        # instead (self for self-queries: a benign duplicate edge). The
+        # condition stays loud through the diagnostics: d2 keeps +inf,
+        # so max_d2 fails the exactness certificate.
+        picked = jnp.where(picked == n, picked[:, :1], picked)
+        return picked, -neg_d2
 
     if nq <= query_tile:
         idx, d2 = one_tile(queries)

@@ -221,6 +221,14 @@ def pallas_cell_list_knn(
         cell_id * cap + jnp.minimum(particle_rank, cap - 1)
     ]  # [N, k]
 
+    # Rows with fewer than k valid candidates carry the sentinel id n (see
+    # _select_kernel); a downstream take would clamp it to particle N-1 — an
+    # arbitrary far particle. Clamp to the row's own nearest pick instead
+    # (self: a benign duplicate edge), but record the exhaustion so the
+    # exactness certificate still fails loudly (max_d2 -> +inf).
+    exhausted = jnp.any(out == n)
+    out = jnp.where(out == n, out[:, :1], out)
+
     if return_diagnostics:
         # d_k bound check: recompute k-th distance cheaply from the selected
         # neighbors (vector ops on [N, k]).
@@ -229,5 +237,6 @@ def pallas_cell_list_knn(
             positions[:, None, :] - nbr_pos, box
         )
         d2 = jnp.sum(delta * delta, axis=-1)
-        return out, (overflow, jnp.max(d2))
+        max_d2 = jnp.where(exhausted, jnp.inf, jnp.max(d2))
+        return out, (overflow, max_d2)
     return out

@@ -51,7 +51,7 @@ DATA_AXIS = "data"
 PARTICLE_AXIS = "particle"
 
 
-def _sharded_loss(
+def _sharded_per_sample_losses(
     params,
     batch,
     keys,
@@ -61,9 +61,11 @@ def _sharded_loss(
     tc: TrainConfig,
     dtype,
 ):
-    """Global loss, computed inside shard_map. ``batch`` arrays are
-    shard-local: positions [B_l, T, N_l, 3], etc. Returns a value identical
-    on every device."""
+    """Per-sample loss components inside shard_map. ``batch`` arrays are
+    shard-local: positions [B_l, T, N_l, 3], etc. Returns ``(acc_se,
+    temp_se, momentum)`` as ``[B_l]`` vectors; acc/temp are already global
+    per-sample node means (pmean over the particle axis), momentum is the
+    global per-graph impulse penalty (unweighted)."""
 
     def per_sample(pos, temp, tpos, ttemp, key):
         aug_key, feat_key = jax.random.split(key)
@@ -105,14 +107,31 @@ def _sharded_loss(
         batch["target_temperatures"],
         keys,
     )
-    # Mean over local batch, then over data shards; particle-shard means are
-    # equal-weight partial means -> pmean completes the global node mean.
-    acc_loss = jax.lax.pmean(
-        jax.lax.pmean(jnp.mean(acc_se), PARTICLE_AXIS), DATA_AXIS
+    # Particle-shard means are equal-weight partial means -> pmean completes
+    # the global per-sample node mean.
+    acc_se = jax.lax.pmean(acc_se, PARTICLE_AXIS)
+    temp_se = jax.lax.pmean(temp_se, PARTICLE_AXIS)
+    return acc_se, temp_se, momentum
+
+
+def _sharded_loss(
+    params,
+    batch,
+    keys,
+    *,
+    model_config: EncodeProcessDecodeConfig,
+    stats: NormalizationStats,
+    tc: TrainConfig,
+    dtype,
+):
+    """Global scalar loss inside shard_map; identical on every device."""
+    acc_se, temp_se, momentum = _sharded_per_sample_losses(
+        params, batch, keys,
+        model_config=model_config, stats=stats, tc=tc, dtype=dtype,
     )
-    temp_loss = jax.lax.pmean(
-        jax.lax.pmean(jnp.mean(temp_se), PARTICLE_AXIS), DATA_AXIS
-    )
+    # Mean over local batch, then over data shards.
+    acc_loss = jax.lax.pmean(jnp.mean(acc_se), DATA_AXIS)
+    temp_loss = jax.lax.pmean(jnp.mean(temp_se), DATA_AXIS)
     momentum_loss = tc.momentum_loss_weight * jax.lax.pmean(
         jnp.mean(momentum), DATA_AXIS
     )
@@ -191,10 +210,17 @@ def make_sharded_eval_step(
     stats: NormalizationStats,
     train_config: TrainConfig,
     mesh: Mesh,
+    *,
+    per_sample: bool = False,
 ) -> Callable:
     """Sharded validation step (noise 0, no augmentation, no grad) so
     end-of-epoch evaluation scales like training instead of falling back to
-    one device."""
+    one device.
+
+    With ``per_sample=True`` the step returns ``[B]`` vectors instead of
+    batch-mean scalars — callers can pad a tail batch to the mesh-divisible
+    size and mask out the padding, so sharded eval covers the full
+    validation set (the reference's val DataLoader has no ``drop_last``)."""
     tc = dataclasses.replace(train_config, noise_std=0.0, augment_prob=0.0)
     dtype = jnp.dtype(tc.compute_dtype) if tc.compute_dtype else None
 
@@ -205,13 +231,32 @@ def make_sharded_eval_step(
         "target_temperatures": P(DATA_AXIS, PARTICLE_AXIS, None),
     }
 
+    out_specs = P(DATA_AXIS) if per_sample else P()
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), batch_specs, P(DATA_AXIS)),
-        out_specs=P(),
+        out_specs=out_specs,
     )
     def sharded_eval(params, batch, keys):
+        if per_sample:
+            acc_se, temp_se, momentum = _sharded_per_sample_losses(
+                params, batch, keys,
+                model_config=model_config, stats=stats, tc=tc, dtype=dtype,
+            )
+            momentum = tc.momentum_loss_weight * momentum
+            total = (
+                tc.acc_loss_weight * acc_se
+                + tc.temp_rate_loss_weight * temp_se
+                + momentum
+            )
+            return {
+                "loss": total,
+                "acceleration": acc_se,
+                "temp_rate": temp_se,
+                "momentum": momentum,
+            }
         total, components = _sharded_loss(
             params, batch, keys,
             model_config=model_config, stats=stats, tc=tc, dtype=dtype,

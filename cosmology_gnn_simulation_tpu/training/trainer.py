@@ -74,6 +74,10 @@ class TrainConfig:
     compute_dtype: Optional[str] = None  # e.g. "bfloat16"
     neighbor_query_tile: int = 512
     neighbor_method: str = "auto"
+    # Abort (True) vs warn (False) when the bucketed-kNN exactness
+    # certificate fails on the first batch — clustered data can silently
+    # degrade neighbor graphs otherwise.
+    strict_neighbor_check: bool = True
     # Failure detection (reference has none, SURVEY.md §5): abort the run
     # with a clear report when the loss goes non-finite.
     halt_on_nonfinite: bool = True
@@ -281,8 +285,10 @@ class Trainer:
             self.train_step = make_data_parallel_train_step(
                 model_config, stats, train_config, self.optimizer, mesh
             )
+            # Per-sample metrics so tail batches can be padded + masked
+            # (full-val-set coverage, like single-device eval).
             self.eval_step = make_sharded_eval_step(
-                model_config, stats, train_config, mesh
+                model_config, stats, train_config, mesh, per_sample=True
             )
         else:
             self.train_step = make_train_step(
@@ -329,6 +335,17 @@ class Trainer:
 
         self.step_timer = StepTimer()
         self._check_neighbor_exactness(train_dataset, verbose)
+        dropped = len(train_dataset) % tc.batch_size
+        if dropped and verbose:
+            # Deliberate deviation from the reference (whose train DataLoader
+            # has no drop_last): fixed batch shapes keep the step at exactly
+            # one compilation. The tail samples rotate with the shuffle seed,
+            # so no window is systematically excluded across epochs.
+            print(
+                f"NOTE: {dropped} tail training sample(s) per epoch are "
+                f"dropped to keep batch shapes static "
+                f"(dataset {len(train_dataset)} % batch_size {tc.batch_size})."
+            )
 
         for epoch in range(start_epoch, tc.num_epochs):
             profiling = tc.profile_epoch == epoch
@@ -456,7 +473,8 @@ class Trainer:
     def _check_neighbor_exactness(self, dataset, verbose: bool) -> None:
         """One-time runtime certificate that the bucketed kNN backends are
         exact for THIS particle distribution (clustered data can violate the
-        capacity/cell-edge assumptions silently) — warns with remedies."""
+        capacity/cell-edge assumptions silently). Raises by default
+        (``strict_neighbor_check=False`` downgrades to a warning)."""
         tc = self.tc
         if tc.neighbor_method == "bruteforce":
             return
@@ -471,7 +489,7 @@ class Trainer:
                 tc.num_neighbors,
                 self.stats.box_size,
                 method=tc.neighbor_method,
-                strict=False,
+                strict=tc.strict_neighbor_check,
             )
             if verbose and not result.get("exact", True):
                 print("WARNING: neighbor-search exactness certificate failed "
@@ -482,34 +500,33 @@ class Trainer:
     def evaluate(self, dataset) -> Dict[str, float]:
         """Average metrics over the FULL validation set (the reference's val
         DataLoader has no drop_last, train.py:157-162 — the tail batch is
-        evaluated too, at the cost of one extra compile for its shape).
-        Sharded eval keeps drop_remainder (tail batches generally do not
-        divide the mesh); a warning covers the dropped samples."""
-        drop = self.mesh is not None
-        if drop and len(dataset) % self.tc.batch_size:
-            import warnings
-
-            warnings.warn(
-                f"sharded evaluation drops {len(dataset) % self.tc.batch_size}"
-                " tail validation samples (not divisible by batch_size)"
-            )
+        evaluated too). Sharded eval pads the tail batch to the static batch
+        size and masks the padding out of the per-sample metrics, so sharded
+        and single-device runs report the same value."""
         metrics = []
-        for batch in dataset.batches(
-            self.tc.batch_size, shuffle=False, drop_remainder=drop
-        ):
+        bs = self.tc.batch_size
+        for batch in dataset.batches(bs, shuffle=False, drop_remainder=False):
             if self.mesh is not None:
                 from cosmology_gnn_simulation_tpu.parallel.sharded import (
                     shard_batch,
                 )
 
-                keys = jax.random.split(
-                    jax.random.PRNGKey(0), batch["positions"].shape[0]
+                real = batch["positions"].shape[0]
+                if real < bs:
+                    batch = {
+                        k: np.concatenate(
+                            [v, np.repeat(v[-1:], bs - real, axis=0)]
+                        )
+                        for k, v in batch.items()
+                    }
+                keys = jax.random.split(jax.random.PRNGKey(0), bs)
+                per_sample = self.eval_step(
+                    self.params, shard_batch(batch, self.mesh), keys
                 )
-                metrics.append(
-                    self.eval_step(
-                        self.params, shard_batch(batch, self.mesh), keys
-                    )
-                )
+                metrics.append({
+                    k: float(np.mean(np.asarray(v)[:real]))
+                    for k, v in per_sample.items()
+                })
             else:
                 metrics.append(self.eval_step(self.params, batch))
         if not metrics:
@@ -553,10 +570,19 @@ class Trainer:
         self.opt_state = restored["opt_state"]
         self.key = jax.random.wrap_key_data(restored["rng_key"])
         history_path = os.path.join(path, "history.json")
+        start_epoch = int(restored["epoch"]) + 1
         if os.path.exists(history_path):
             with open(history_path) as f:
                 self.history = json.load(f)
-        return int(restored["epoch"]) + 1
+            # The checkpoint may be earlier than the last recorded epoch
+            # (e.g. model_best): truncate per-epoch series to start_epoch
+            # entries so fit() appends without duplicating/misaligning.
+            for series in ("train_loss", "val_loss", "learning_rates"):
+                self.history[series] = self.history[series][:start_epoch]
+            cl = self.history.get("component_losses", {})
+            for name in cl:
+                cl[name] = cl[name][:start_epoch]
+        return start_epoch
 
     def _plot(self, path: str) -> None:
         try:

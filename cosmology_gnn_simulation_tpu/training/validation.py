@@ -51,8 +51,12 @@ def validate(
     for batch in dataset.batches(batch_size, shuffle=False):
         metrics.append(eval_step(params, batch))
     if not metrics:
-        inf = float("inf")
-        return inf, {"acceleration": inf, "temp_rate": inf, "momentum": inf}
+        # Same contract as Trainer.evaluate: an empty validation set is a
+        # configuration error, not an infinite loss.
+        raise ValueError(
+            f"Validation produced zero batches: dataset has "
+            f"{len(dataset)} windows, batch_size={batch_size}."
+        )
     avg = {
         key: float(np.mean([np.asarray(m[key]) for m in metrics]))
         for key in metrics[0]

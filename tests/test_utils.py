@@ -1,4 +1,4 @@
-"""Tests for observability utilities, plotting artifacts, and segment ops."""
+"""Tests for observability utilities, plotting artifacts, and aggregation."""
 
 import os
 import time
@@ -8,31 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from cosmology_gnn_simulation_tpu.ops.segment import (
-    gather_sum_neighbors,
-    segment_sum,
-)
 from cosmology_gnn_simulation_tpu.utils.profiling import StepTimer
-
-
-def test_segment_sum_matches_numpy(rng):
-    data = rng.normal(size=(50, 4)).astype(np.float32)
-    ids = rng.integers(0, 8, size=(50,))
-    out = np.asarray(segment_sum(jnp.asarray(data), jnp.asarray(ids), 8))
-    expected = np.zeros((8, 4), np.float32)
-    for row, i in zip(data, ids):
-        expected[i] += row
-    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
-
-
-def test_gather_sum_neighbors(rng):
-    values = rng.normal(size=(20, 3)).astype(np.float32)
-    neighbors = rng.integers(0, 20, size=(20, 5))
-    out = np.asarray(
-        gather_sum_neighbors(jnp.asarray(values), jnp.asarray(neighbors))
-    )
-    expected = values[neighbors].sum(axis=1)
-    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
 
 
 def test_chunked_gather_sum_matches_direct(rng):
