@@ -188,14 +188,18 @@ def mode_throughput(args):
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     sizes = [int(s) for s in args.sizes.split(",")]
     rollout_points, train_points = [], []
+    partial_path = os.path.join(RESULTS_DIR, "reference_throughput_partial.json")
     for n in sizes:
         r = measure_rollout(n, steps=args.steps)
         print(f"rollout   N={n}: {r['s_per_step']:.3f} s/step "
-              f"({r['particle_steps_per_s']:.0f} particle-steps/s)")
+              f"({r['particle_steps_per_s']:.0f} particle-steps/s)", flush=True)
         rollout_points.append(r)
         t = measure_train_step(n, num_batches=args.steps)
-        print(f"trainstep N={n}: {t['s_per_batch']:.3f} s/batch")
+        print(f"trainstep N={n}: {t['s_per_batch']:.3f} s/batch", flush=True)
         train_points.append(t)
+        with open(partial_path, "w") as f:  # survive interruption
+            json.dump({"rollout": rollout_points, "train_step": train_points},
+                      f, indent=2)
     result = {
         "machine": "single-core CPU (this container), torch "
                    + torch.__version__,
@@ -272,9 +276,11 @@ def mode_train(args):
 
     model = load_model(os.path.join(out_dir, "model_best.pth"), A)
     np.random.seed(123)
+    # num_timesteps > max_start_idx makes the evaluator cover EVERY start
+    # index (one_step_test.py:41-43) — no sampling noise in the comparison.
     result = validate_one_step(
         model, test_path, meta, window, "cpu",
-        num_neighbors=args.k, num_timesteps=10, noise_std=0.0,
+        num_neighbors=args.k, num_timesteps=10_000, noise_std=0.0,
     )
     summary = {
         "n": n, "k": args.k, "latent": args.latent,

@@ -39,12 +39,21 @@ def main(argv=None):
     parser.add_argument("--no_strict_neighbors", action="store_true",
                         help="Downgrade a failed kNN exactness certificate "
                              "from an error to a warning")
+    parser.add_argument("--exactness_guard", type=str, default="flag",
+                        choices=["off", "flag", "fallback"],
+                        help="In-scan per-step kNN exactness certificate: "
+                             "flag = report failing steps; fallback = rerun "
+                             "failing steps with exact brute force")
     parser.add_argument("--num_steps", type=int, default=None,
                         help="Steps to simulate (default: full trajectory)")
     parser.add_argument("--reneighbor_every", type=int, default=1,
                         help="Rebuild the k-NN graph every R steps (R=1 = "
                              "reference semantics; R>1 trades exactness for "
                              "~1.3-1.5x throughput)")
+    parser.add_argument("--spatial_shards", type=int, default=0,
+                        help="Run the rollout spatially sharded over this "
+                             "many devices with ppermute halo exchange "
+                             "(0/1 = single device)")
     add_model_flags(parser)
     args = parser.parse_args(argv)
 
@@ -81,18 +90,69 @@ def main(argv=None):
         strict=not args.no_strict_neighbors,
     )
     print("Performing rollout")
-    rollout_data = rollout(
-        params,
-        model_config,
-        jnp.asarray(ground_truth["Coordinates"][: args.window_size]),
-        jnp.asarray(ground_truth["InternalEnergy"][: args.window_size]),
-        stats,
-        num_steps,
-        num_neighbors=args.num_neighbors,
-        neighbor_method=args.neighbor_method,
-        reneighbor_every=args.reneighbor_every,
-    )
+    spatial = args.spatial_shards or 0
+    if spatial > 1:
+        import jax
+
+        from cosmology_gnn_simulation_tpu.parallel.halo import (
+            choose_halo_config,
+            run_halo_rollout,
+        )
+        from cosmology_gnn_simulation_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev % spatial:
+            raise ValueError(
+                f"--spatial_shards {spatial} must divide device count {n_dev}"
+            )
+        hc = choose_halo_config(
+            ground_truth["Coordinates"].shape[1], args.num_neighbors, spatial
+        )
+        mesh = make_mesh((n_dev // spatial, spatial))
+        rollout_data, diag = run_halo_rollout(
+            params,
+            model_config,
+            ground_truth["Coordinates"][: args.window_size],
+            ground_truth["InternalEnergy"][: args.window_size],
+            stats,
+            num_steps,
+            mesh,
+            hc,
+            num_neighbors=args.num_neighbors,
+        )
+        if diag["overflow"] or diag["stranded"]:
+            print(f"WARNING: halo rollout capacity diagnostics {diag} != 0 "
+                  "— results are approximate; raise the halo slacks")
+    else:
+        rollout_data = rollout(
+            params,
+            model_config,
+            jnp.asarray(ground_truth["Coordinates"][: args.window_size]),
+            jnp.asarray(ground_truth["InternalEnergy"][: args.window_size]),
+            stats,
+            num_steps,
+            num_neighbors=args.num_neighbors,
+            neighbor_method=args.neighbor_method,
+            reneighbor_every=args.reneighbor_every,
+            exactness_guard=args.exactness_guard,
+        )
     rollout_data = {k: np.asarray(v) for k, v in rollout_data.items()}
+    exactness = rollout_data.pop("neighbor_exactness", None)
+    if exactness is not None:
+        inexact = int((~exactness.astype(bool)).sum())
+        if inexact:
+            if args.exactness_guard == "fallback":
+                print(f"NOTE: {inexact}/{len(exactness)} steps failed the "
+                      "bucketed-kNN certificate and were rerun with exact "
+                      "brute force")
+            else:
+                print(f"WARNING: {inexact}/{len(exactness)} rollout steps "
+                      "failed the kNN exactness certificate (clustered "
+                      "distribution?) — neighbor graphs were approximate on "
+                      "those steps. Rerun with --exactness_guard fallback "
+                      "or --neighbor_method bruteforce.")
+        else:
+            print("kNN exactness certificate held for every rollout step")
 
     print("Calculating errors")
     errors = calculate_rollout_errors(rollout_data, ground_truth)

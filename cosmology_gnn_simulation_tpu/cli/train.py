@@ -95,7 +95,33 @@ def main(argv=None):
                   "continuing with random init")
 
     mesh = None
-    if getattr(args, "data_parallel", False):
+    halo = None
+    spatial = getattr(args, "spatial_shards", 0) or 0
+    if spatial > 1:
+        import jax
+
+        from cosmology_gnn_simulation_tpu.parallel.halo import (
+            choose_halo_config,
+        )
+        from cosmology_gnn_simulation_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev % spatial:
+            raise ValueError(
+                f"--spatial_shards {spatial} must divide the device count "
+                f"{n_dev}"
+            )
+        mesh = make_mesh((n_dev // spatial, spatial))
+        halo = choose_halo_config(
+            train_dataset.num_particles, args.num_neighbors, spatial,
+            noise=args.noise_std > 0,
+        )
+        print(
+            f"Halo-sharded training: {spatial} spatial shards x "
+            f"{n_dev // spatial} data shards; grid {halo.grid_size}, "
+            f"halo {halo.halo_layers} layer(s)"
+        )
+    elif getattr(args, "data_parallel", False):
         import jax
 
         from cosmology_gnn_simulation_tpu.parallel.mesh import make_mesh
@@ -106,7 +132,7 @@ def main(argv=None):
 
     trainer = Trainer(
         model_config, stats, train_config, steps_per_epoch, init_params,
-        mesh=mesh,
+        mesh=mesh, halo=halo,
     )
     start_epoch = 0
     if args.resume:

@@ -63,6 +63,11 @@ def build_train_parser() -> argparse.ArgumentParser:
                         choices=["sender_latents", "edge_messages"])
     parser.add_argument("--data_parallel", action="store_true",
                         help="Shard the batch across all visible devices")
+    parser.add_argument("--spatial_shards", type=int, default=0,
+                        help="Decompose the box into this many x-slabs with "
+                             "ppermute halo exchange (particles sharded "
+                             "spatially; remaining devices go to the data "
+                             "axis). 0/1 = off.")
     parser.add_argument("--neighbor_method", type=str, default="auto",
                         choices=["auto", "bruteforce", "celllist", "pallas"],
                         help="Periodic k-NN backend")

@@ -102,6 +102,58 @@ def neighbor_search(
     )
 
 
+def neighbor_search_certified(
+    positions: jnp.ndarray,
+    k: int,
+    box_size,
+    *,
+    method: str = "auto",
+    query_tile: int = 512,
+):
+    """Neighbor search + a traced exactness certificate, usable INSIDE jit
+    (e.g. every step of a rollout scan — clustered distributions can break
+    the bucketed backends' assumptions mid-trajectory even when the seed
+    frame passes ``verify_neighbor_exactness``).
+
+    Returns ``(neighbors, exact)`` where ``exact`` is a traced bool: True
+    iff this step's result is provably the exact k-NN set (no cell
+    overflow and every k-th neighbor within one cell edge; brute force is
+    exact by construction). The certificate's cost is O(N*k) vector math.
+    """
+    n = positions.shape[0]
+    self_query = True
+    if method == "auto":
+        if n < _CELL_LIST_MIN_N:
+            method = "bruteforce"
+        elif jax.default_backend() == "tpu":
+            method = "pallas"
+        else:
+            method = "celllist"
+    if method != "bruteforce":
+        grid = choose_cell_grid(n, k)
+        if grid.grid_size < 3:
+            method = "bruteforce"
+    if method == "bruteforce":
+        idx = knn_periodic(positions, k, box_size, query_tile=query_tile)
+        return idx, jnp.asarray(True)
+    if method == "pallas" and self_query:
+        from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
+            pallas_cell_list_knn,
+        )
+
+        idx, (overflow, max_d2) = pallas_cell_list_knn(
+            positions, k, box_size, grid, return_diagnostics=True
+        )
+    else:
+        idx, (overflow, max_d2) = cell_list_knn(
+            positions, k, box_size, grid,
+            query_tile=max(query_tile, 4096), return_diagnostics=True,
+        )
+    cell_edge_sq = (jnp.asarray(box_size, jnp.float32) / grid.grid_size) ** 2
+    exact = (overflow == 0) & (max_d2 <= cell_edge_sq)
+    return idx, exact
+
+
 def verify_neighbor_exactness(
     positions,
     k: int,
@@ -179,6 +231,7 @@ def featurize(
     neighbor_method: str = "auto",
     particle_axis: Optional[str] = None,
     build_reverse: bool = False,
+    reverse_capacity: Optional[int] = None,
     neighbors: Optional[jnp.ndarray] = None,
 ) -> ParticleGraph:
     """Build a ``ParticleGraph`` from a trajectory window.
@@ -273,7 +326,8 @@ def featurize(
         )
 
         reverse_neighbors = build_reverse_adjacency(
-            neighbors, default_reverse_capacity(num_neighbors)
+            neighbors,
+            reverse_capacity or default_reverse_capacity(num_neighbors),
         ).receivers
 
     target_acceleration = None

@@ -134,13 +134,24 @@ def _mlp_tail(
 
 
 def _maybe_all_gather(
-    values: jnp.ndarray, particle_axis: Optional[str]
+    values: jnp.ndarray, particle_axis: Optional[str], halo=None
 ) -> jnp.ndarray:
-    """Under particle sharding, expose every shard's rows so global neighbor
-    indices can be gathered. Positions/latents are small relative to edge
-    tensors, so this all-gather rides ICI cheaply; identity on one shard."""
+    """Expose the rows that shard-local neighbor indices may reference.
+
+    Three modes:
+    * single device (``particle_axis is None``): identity;
+    * halo exchange (``halo`` set): concat ``[own, halo_left, halo_right]``
+      — only the boundary-cell rows cross devices via ``ppermute``
+      (O(N/P + halo) per device, the BASELINE config-5 scaling path;
+      see ``parallel/halo.py``);
+    * legacy all-gather: every shard's rows are gathered (O(N) per device —
+      exact but memory/ICI-bound; kept for the index-sharded path)."""
     if particle_axis is None:
         return values
+    if halo is not None:
+        from cosmology_gnn_simulation_tpu.parallel.halo import expand_candidates
+
+        return expand_candidates(values, halo, particle_axis)
     return jax.lax.all_gather(values, particle_axis, tiled=True)
 
 
@@ -193,6 +204,7 @@ def _processor_step(
     dtype: Optional[jnp.dtype],
     particle_axis: Optional[str] = None,
     reverse_neighbors: Optional[jnp.ndarray] = None,
+    halo=None,
 ):
     """One InteractionNetwork step (pre-residual outputs)."""
     latent = x.shape[-1]
@@ -205,7 +217,7 @@ def _processor_step(
     y_src = _split_dense(x, w_src, dtype)  # [N, H]
     y_dst = _split_dense(x, w_dst, dtype)  # [N, H]
     h_e = jax.nn.relu(
-        jnp.take(_maybe_all_gather(y_src, particle_axis), neighbors, axis=0)
+        jnp.take(_maybe_all_gather(y_src, particle_axis, halo), neighbors, axis=0)
         + y_dst[:, None, :]
         + _split_dense(e, w_e, dtype)
         + edge_first["b"]
@@ -220,7 +232,8 @@ def _processor_step(
         # Reference semantics: scatter-add of x_j. Projected-then-gathered.
         z = _split_dense(x, w_agg, dtype)  # [N, H]
         agg_h = _gather_sum(
-            _maybe_all_gather(z, particle_axis), neighbors, reverse_neighbors
+            _maybe_all_gather(z, particle_axis, halo), neighbors,
+            reverse_neighbors,
         )
     elif aggregate == "edge_messages":
         agg_h = _split_dense(e_new.sum(axis=1), w_agg, dtype)
@@ -239,6 +252,7 @@ def _pruned_processor_step(
     dtype: Optional[jnp.dtype],
     particle_axis: Optional[str] = None,
     reverse_neighbors: Optional[jnp.ndarray] = None,
+    halo=None,
 ) -> jnp.ndarray:
     """Node-stream-only InteractionNetwork step, valid under
     ``sender_latents`` aggregation where the edge stream is provably dead
@@ -254,7 +268,7 @@ def _pruned_processor_step(
         # bf16 sums add ~2^-8 relative noise, same order as the matmuls).
         z = z.astype(dtype)
     agg_h = _gather_sum(
-        _maybe_all_gather(z, particle_axis), neighbors, reverse_neighbors
+        _maybe_all_gather(z, particle_axis, halo), neighbors, reverse_neighbors
     ).astype(jnp.float32)
     h_n = jax.nn.relu(_split_dense(x, w_self, dtype) + agg_h + node_first["b"])
     return _mlp_tail(step_params["node"], h_n, dtype)
@@ -266,12 +280,16 @@ def apply_encode_process_decode(
     config: EncodeProcessDecodeConfig,
     dtype: Optional[jnp.dtype] = None,
     particle_axis: Optional[str] = None,
+    halo=None,
 ) -> Dict[str, jnp.ndarray]:
     """Forward pass. Returns ``{'acceleration': [N, 3], 'temp_rate': [N, 1]}``.
 
     Under particle sharding (``particle_axis`` inside ``shard_map``), ``x``
     rows are shard-local while ``graph.neighbors`` hold global indices; the
     per-step projected latents are all-gathered before the neighbor gather.
+    With ``halo`` (a ``parallel.halo.HaloSends``), neighbors instead index
+    the ``[own, halo_left, halo_right]`` candidate space and only boundary
+    rows are exchanged per step via ``ppermute``.
     """
     nodes = graph.nodes
     if graph.globals_ is not None:
@@ -291,7 +309,7 @@ def apply_encode_process_decode(
         def body(carry, step_params):
             x_new = _pruned_processor_step(
                 carry, neighbors, step_params, dtype, particle_axis,
-                graph.reverse_neighbors,
+                graph.reverse_neighbors, halo,
             )
             return carry + x_new, None
 
@@ -303,7 +321,7 @@ def apply_encode_process_decode(
             x, e = carry
             x_new, e_new = _processor_step(
                 x, e, neighbors, step_params, config.aggregate, dtype,
-                particle_axis, graph.reverse_neighbors,
+                particle_axis, graph.reverse_neighbors, halo,
             )
             return (x + x_new, e + e_new), None
 

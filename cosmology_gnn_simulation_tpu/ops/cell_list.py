@@ -171,6 +171,12 @@ def cell_list_knn(
         # condition stays loud through the diagnostics: d2 keeps +inf,
         # so max_d2 fails the exactness certificate.
         picked = jnp.where(picked == n, picked[:, :1], picked)
+        # A row with ZERO valid candidates (possible only for invalid pad
+        # queries in the halo-sharded path — real self-queries always see
+        # themselves) would keep the sentinel; clamp to 0 so downstream
+        # jnp.take (whose out-of-range mode is fill=NaN) stays finite. Such
+        # rows are masked out by their callers.
+        picked = jnp.where(picked == n, 0, picked)
         return picked, -neg_d2
 
     if nq <= query_tile:

@@ -58,7 +58,8 @@ def _select_kernel(k: int, cells_per_block: int, cap: int, num_cand: int):
     over its candidate row, emitting the selected **particle ids** directly
     (id resolution on-chip avoids a [G^3, cap, k] gather afterwards)."""
 
-    def kernel(qx, qy, qz, cx, cy, cz, cids, nref, box_ref, out_ref):
+    def kernel(qx, qy, qz, cx, cy, cz, cids, nref, box_ref, out_ref,
+               kth_ref):
         box = box_ref[0]
         n_sentinel = nref[0]
         for c in range(cells_per_block):
@@ -76,6 +77,7 @@ def _select_kernel(k: int, cells_per_block: int, cap: int, num_cand: int):
             picked = jnp.zeros((cap, _LANE), jnp.int32)
             out_lane = jax.lax.broadcasted_iota(jnp.int32, (cap, _LANE), 1)
             big_id = jnp.int32(2**30)
+            m = jnp.zeros((cap, 1), jnp.float32)
             for j in range(k):
                 # Ties broken by SMALLEST PARTICLE ID (unique per row — each
                 # particle appears in exactly one of the 27 distinct cells),
@@ -98,6 +100,9 @@ def _select_kernel(k: int, cells_per_block: int, cap: int, num_cand: int):
                 picked = jnp.where(out_lane == j, pid, picked)
                 d2 = jnp.where(ids_row == pid, _BIG, d2)
             out_ref[c] = picked
+            # m after the last iteration IS the k-th smallest distance —
+            # the exactness certificate (d_k <= cell edge) for free.
+            kth_ref[c] = m[:, 0]
 
     return kernel
 
@@ -191,19 +196,31 @@ def pallas_cell_list_knn(
     c_spec = pl.BlockSpec(
         (cells_per_block, num_cand), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    picked = pl.pallas_call(
+    picked, kth_d2 = pl.pallas_call(
         _select_kernel(k, cells_per_block, cap, num_cand),
         grid=(num_blocks,),
         in_specs=[q_spec, q_spec, q_spec, c_spec, c_spec, c_spec, c_spec,
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(
-            (cells_per_block, cap, _LANE),
-            lambda i: (i, 0, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec(
+                (cells_per_block, cap, _LANE),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cells_per_block, cap),
+                lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (num_blocks * cells_per_block, cap, _LANE), jnp.int32
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (num_blocks * cells_per_block, cap, _LANE), jnp.int32
+            ),
+            jax.ShapeDtypeStruct(
+                (num_blocks * cells_per_block, cap), jnp.float32
+            ),
         ),
         interpret=interpret,
     )(plane_x, plane_y, plane_z, cand_x, cand_y, cand_z, cand_ids,
@@ -224,19 +241,18 @@ def pallas_cell_list_knn(
     # Rows with fewer than k valid candidates carry the sentinel id n (see
     # _select_kernel); a downstream take would clamp it to particle N-1 — an
     # arbitrary far particle. Clamp to the row's own nearest pick instead
-    # (self: a benign duplicate edge), but record the exhaustion so the
-    # exactness certificate still fails loudly (max_d2 -> +inf).
-    exhausted = jnp.any(out == n)
+    # (self: a benign duplicate edge). Exhausted rows keep k-th distance
+    # _BIG in the kernel's kth output, so the exactness certificate still
+    # fails loudly.
     out = jnp.where(out == n, out[:, :1], out)
 
     if return_diagnostics:
-        # d_k bound check: recompute k-th distance cheaply from the selected
-        # neighbors (vector ops on [N, k]).
-        nbr_pos = positions[out]
-        delta = min_image_displacement(
-            positions[:, None, :] - nbr_pos, box
-        )
-        d2 = jnp.sum(delta * delta, axis=-1)
-        max_d2 = jnp.where(exhausted, jnp.inf, jnp.max(d2))
+        # The kernel emits each query row's k-th smallest distance directly
+        # (free — the selection loop computes it anyway). Mask empty slots
+        # via the id table; overflowed particles share their clamped slot's
+        # row, which is covered by the overflow count.
+        valid_slot = ids.reshape(-1) != n
+        kth = kth_d2[:num_cells].reshape(-1)
+        max_d2 = jnp.max(jnp.where(valid_slot, kth, 0.0))
         return out, (overflow, max_d2)
     return out

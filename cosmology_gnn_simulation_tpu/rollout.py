@@ -24,7 +24,11 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from cosmology_gnn_simulation_tpu.featurize import featurize, neighbor_search
+from cosmology_gnn_simulation_tpu.featurize import (
+    featurize,
+    neighbor_search_certified,
+)
+from cosmology_gnn_simulation_tpu.ops.neighbors import knn_periodic
 from cosmology_gnn_simulation_tpu.models.encode_process_decode import (
     EncodeProcessDecodeConfig,
     apply_encode_process_decode,
@@ -77,6 +81,7 @@ def integrate_step(
         "neighbor_query_tile",
         "neighbor_method",
         "reneighbor_every",
+        "exactness_guard",
     ),
 )
 def rollout(
@@ -93,6 +98,7 @@ def rollout(
     neighbor_query_tile: int = 512,
     neighbor_method: str = "auto",
     reneighbor_every: int = 1,
+    exactness_guard: str = "flag",
 ) -> Dict[str, jnp.ndarray]:
     """Roll the learned simulator forward ``num_steps`` steps.
 
@@ -106,18 +112,54 @@ def rollout(
         semantics — re-neighbor every step; R>1 is an opt-in approximation
         exploiting that neighbor lists evolve slowly relative to dt, cutting
         the dominant per-step cost.
+      exactness_guard: bucketed k-NN backends are provably exact only while
+        no cell overflows and every k-th neighbor is within one cell edge —
+        a CLUSTERED distribution can silently break that mid-rollout even
+        when the seed frame passes the offline certificate. ``"flag"``
+        (default) evaluates the certificate every re-neighboring step inside
+        the scan and returns it as ``neighbor_exactness [num_steps]``;
+        ``"fallback"`` additionally reruns failing steps with the exact
+        brute-force search (paying its cost only on those steps);
+        ``"off"`` skips the in-scan checks entirely.
 
     Returns:
       ``{"Coordinates": [W + num_steps, N, 3],
          "InternalEnergy": [W + num_steps, N, 1]}`` — seed window first, like
-      the reference trajectory layout (``render_rollout.py:87-90``).
+      the reference trajectory layout (``render_rollout.py:87-90``) — plus
+      ``"neighbor_exactness"`` when the guard is on.
     """
     if reneighbor_every < 1:
         raise ValueError(
             f"reneighbor_every must be >= 1, got {reneighbor_every}"
         )
+    if exactness_guard not in ("off", "flag", "fallback"):
+        raise ValueError(f"unknown exactness_guard: {exactness_guard}")
     zero_key = jax.random.PRNGKey(0)
     reuse = reneighbor_every > 1
+    guard = exactness_guard != "off"
+
+    def searched(pos_window):
+        # Match featurize's noise-then-wrap order (featurize wraps before
+        # its internal search; seed windows may carry unwrapped coords).
+        wrapped = wrap_positions(pos_window[-1], stats.box_size)
+        neighbors, exact = neighbor_search_certified(
+            wrapped,
+            num_neighbors,
+            stats.box_size,
+            method=neighbor_method,
+            query_tile=neighbor_query_tile,
+        )
+        if exactness_guard == "fallback":
+            neighbors = jax.lax.cond(
+                exact,
+                lambda w: neighbors,
+                lambda w: knn_periodic(
+                    w, num_neighbors, stats.box_size,
+                    query_tile=neighbor_query_tile,
+                ),
+                wrapped,
+            )
+        return neighbors, exact
 
     def step(pos_window, temp_window, neighbors):
         graph = featurize(
@@ -154,7 +196,8 @@ def rollout(
         initial_positions.astype(jnp.float32),
         initial_temperatures.astype(jnp.float32),
     )
-    if not reuse:
+    exactness = None
+    if not reuse and not guard:
         def body(carry, _):
             pos_window, temp_window = carry
             pos_window, temp_window, _, out = step(
@@ -165,43 +208,49 @@ def rollout(
         _, (positions, temperatures) = jax.lax.scan(
             body, init_windows, None, length=num_steps
         )
-    else:
-        def search(pos_window):
-            # Match featurize's noise-then-wrap order (featurize wraps before
-            # its internal search; seed windows may carry unwrapped coords).
-            return neighbor_search(
-                wrap_positions(pos_window[-1], stats.box_size),
-                num_neighbors,
-                stats.box_size,
-                method=neighbor_method,
-                query_tile=neighbor_query_tile,
+    elif not reuse:
+        def body(carry, _):
+            pos_window, temp_window = carry
+            neighbors, exact = searched(pos_window)
+            pos_window, temp_window, _, out = step(
+                pos_window, temp_window, neighbors
             )
+            return (pos_window, temp_window), (out, exact)
 
+        _, ((positions, temperatures), exactness) = jax.lax.scan(
+            body, init_windows, None, length=num_steps
+        )
+    else:
         def body(carry, step_index):
-            pos_window, temp_window, neighbors = carry
+            pos_window, temp_window, neighbors, exact = carry
             # Step 0 uses the carry seeded with a real search; re-search only
             # at later multiples of R (avoids running the dominant kNN twice
-            # for step 0).
-            neighbors = jax.lax.cond(
+            # for step 0). Reused steps inherit the exactness of the search
+            # that produced their neighbor table.
+            neighbors, exact = jax.lax.cond(
                 (step_index % reneighbor_every == 0) & (step_index > 0),
-                lambda pw, nb: search(pw),
-                lambda pw, nb: nb,
+                lambda pw, nb, ex: searched(pw),
+                lambda pw, nb, ex: (nb, ex),
                 pos_window,
                 neighbors,
+                exact,
             )
             pos_window, temp_window, neighbors, out = step(
                 pos_window, temp_window, neighbors
             )
-            return (pos_window, temp_window, neighbors), out
+            return (pos_window, temp_window, neighbors, exact), (out, exact)
 
-        init = (*init_windows, search(init_windows[0]))
-        _, (positions, temperatures) = jax.lax.scan(
+        init = (*init_windows, *searched(init_windows[0]))
+        _, ((positions, temperatures), exactness) = jax.lax.scan(
             body, init, jnp.arange(num_steps)
         )
-    return {
+    result = {
         "Coordinates": jnp.concatenate([init_windows[0], positions], axis=0),
         "InternalEnergy": jnp.concatenate([init_windows[1], temperatures], axis=0),
     }
+    if guard:
+        result["neighbor_exactness"] = exactness
+    return result
 
 
 @functools.partial(

@@ -78,6 +78,11 @@ class TrainConfig:
     # certificate fails on the first batch — clustered data can silently
     # degrade neighbor graphs otherwise.
     strict_neighbor_check: bool = True
+    # Custom-VJP aggregation: invert the neighbor table once per graph so
+    # the backward pass is a gather+sum instead of a TPU scatter-add
+    # (ops/aggregation.py). reverse_capacity None = 3k default.
+    build_reverse: bool = False
+    reverse_capacity: Optional[int] = None
     # Failure detection (reference has none, SURVEY.md §5): abort the run
     # with a clear report when the loss goes non-finite.
     halt_on_nonfinite: bool = True
@@ -122,11 +127,8 @@ def make_train_step(
             target_temperature=ttemp,
             neighbor_query_tile=tc.neighbor_query_tile,
             neighbor_method=tc.neighbor_method,
-            # build_reverse=True enables the custom-VJP aggregation; measured
-            # SLOWER at N=32k/k=16 (191ms vs 143ms: the reverse-table sort +
-            # 3x-padded backward gather outweigh the scatter-add it avoids),
-            # so native autodiff stays the default.
-            build_reverse=False,
+            build_reverse=tc.build_reverse,
+            reverse_capacity=tc.reverse_capacity,
         )
         preds = apply_encode_process_decode(params, graph, model_config, dtype)
         return preds, graph.target_acceleration, graph.target_temp_rate
@@ -250,15 +252,25 @@ class Trainer:
         steps_per_epoch: int,
         init_params: Any = None,
         mesh=None,
+        halo=None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with (data, particle)
         axes — training steps then run sharded via ``shard_map`` (gradient
         psum over ICI); ``batch_size`` must be divisible by the data-axis
-        size. Without a mesh, single-device jitted steps are used."""
+        size. Without a mesh, single-device jitted steps are used.
+
+        ``halo``: optional ``parallel.halo.HaloConfig`` — particles are then
+        SPATIALLY decomposed into slabs with ``ppermute`` halo exchange
+        (O(N/P + halo) per device) instead of index-sharded with per-step
+        all-gathers; requires ``mesh`` with a matching particle-axis size.
+        The xyz augmentation then runs host-side during partitioning."""
         self.model_config = model_config
         self.stats = stats
         self.tc = train_config
         self.mesh = mesh
+        self.halo = halo
+        if halo is not None and mesh is None:
+            raise ValueError("halo sharding requires a mesh")
         self.key = jax.random.PRNGKey(train_config.seed)
         self.key, init_key = jax.random.split(self.key)
         self.params = (
@@ -268,7 +280,25 @@ class Trainer:
         )
         self.optimizer = make_optimizer(train_config, steps_per_epoch)
         self.opt_state = self.optimizer.init(self.params)
-        if mesh is not None:
+        if mesh is not None and halo is not None:
+            from cosmology_gnn_simulation_tpu.parallel.halo import (
+                make_halo_eval_step,
+                make_halo_train_step,
+            )
+
+            if train_config.batch_size % mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size {train_config.batch_size} must divide by "
+                    f"data-axis size {mesh.shape['data']}"
+                )
+            self.train_step = make_halo_train_step(
+                model_config, stats, train_config, self.optimizer, mesh, halo
+            )
+            self.eval_step = make_halo_eval_step(
+                model_config, stats, train_config, mesh, halo
+            )
+            self._host_rng = np.random.default_rng(train_config.seed)
+        elif mesh is not None:
             from cosmology_gnn_simulation_tpu.parallel.sharded import (
                 make_data_parallel_train_step,
             )
@@ -371,7 +401,24 @@ class Trainer:
                     pass
             for count, batch in enumerate(batch_iter, start=1):
                 self.key, step_key = jax.random.split(self.key)
-                if self.mesh is not None:
+                if self.halo is not None:
+                    from cosmology_gnn_simulation_tpu.parallel.halo import (
+                        partition_batch,
+                        shard_halo_batch,
+                    )
+
+                    keys = jax.random.split(
+                        step_key, batch["positions"].shape[0]
+                    )
+                    part = partition_batch(
+                        batch, self.halo, self.stats.box_size,
+                        augment_prob=tc.augment_prob, rng=self._host_rng,
+                    )
+                    self.params, self.opt_state, metrics = self.train_step(
+                        self.params, self.opt_state,
+                        shard_halo_batch(part, self.mesh), keys,
+                    )
+                elif self.mesh is not None:
                     from cosmology_gnn_simulation_tpu.parallel.sharded import (
                         shard_batch,
                     )
@@ -506,7 +553,29 @@ class Trainer:
         metrics = []
         bs = self.tc.batch_size
         for batch in dataset.batches(bs, shuffle=False, drop_remainder=False):
-            if self.mesh is not None:
+            if self.halo is not None:
+                from cosmology_gnn_simulation_tpu.parallel.halo import (
+                    partition_batch,
+                    shard_halo_batch,
+                )
+
+                real = batch["positions"].shape[0]
+                if real < bs:
+                    batch = {
+                        k: np.concatenate(
+                            [v, np.repeat(v[-1:], bs - real, axis=0)]
+                        )
+                        for k, v in batch.items()
+                    }
+                part = partition_batch(batch, self.halo, self.stats.box_size)
+                per_sample = self.eval_step(
+                    self.params, shard_halo_batch(part, self.mesh)
+                )
+                metrics.append({
+                    k: float(np.mean(np.asarray(v)[:real]))
+                    for k, v in per_sample.items()
+                })
+            elif self.mesh is not None:
                 from cosmology_gnn_simulation_tpu.parallel.sharded import (
                     shard_batch,
                 )
