@@ -3,8 +3,8 @@
 compares backward-pass strategies:
 
 * native autodiff (the gather's VJP is an XLA scatter-add),
-* custom reverse-adjacency VJP at several capacities R (backward becomes a
-  [N, R] gather+sum; exact while max in-degree <= R),
+* sorted-edge custom VJP (backward = prefix-sum differences over the
+  sender-sorted edge stream, ops/aggregation.py),
 * fp32 vs bf16 compute.
 
 Timing per CLAUDE.md: perturb inputs every call, force a scalar checksum to
@@ -95,10 +95,10 @@ def main():
         results[f"fwd_only_{dtype_name}"] = time_step(
             lambda b, p, e: run_eval(b, p, e), batch, params, perturb=True)
 
-        variants = [("native", dict(build_reverse=False))]
-        for r in (24, 32, 48):
-            variants.append((f"reverse_R{r}",
-                             dict(build_reverse=True, reverse_capacity=r)))
+        variants = [
+            ("native", dict(build_reverse=False)),
+            ("sorted_edges", dict(build_reverse=True)),
+        ]
         for name, extra in variants:
             tc = TrainConfig(**common, **extra)
             optimizer = make_optimizer(tc, steps_per_epoch=1)

@@ -231,7 +231,6 @@ def featurize(
     neighbor_method: str = "auto",
     particle_axis: Optional[str] = None,
     build_reverse: bool = False,
-    reverse_capacity: Optional[int] = None,
     neighbors: Optional[jnp.ndarray] = None,
 ) -> ParticleGraph:
     """Build a ``ParticleGraph`` from a trajectory window.
@@ -246,9 +245,10 @@ def featurize(
       num_neighbors: k, **including** the self-loop.
       target_position / target_temperature: ``[N, 3]`` / ``[N, 1]`` next-frame
         ground truth; if given, normalized training targets are attached.
-      build_reverse: also invert the neighbor table (training-time option:
-        enables the fast exact custom-VJP aggregation; pointless for
-        inference). Not supported together with ``particle_axis``.
+      build_reverse: also build the sender-sorted edge stream (training-time
+        option: enables the fast exact scatter-free custom-VJP aggregation
+        backward, ``ops/aggregation.py``; pointless for inference). Not
+        supported together with ``particle_axis``.
       neighbors: optional precomputed ``[N, k]`` neighbor indices — skips the
         neighbor search entirely (the rollout engine's
         ``reneighbor_every > 1`` reuse path).
@@ -315,20 +315,16 @@ def featurize(
     if build_reverse and particle_axis is not None:
         raise ValueError(
             "build_reverse=True is not supported together with particle_axis "
-            "(the reverse table would need global indices); the sharded path "
-            "uses native autodiff aggregation."
+            "(sorted edges would need the candidate index space); the "
+            "sharded path uses native autodiff aggregation."
         )
-    reverse_neighbors = None
+    sorted_edges = None
     if build_reverse:
         from cosmology_gnn_simulation_tpu.ops.aggregation import (
-            build_reverse_adjacency,
-            default_reverse_capacity,
+            build_sorted_edges,
         )
 
-        reverse_neighbors = build_reverse_adjacency(
-            neighbors,
-            reverse_capacity or default_reverse_capacity(num_neighbors),
-        ).receivers
+        sorted_edges = build_sorted_edges(neighbors)
 
     target_acceleration = None
     target_temp_rate = None
@@ -354,5 +350,5 @@ def featurize(
         positions=recent_position,
         target_acceleration=target_acceleration,
         target_temp_rate=target_temp_rate,
-        reverse_neighbors=reverse_neighbors,
+        sorted_edges=sorted_edges,
     )

@@ -164,20 +164,20 @@ _GATHER_CHUNK_BYTES = 1 << 28
 def _gather_sum(
     values: jnp.ndarray,
     neighbors: jnp.ndarray,
-    reverse_neighbors: Optional[jnp.ndarray] = None,
+    sorted_edges=None,
 ) -> jnp.ndarray:
     """``out[i] = sum_j values[neighbors[i, j]]`` with automatic node-tile
     chunking so the intermediate gather never exceeds ~256 MB.
 
-    With ``reverse_neighbors`` (training graphs), the custom-VJP form is
-    used: the backward pass becomes a gather+sum over the reverse adjacency
-    instead of a slow TPU scatter-add (ops/aggregation.py)."""
-    if reverse_neighbors is not None:
+    With ``sorted_edges`` (training graphs), the custom-VJP form is used:
+    the backward pass becomes a sorted-run prefix-sum difference instead of
+    a slow TPU scatter-add (ops/aggregation.py)."""
+    if sorted_edges is not None:
         from cosmology_gnn_simulation_tpu.ops.aggregation import (
             aggregate_sender_latents,
         )
 
-        return aggregate_sender_latents(values, neighbors, reverse_neighbors)
+        return aggregate_sender_latents(values, neighbors, sorted_edges)
     n, k = neighbors.shape
     h = values.shape[-1]
     total = n * k * h * 4
@@ -203,7 +203,7 @@ def _processor_step(
     aggregate: str,
     dtype: Optional[jnp.dtype],
     particle_axis: Optional[str] = None,
-    reverse_neighbors: Optional[jnp.ndarray] = None,
+    sorted_edges=None,
     halo=None,
 ):
     """One InteractionNetwork step (pre-residual outputs)."""
@@ -216,8 +216,17 @@ def _processor_step(
     w_src, w_dst, w_e = w[:latent], w[latent: 2 * latent], w[2 * latent:]
     y_src = _split_dense(x, w_src, dtype)  # [N, H]
     y_dst = _split_dense(x, w_dst, dtype)  # [N, H]
+    y_src_all = _maybe_all_gather(y_src, particle_axis, halo)
+    if sorted_edges is not None:
+        from cosmology_gnn_simulation_tpu.ops.aggregation import (
+            gather_sender_rows,
+        )
+
+        y_src_nbr = gather_sender_rows(y_src_all, neighbors, sorted_edges)
+    else:
+        y_src_nbr = jnp.take(y_src_all, neighbors, axis=0)
     h_e = jax.nn.relu(
-        jnp.take(_maybe_all_gather(y_src, particle_axis, halo), neighbors, axis=0)
+        y_src_nbr
         + y_dst[:, None, :]
         + _split_dense(e, w_e, dtype)
         + edge_first["b"]
@@ -233,7 +242,7 @@ def _processor_step(
         z = _split_dense(x, w_agg, dtype)  # [N, H]
         agg_h = _gather_sum(
             _maybe_all_gather(z, particle_axis, halo), neighbors,
-            reverse_neighbors,
+            sorted_edges,
         )
     elif aggregate == "edge_messages":
         agg_h = _split_dense(e_new.sum(axis=1), w_agg, dtype)
@@ -251,7 +260,7 @@ def _pruned_processor_step(
     step_params: Params,
     dtype: Optional[jnp.dtype],
     particle_axis: Optional[str] = None,
-    reverse_neighbors: Optional[jnp.ndarray] = None,
+    sorted_edges=None,
     halo=None,
 ) -> jnp.ndarray:
     """Node-stream-only InteractionNetwork step, valid under
@@ -268,7 +277,7 @@ def _pruned_processor_step(
         # bf16 sums add ~2^-8 relative noise, same order as the matmuls).
         z = z.astype(dtype)
     agg_h = _gather_sum(
-        _maybe_all_gather(z, particle_axis, halo), neighbors, reverse_neighbors
+        _maybe_all_gather(z, particle_axis, halo), neighbors, sorted_edges
     ).astype(jnp.float32)
     h_n = jax.nn.relu(_split_dense(x, w_self, dtype) + agg_h + node_first["b"])
     return _mlp_tail(step_params["node"], h_n, dtype)
@@ -309,7 +318,7 @@ def apply_encode_process_decode(
         def body(carry, step_params):
             x_new = _pruned_processor_step(
                 carry, neighbors, step_params, dtype, particle_axis,
-                graph.reverse_neighbors, halo,
+                graph.sorted_edges, halo,
             )
             return carry + x_new, None
 
@@ -321,7 +330,7 @@ def apply_encode_process_decode(
             x, e = carry
             x_new, e_new = _processor_step(
                 x, e, neighbors, step_params, config.aggregate, dtype,
-                particle_axis, graph.reverse_neighbors, halo,
+                particle_axis, graph.sorted_edges, halo,
             )
             return (x + x_new, e + e_new), None
 

@@ -1,90 +1,191 @@
-"""Neighbor-sum aggregation with a fast exact custom VJP.
+"""Neighbor gather/aggregation ops with fast exact custom VJPs.
 
-Forward: ``agg[i] = sum_j z[neighbors[i, j]]`` — a fused gather+sum (fast on
-TPU). Its autodiff transpose, however, is a scatter-add into ``dz`` — slow
-on TPU (measured: backward ~3.4x forward at N=32k, dominated by these
-scatters across the 10 message-passing steps).
+Forward ops over a regular ``[N, k]`` neighbor table:
 
-Fix: precompute the **reverse adjacency** once per graph — for each particle
-``p``, the (padded, static-capacity) list of receivers that count ``p`` among
-their neighbors. The cotangent is then ``dz[p] = sum_r g[reverse[p, r]]`` —
-the *same* gather+sum structure as the forward pass. Exact as long as no
-particle's in-degree exceeds the capacity ``R`` (``overflow`` diagnostic
-returned by the builder; in-degree concentrates around k for k-NN graphs, so
-the default R = 3k has enormous headroom for near-uniform data — clustered
-hubs can exceed it, so training surfaces the overflow count).
+* ``aggregate_sender_latents``: ``agg[i] = sum_j z[neighbors[i, j]]`` —
+  a fused gather+sum (row gathers run at HBM bandwidth on TPU).
+* ``gather_sender_rows``: ``out[i, j] = z[neighbors[i, j]]`` — the plain
+  row gather feeding per-edge MLPs.
 
-Status: measured NOT profitable at N=32k/k=16/H=128 on v5e (191ms vs 143ms
-per value_and_grad): the per-step reverse-table sort plus the 3x-padded
-backward gather cost more than the XLA scatter-add they replace (XLA fuses
-the gather transpose better than expected). Kept as a tested opt-in
-(``featurize(build_reverse=True)``) — the trade-off may flip at larger k/H
-or once the table build amortizes over many MP steps via a persisted graph.
+Both autodiff transposes are scatter-adds into ``dz`` — measured ~7.9 ms per
+message-passing step at N=32k/k=16/H=128 on v5e (~79 ms across the 10-step
+backward, the dominant term of the round-1 386 ms train step;
+``benchmarks/profile_backward_tpu.py``).
+
+Fix — express the transpose entirely in TPU-friendly primitives:
+
+1. Once per graph (amortized over all message-passing steps and the whole
+   fwd+bwd), sort the ``N*k`` edge stream by *sender* with
+   ``lax.sort_key_val`` (~3 ms; crucially this carries the payload through
+   the sort network, avoiding the pathological elementwise gather/scatter a
+   reverse-adjacency *table* build needs — that build alone measured ~89 ms).
+2. Per backward step, the cotangent is a segment sum over the sorted runs:
+   ``dz[p] = sum_{e in run(p)} g_e``. Gather the cotangent rows in
+   sorted-edge order (row gather, bandwidth-bound), take a running prefix
+   sum over the edge axis, and read each segment as a *difference of two
+   prefix rows*: ``dz[p] = prefix[end_p] - prefix[start_p]`` — two [N, H]
+   row gathers. No scatter anywhere.
+
+The prefix sum is carried in float32 with a two-level (chunked) form so
+rounding does not accumulate over the full ``N*k`` stream: segments read
+from a chunk-local prefix plus an inter-chunk offset, bounding the extra
+rounding to ~sqrt(chunk) ULPs — measured grad agreement vs. the native
+scatter transpose is ~1e-6 relative (tests/test_aggregation.py).
+
+Exact for ANY neighbor table (duplicates included — multiplicity is
+preserved by the edge stream); there is no capacity/overflow regime, unlike
+the reverse-adjacency design this replaces.
+
+Reference counterpart: the ``torch_scatter`` CUDA segment ops PyG's
+``propagate(aggr='add')`` bottoms out in
+(``/root/reference/graph_network.py:79,92``).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from cosmology_gnn_simulation_tpu.ops.binning import bin_by_key, scatter_to_table
 
+class SortedEdges(NamedTuple):
+    """Edge stream of a regular ``[N, k]`` neighbor table, sorted by sender.
 
-class ReverseAdjacency(NamedTuple):
-    """Static-shape reverse neighbor lists.
+    Edge ``e`` in flat order is ``(receiver i, sender neighbors[i, j])`` with
+    ``e = i * k + j``.
 
-    ``receivers[p, r]`` = index of the r-th particle that has ``p`` in its
-    neighbor list (sentinel N for empty slots); ``overflow`` = number of
-    dropped reverse edges (0 => the custom VJP is exact).
+    Attributes:
+      order:      ``[N*k]`` int32 — flat edge indices in ascending-sender
+                  order (ties keep flat order: the sort is stable).
+      receivers:  ``[N*k]`` int32 — receiver of each edge in sorted order
+                  (``order // k``, precomputed).
+      boundaries: ``[N+1]`` int32 — ``boundaries[p]:boundaries[p+1]`` is the
+                  run of sorted edges whose sender is particle ``p``.
     """
 
-    receivers: jnp.ndarray  # [N, R] int32
-    overflow: jnp.ndarray  # scalar int32
+    order: jnp.ndarray
+    receivers: jnp.ndarray
+    boundaries: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def build_reverse_adjacency(
-    neighbors: jnp.ndarray, capacity: int
-) -> ReverseAdjacency:
-    """Invert a regular ``[N, k]`` neighbor table (sort-based, no host)."""
+@jax.jit
+def build_sorted_edges(neighbors: jnp.ndarray) -> SortedEdges:
+    """Sort the edge stream by sender, carrying payloads through the sort.
+
+    ``lax.sort_key_val`` moves the payload inside the sort network — the
+    separate ``payload[order]`` permutation an argsort would need is an
+    elementwise gather, pathologically slow on TPU.
+    """
     n, k = neighbors.shape
-    senders = neighbors.reshape(-1)  # edge e: sender = neighbors.flat[e]
-    receivers = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
-    b = bin_by_key(senders, n, capacity)
-    table = scatter_to_table(b, receivers[b.order], n, capacity, n, jnp.int32)
-    return ReverseAdjacency(receivers=table, overflow=b.overflow)
+    senders = neighbors.reshape(-1).astype(jnp.int32)
+    flat = jnp.arange(n * k, dtype=jnp.int32)
+    sorted_senders, order = jax.lax.sort_key_val(senders, flat)
+    boundaries = jnp.searchsorted(
+        sorted_senders, jnp.arange(n + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    return SortedEdges(
+        order=order, receivers=order // k, boundaries=boundaries
+    )
+
+
+# Chunk length for the two-level prefix sum: MXU-aligned, and small enough
+# that the triangular matmul's O(E * chunk * H) FLOPs stay sub-ms.
+_PREFIX_CHUNK = 128
+
+
+def _segment_sum_sorted(
+    rows: jnp.ndarray, boundaries: jnp.ndarray, out_dtype
+) -> jnp.ndarray:
+    """``out[p] = sum(rows[boundaries[p]:boundaries[p+1]])`` — segment sums
+    of an already-sorted row stream via prefix-sum differences (no scatter).
+
+    The prefix sum itself is a *triangular matmul* per chunk: XLA lowers
+    ``cumsum`` to log2(chunk) shifted-add passes over the whole stream
+    (~4 ms at N*k=512k, H=128 — as slow as the scatter it replaces), whereas
+    ``L @ tiles`` with a lower-triangular ones matrix reads the stream once
+    and runs on the MXU (~sub-ms).
+    """
+    e, h = rows.shape
+    rows = rows.astype(jnp.float32)
+    chunk = _PREFIX_CHUNK
+    pad = (-e) % chunk
+    if pad:
+        rows = jnp.pad(rows, ((0, pad), (0, 0)))
+    t = (e + pad) // chunk
+    tiles = rows.reshape(t, chunk, h)
+    # Inclusive prefix within each chunk: one [chunk, chunk] triangular
+    # matmul batched over chunks (constant-folded triangular matrix).
+    tri = jnp.tril(jnp.ones((chunk, chunk), jnp.float32))
+    intra = jax.lax.dot_general(
+        tiles, tri,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).transpose(0, 2, 1)  # [t, chunk, h]
+    totals = intra[:, -1, :]
+    # Exclusive inter-chunk offsets: the totals stream is chunk-times
+    # smaller, so a log-pass cumsum is cheap here (a [t, t] triangular
+    # matmul would be O(t^2) memory — t can reach ~31k at N=500k, k=32).
+    inter = jnp.cumsum(totals, axis=0) - totals
+    # Exclusive flat prefix at a boundary b (sum rows[:b]) WITHOUT
+    # materializing the combined prefix stream (saves two full passes):
+    #   P(b) = inter[(b-1)//chunk] + intra_flat[b-1]   for b >= 1
+    #   P(0) = 0
+    # (valid at chunk starts too: inter[c] = inter[c-1] + totals[c-1] and
+    # intra_flat[c*chunk - 1] = totals[c-1]).
+    intra_flat = intra.reshape(t * chunk, h)
+
+    def prefix_at(b):
+        idx = jnp.maximum(b - 1, 0)
+        val = (
+            jnp.take(inter, idx // chunk, axis=0)
+            + jnp.take(intra_flat, idx, axis=0)
+        )
+        return jnp.where((b > 0)[:, None], val, 0.0)
+
+    starts = prefix_at(boundaries[:-1])
+    ends = prefix_at(boundaries[1:])
+    return (ends - starts).astype(out_dtype)
 
 
 @jax.custom_vjp
 def aggregate_sender_latents(
-    z: jnp.ndarray, neighbors: jnp.ndarray, reverse_receivers: jnp.ndarray
+    z: jnp.ndarray, neighbors: jnp.ndarray, sorted_edges: SortedEdges
 ) -> jnp.ndarray:
-    """``sum_j z[neighbors[i, j]]`` with a gather+sum backward pass."""
+    """``sum_j z[neighbors[i, j]]`` with a scatter-free backward pass."""
     return jnp.take(z, neighbors, axis=0).sum(axis=1)
 
 
-def _agg_fwd(z, neighbors, reverse_receivers):
-    return (
-        jnp.take(z, neighbors, axis=0).sum(axis=1),
-        (reverse_receivers,),
-    )
+def _agg_fwd(z, neighbors, sorted_edges):
+    return jnp.take(z, neighbors, axis=0).sum(axis=1), sorted_edges
 
 
-def _agg_bwd(residuals, g):
-    (reverse_receivers,) = residuals
-    # Pad with a zero row so sentinel slots contribute nothing.
-    padded = jnp.concatenate([g, jnp.zeros_like(g[:1])], axis=0)
-    dz = jnp.take(padded, reverse_receivers, axis=0).sum(axis=1)
+def _agg_bwd(sorted_edges, g):
+    gathered = jnp.take(g, sorted_edges.receivers, axis=0)
+    dz = _segment_sum_sorted(gathered, sorted_edges.boundaries, g.dtype)
     return dz, None, None
 
 
 aggregate_sender_latents.defvjp(_agg_fwd, _agg_bwd)
 
 
-def default_reverse_capacity(k: int) -> int:
-    """3x the out-degree: generous for near-uniform kNN graphs (in-degree
-    concentrates around k with ~sqrt(k) spread)."""
-    return 3 * k
+@jax.custom_vjp
+def gather_sender_rows(
+    z: jnp.ndarray, neighbors: jnp.ndarray, sorted_edges: SortedEdges
+) -> jnp.ndarray:
+    """``z[neighbors]`` (``[N, k, H]``) with a scatter-free backward pass."""
+    return jnp.take(z, neighbors, axis=0)
+
+
+def _gather_fwd(z, neighbors, sorted_edges):
+    return jnp.take(z, neighbors, axis=0), sorted_edges
+
+
+def _gather_bwd(sorted_edges, g):
+    h = g.shape[-1]
+    gathered = jnp.take(g.reshape(-1, h), sorted_edges.order, axis=0)
+    dz = _segment_sum_sorted(gathered, sorted_edges.boundaries, g.dtype)
+    return dz, None, None
+
+
+gather_sender_rows.defvjp(_gather_fwd, _gather_bwd)

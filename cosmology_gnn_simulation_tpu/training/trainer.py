@@ -78,11 +78,10 @@ class TrainConfig:
     # certificate fails on the first batch — clustered data can silently
     # degrade neighbor graphs otherwise.
     strict_neighbor_check: bool = True
-    # Custom-VJP aggregation: invert the neighbor table once per graph so
-    # the backward pass is a gather+sum instead of a TPU scatter-add
-    # (ops/aggregation.py). reverse_capacity None = 3k default.
-    build_reverse: bool = False
-    reverse_capacity: Optional[int] = None
+    # Custom-VJP aggregation: sort the edge stream by sender once per graph
+    # so the backward pass is a prefix-sum difference instead of a TPU
+    # scatter-add (ops/aggregation.py). Exact for any neighbor table.
+    build_reverse: bool = True
     # Failure detection (reference has none, SURVEY.md §5): abort the run
     # with a clear report when the loss goes non-finite.
     halt_on_nonfinite: bool = True
@@ -128,7 +127,6 @@ def make_train_step(
             neighbor_query_tile=tc.neighbor_query_tile,
             neighbor_method=tc.neighbor_method,
             build_reverse=tc.build_reverse,
-            reverse_capacity=tc.reverse_capacity,
         )
         preds = apply_encode_process_decode(params, graph, model_config, dtype)
         return preds, graph.target_acceleration, graph.target_temp_rate
@@ -676,6 +674,7 @@ def default_model_config(
     num_message_passing_steps: int = 10,
     output_size: int = 3,
     aggregate: str = "sender_latents",
+    prune_dead_edge_stream: bool = True,
 ) -> EncodeProcessDecodeConfig:
     return EncodeProcessDecodeConfig(
         node_input_size=node_feature_size(window_size),
@@ -686,4 +685,5 @@ def default_model_config(
         num_message_passing_steps=num_message_passing_steps,
         output_size=output_size,
         aggregate=aggregate,
+        prune_dead_edge_stream=prune_dead_edge_stream,
     )

@@ -39,9 +39,9 @@ class ParticleGraph(NamedTuple):
                    reference's ``globals`` pass-through,
                    ``graph_network.py:166-175`` — never populated by its
                    pipeline, supported for model-API parity).
-      reverse_neighbors: optional ``[N, R]`` reverse adjacency (receivers of
-                   each particle, sentinel-padded) enabling the fast exact
-                   custom-VJP aggregation during training — see
+      sorted_edges: optional sender-sorted edge stream
+                   (``ops.aggregation.SortedEdges``) enabling the fast exact
+                   scatter-free custom-VJP aggregation during training — see
                    ``ops/aggregation.py``.
     """
 
@@ -52,7 +52,7 @@ class ParticleGraph(NamedTuple):
     target_acceleration: Optional[jnp.ndarray] = None
     target_temp_rate: Optional[jnp.ndarray] = None
     globals_: Optional[jnp.ndarray] = None
-    reverse_neighbors: Optional[jnp.ndarray] = None
+    sorted_edges: Optional["jnp.ndarray"] = None
 
     @property
     def num_particles(self) -> int:
