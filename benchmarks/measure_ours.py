@@ -27,7 +27,17 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
 
+# Force CPU BEFORE the first device query: this environment pins
+# JAX_PLATFORMS=axon and a sitecustomize imports jax at interpreter start,
+# so the env-var route alone is ignored (see tests/conftest.py, CLAUDE.md).
+# Same-hardware comparison against the reference's CPU numbers requires CPU.
+if "--tpu" not in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
+
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
@@ -170,9 +180,9 @@ def mode_train(args):
         num_epochs=args.epochs,
         learning_rate=1e-3,
         final_learning_rate=1e-4,
-        seed=42,
+        seed=args.seed,
         augment_prob=1.0,
-        output_dir=os.path.join(RESULTS_DIR, f"ours_model_n{n}"),
+        output_dir=os.path.join(RESULTS_DIR, f"ours_model_n{n}_s{args.seed}"),
     )
     train_ds = SequenceDataset(train_dir, window, meta)
     val_ds = SequenceDataset(val_dir, window, meta)
@@ -188,14 +198,14 @@ def mode_train(args):
         num_neighbors=args.k, num_timesteps=max_start, seed=0,
     )
     summary = {
-        "n": n, "k": args.k, "latent": args.latent, "mp_steps": args.mp_steps,
+        "n": n, "k": args.k, "seed": args.seed, "latent": args.latent, "mp_steps": args.mp_steps,
         "epochs": args.epochs, "noise_std": args.noise_std,
         "train_wall_s": train_time,
         "one_step_position_mse": result["position_error"],
         "one_step_temperature_mse": result["temperature_error"],
         "platform": jax.default_backend(),
     }
-    out = os.path.join(RESULTS_DIR, f"ours_mse_n{n}.json")
+    out = os.path.join(RESULTS_DIR, f"ours_mse_n{n}_s{args.seed}.json")
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
@@ -216,6 +226,9 @@ def main():
     p.add_argument("--mp_steps", type=int, default=5)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--noise_std", type=float, default=3e-4)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--tpu", action="store_true",
+                   help="run on the TPU instead of forcing CPU")
     p.set_defaults(func=mode_train)
     args = parser.parse_args()
     args.func(args)

@@ -1,0 +1,153 @@
+"""TPU benchmark: cell-block (S-matmul) aggregation vs. the XLA gather+sum.
+
+Config-4 shapes (N=500k, k=32, H=256). Timing per CLAUDE.md: perturbed
+inputs each call, scalar checksum forced to host, min over repeats,
+marginal differences vs. the ~30 ms RPC floor.
+
+Run: cd /root/repo && python benchmarks/profile_cellblock_tpu.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosmology_gnn_simulation_tpu.ops.cellblock import (
+    CellBlockSpec,
+    build_cellblock,
+    cellblock_aggregate,
+    choose_cellblock_spec,
+    sort_neighbors,
+)
+from cosmology_gnn_simulation_tpu.ops.cell_list import choose_cell_grid
+from cosmology_gnn_simulation_tpu.ops.pallas_knn import pallas_cell_list_knn
+
+REPS = 4
+
+
+def bench(fn, *args):
+    jax.block_until_ready(fn(*args, 0.0))
+    best = float("inf")
+    for rep in range(REPS):
+        t0 = time.perf_counter()
+        float(fn(*args, (rep + 1) * 1e-6).reshape(()))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def floor_time():
+    @jax.jit
+    def tiny(x, eps):
+        return jnp.sum(x + eps)
+
+    return bench(tiny, jnp.zeros((8,), jnp.float32))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=500_000)
+    ap.add_argument("--k", type=int, default=32)
+    ap.add_argument("--h", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=6)
+    args = ap.parse_args()
+    n, k, h, steps = args.n, args.k, args.h, args.steps
+
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(0, 1, size=(n, 3)), jnp.float32)
+    print("computing kNN (pallas)...", flush=True)
+    knn_grid = choose_cell_grid(n, k)
+    nbr = pallas_cell_list_knn(pos, k, 1.0, knn_grid)
+    jax.block_until_ready(nbr)
+    print(f"kNN done (grid {knn_grid})", flush=True)
+
+    floor = floor_time()
+    print(f"RPC floor: {floor*1e3:.1f} ms", flush=True)
+
+    z = jnp.asarray(rng.standard_normal((n, h)), jnp.float32)
+
+    # --- baseline: chained gather+sum (same chaining as the kernel bench)
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def baseline(z, nbr, eps, steps=steps):
+        def body(carry, _):
+            out = jnp.take(carry, nbr, axis=0).sum(axis=1)
+            return out * 1e-4 + carry + eps, None
+
+        final, _ = jax.lax.scan(body, z + eps, None, length=steps)
+        return jnp.sum(final[:1, :8])
+
+    t = bench(baseline, z, nbr)
+    per_base = (t - floor) / steps
+    print(f"baseline gather+sum: {per_base*1e3:8.2f} ms/step", flush=True)
+
+    for spec in (
+        choose_cellblock_spec(n),
+        CellBlockSpec(choose_cellblock_spec(n).grid_size + 4, 64, 4),
+    ):
+        m = n / spec.grid_size**3
+        print(
+            f"\nspec {spec} mean_occ {m:.1f} slots {spec.num_slots}"
+            f" ({spec.num_slots/n:.2f}x)",
+            flush=True,
+        )
+        t0 = time.perf_counter()
+        plan = build_cellblock(pos, nbr, 1.0, spec)
+        jax.block_until_ready(plan)
+        print(f"  build compile+run: {time.perf_counter()-t0:.1f} s",
+              flush=True)
+        print(
+            f"  overflow {int(plan.overflow)} dropped "
+            f"{int(plan.dropped_edges)}",
+            flush=True,
+        )
+        if int(plan.overflow) or int(plan.dropped_edges):
+            print("  !! certificate fails — skipping timing")
+            continue
+
+        @functools.partial(jax.jit, static_argnames=("spec", "steps"))
+        def run_build(pos, nbr, eps, spec=spec, steps=2):
+            def body(carry, _):
+                p = build_cellblock(pos + eps, nbr, 1.0, spec)
+                return carry + jnp.sum(p.s_table[:1, :8]), None
+
+            acc, _ = jax.lax.scan(body, 0.0, None, length=steps)
+            return acc
+
+        t = bench(run_build, pos, nbr)
+        per_build = (t - floor) / 2
+        print(f"  build_cellblock:   {per_build*1e3:8.2f} ms", flush=True)
+
+        z_sorted = jnp.take(z, plan.order, axis=0)
+
+        @functools.partial(jax.jit, static_argnames=("spec", "steps"))
+        def run_agg(z, plan, eps, spec=spec, steps=steps):
+            def body(carry, _):
+                out = cellblock_aggregate(carry, plan, spec)
+                return out * 1e-4 + carry + eps, None
+
+            final, _ = jax.lax.scan(body, z + eps, None, length=steps)
+            return jnp.sum(final[:1, :8])
+
+        t = bench(run_agg, z_sorted, plan)
+        per = (t - floor) / steps
+        print(
+            f"  cellblock_agg:     {per*1e3:8.2f} ms/step "
+            f"({per_base/per:.1f}x vs gather)",
+            flush=True,
+        )
+
+        # Correctness spot check on-device.
+        nbr_sorted = sort_neighbors(nbr, plan.order)
+        got = cellblock_aggregate(z_sorted, plan, spec)
+        zb = z_sorted.astype(jnp.bfloat16).astype(jnp.float32)
+        want = jnp.take(zb, nbr_sorted, axis=0).sum(axis=1)
+        err = float(jnp.max(jnp.abs(got - want)) / jnp.max(jnp.abs(want)))
+        print(f"  max rel err vs oracle: {err:.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -262,6 +262,8 @@ def _pruned_processor_step(
     particle_axis: Optional[str] = None,
     sorted_edges=None,
     halo=None,
+    cellblock=None,
+    cellblock_spec=None,
 ) -> jnp.ndarray:
     """Node-stream-only InteractionNetwork step, valid under
     ``sender_latents`` aggregation where the edge stream is provably dead
@@ -271,14 +273,25 @@ def _pruned_processor_step(
     nw = node_first["w"]
     w_self, w_agg = nw[:latent], nw[latent:]
     z = _split_dense(x, w_agg, dtype)
-    if dtype is not None:
-        # The gather+sum of projected latents is the bandwidth-dominant op of
-        # the step; in reduced-precision mode carry it in that dtype (k-wide
-        # bf16 sums add ~2^-8 relative noise, same order as the matmuls).
-        z = z.astype(dtype)
-    agg_h = _gather_sum(
-        _maybe_all_gather(z, particle_axis, halo), neighbors, sorted_edges
-    ).astype(jnp.float32)
+    if cellblock is not None:
+        # Selection-matrix aggregation on the MXU (ops/cellblock.py): the
+        # graph rows are cell-sorted; z is carried in bf16 inside the kernel
+        # (same precision as the dtype-carried gather below).
+        from cosmology_gnn_simulation_tpu.ops.cellblock import (
+            cellblock_aggregate,
+        )
+
+        agg_h = cellblock_aggregate(z, cellblock, cellblock_spec)
+    else:
+        if dtype is not None:
+            # The gather+sum of projected latents is the bandwidth-dominant
+            # op of the step; in reduced-precision mode carry it in that
+            # dtype (k-wide bf16 sums add ~2^-8 relative noise, same order
+            # as the matmuls).
+            z = z.astype(dtype)
+        agg_h = _gather_sum(
+            _maybe_all_gather(z, particle_axis, halo), neighbors, sorted_edges
+        ).astype(jnp.float32)
     h_n = jax.nn.relu(_split_dense(x, w_self, dtype) + agg_h + node_first["b"])
     return _mlp_tail(step_params["node"], h_n, dtype)
 
@@ -290,6 +303,7 @@ def apply_encode_process_decode(
     dtype: Optional[jnp.dtype] = None,
     particle_axis: Optional[str] = None,
     halo=None,
+    cellblock_spec=None,
 ) -> Dict[str, jnp.ndarray]:
     """Forward pass. Returns ``{'acceleration': [N, 3], 'temp_rate': [N, 1]}``.
 
@@ -299,7 +313,28 @@ def apply_encode_process_decode(
     With ``halo`` (a ``parallel.halo.HaloSends``), neighbors instead index
     the ``[own, halo_left, halo_right]`` candidate space and only boundary
     rows are exchanged per step via ``ppermute``.
+
+    When ``graph.cellblock`` is set (rows cell-sorted; requires the matching
+    static ``cellblock_spec``), the pruned-path aggregation runs as
+    selection-matrix matmuls (``ops/cellblock.py``). Incompatible with
+    ``particle_axis``/``halo`` sharding.
     """
+    if graph.cellblock is not None:
+        if cellblock_spec is None:
+            raise ValueError(
+                "graph carries a cellblock plan but cellblock_spec was not "
+                "passed (it is static and cannot ride the pytree)"
+            )
+        if particle_axis is not None or halo is not None:
+            raise ValueError("cellblock aggregation is single-device only")
+        if not (
+            config.aggregate == "sender_latents"
+            and config.prune_dead_edge_stream
+        ):
+            raise ValueError(
+                "cellblock aggregation requires the pruned sender_latents "
+                "mode (the edge_messages gather is not a segment sum)"
+            )
     nodes = graph.nodes
     if graph.globals_ is not None:
         # Broadcast globals onto every node before encoding
@@ -318,7 +353,7 @@ def apply_encode_process_decode(
         def body(carry, step_params):
             x_new = _pruned_processor_step(
                 carry, neighbors, step_params, dtype, particle_axis,
-                graph.sorted_edges, halo,
+                graph.sorted_edges, halo, graph.cellblock, cellblock_spec,
             )
             return carry + x_new, None
 

@@ -33,6 +33,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -462,17 +463,30 @@ def make_sharded_rollout(
     return jax.jit(rollout_fn)
 
 
-def shard_batch(batch, mesh: Mesh):
+def shard_batch(batch, mesh: Mesh, *, process_local: Optional[bool] = None):
     """Place a host batch dict onto the mesh with the train-step shardings.
 
     Validates divisibility up front (batch over the data axis, particles
     over the particle axis) so failures are clear errors rather than opaque
-    XLA sharding exceptions at the first step."""
+    XLA sharding exceptions at the first step.
+
+    ``process_local``: in a multi-process runtime (``jax.distributed``, data
+    axis over DCN — see ``parallel.mesh``), each process passes only ITS
+    slice of the global batch (global batch = process-local batch stacked in
+    process order along the data axis); the global arrays are assembled
+    without cross-host transfers via
+    ``jax.make_array_from_process_local_data``. Default: auto (on iff
+    ``jax.process_count() > 1``).
+    """
+    if process_local is None:
+        process_local = jax.process_count() > 1
     b = batch["positions"].shape[0]
     n = batch["positions"].shape[2]
+    if process_local:
+        b *= jax.process_count()
     if b % mesh.shape[DATA_AXIS]:
         raise ValueError(
-            f"batch size {b} not divisible by data-axis size "
+            f"global batch size {b} not divisible by data-axis size "
             f"{mesh.shape[DATA_AXIS]}"
         )
     if n % mesh.shape[PARTICLE_AXIS]:
@@ -486,6 +500,13 @@ def shard_batch(batch, mesh: Mesh):
         "target_positions": P(DATA_AXIS, PARTICLE_AXIS, None),
         "target_temperatures": P(DATA_AXIS, PARTICLE_AXIS, None),
     }
+    if process_local:
+        return {
+            name: jax.make_array_from_process_local_data(
+                NamedSharding(mesh, specs[name]), np.asarray(arr)
+            )
+            for name, arr in batch.items()
+        }
     return {
         name: jax.device_put(arr, NamedSharding(mesh, specs[name]))
         for name, arr in batch.items()

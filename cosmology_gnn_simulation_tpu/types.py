@@ -43,6 +43,12 @@ class ParticleGraph(NamedTuple):
                    (``ops.aggregation.SortedEdges``) enabling the fast exact
                    scatter-free custom-VJP aggregation during training — see
                    ``ops/aggregation.py``.
+      cellblock:   optional per-graph cell-block plan
+                   (``ops.cellblock.CellBlockGraph``). When set, the graph's
+                   particle rows are in CELL-SORTED order and the pruned
+                   sender-latents aggregation runs as selection-matrix
+                   matmuls on the MXU (``ops/cellblock.py``) — the big-N
+                   path where HBM row gathers are latency-bound.
     """
 
     nodes: jnp.ndarray
@@ -53,6 +59,7 @@ class ParticleGraph(NamedTuple):
     target_temp_rate: Optional[jnp.ndarray] = None
     globals_: Optional[jnp.ndarray] = None
     sorted_edges: Optional["jnp.ndarray"] = None
+    cellblock: Optional["jnp.ndarray"] = None
 
     @property
     def num_particles(self) -> int:
