@@ -281,7 +281,12 @@ def _pruned_processor_step(
             cellblock_aggregate,
         )
 
-        agg_h = cellblock_aggregate(z, cellblock, cellblock_spec)
+        # Same precision policy as the gather path below: candidates carried
+        # in `dtype` when reduced precision is requested, f32 otherwise.
+        agg_h = cellblock_aggregate(
+            z, cellblock, cellblock_spec,
+            carry_dtype=jnp.float32 if dtype is None else dtype,
+        )
     else:
         if dtype is not None:
             # The gather+sum of projected latents is the bandwidth-dominant

@@ -287,7 +287,7 @@ def _agg_kernel(spec: CellBlockSpec, out_dtype):
         acc = jnp.zeros((blk_c, out_ref.shape[-1]), jnp.float32)
         for j in range(9):
             cand = col_refs[j][0, pl.ds(zb * blk * c, kc), :]  # [kc, hb]
-            sj = s_ref[:, j * kc : (j + 1) * kc].astype(jnp.bfloat16)
+            sj = s_ref[:, j * kc : (j + 1) * kc].astype(cand.dtype)
             acc += jnp.dot(
                 sj, cand, preferred_element_type=jnp.float32
             )
@@ -297,7 +297,7 @@ def _agg_kernel(spec: CellBlockSpec, out_dtype):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "out_dtype", "interpret")
+    jax.jit, static_argnames=("spec", "out_dtype", "carry_dtype", "interpret")
 )
 def cellblock_aggregate(
     z_sorted: jnp.ndarray,
@@ -305,12 +305,20 @@ def cellblock_aggregate(
     spec: CellBlockSpec,
     *,
     out_dtype=jnp.float32,
-    interpret: bool = False,
+    carry_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """``agg[i] = sum_j z[neighbors[i, j]]`` for cell-sorted state.
 
     ``z_sorted`` is ``[N, H]`` in sorted order; the result is too.
+    ``carry_dtype`` is the precision of the candidate table inside the
+    kernel (accumulation is always f32 on the MXU); bf16 halves VMEM and
+    HBM traffic, f32 makes the op exact up to summation order.
+    ``interpret=None``: auto — compiled on TPU, interpreter elsewhere
+    (CPU tests and the virtual multi-device mesh).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     spec.validate()
     g, c, blk = spec.grid_size, spec.capacity, spec.z_block
     n, h = z_sorted.shape
@@ -322,7 +330,7 @@ def cellblock_aggregate(
     # Expand to the z-padded slot table (monotone gather; sentinel rows pull
     # the appended zero row).
     z_ext = jnp.concatenate(
-        [z_sorted.astype(jnp.bfloat16), jnp.zeros((1, h), jnp.bfloat16)]
+        [z_sorted.astype(carry_dtype), jnp.zeros((1, h), carry_dtype)]
     )
     z_pad = jnp.take(z_ext, plan.pad_src, axis=0, mode="clip").reshape(
         g * g, (g + 2) * c, h

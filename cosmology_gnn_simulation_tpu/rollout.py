@@ -40,9 +40,12 @@ from cosmology_gnn_simulation_tpu.ops.periodic import (
 from cosmology_gnn_simulation_tpu.types import NormalizationStats
 
 
-def _predict_physical(params, graph, model_config, stats, dtype):
+def _predict_physical(params, graph, model_config, stats, dtype,
+                      cellblock_spec=None):
     """Forward pass + un-normalization to physical units."""
-    preds = apply_encode_process_decode(params, graph, model_config, dtype)
+    preds = apply_encode_process_decode(
+        params, graph, model_config, dtype, cellblock_spec=cellblock_spec
+    )
     acceleration = preds["acceleration"] * stats.acc_std + stats.acc_mean
     temp_rate = preds["temp_rate"] * stats.temp_rate_std + stats.temp_rate_mean
     return acceleration, temp_rate
@@ -82,6 +85,8 @@ def integrate_step(
         "neighbor_method",
         "reneighbor_every",
         "exactness_guard",
+        "aggregation",
+        "cellblock_spec",
     ),
 )
 def rollout(
@@ -99,6 +104,8 @@ def rollout(
     neighbor_method: str = "auto",
     reneighbor_every: int = 1,
     exactness_guard: str = "flag",
+    aggregation: str = "gather",
+    cellblock_spec=None,
 ) -> Dict[str, jnp.ndarray]:
     """Roll the learned simulator forward ``num_steps`` steps.
 
@@ -127,6 +134,14 @@ def rollout(
          "InternalEnergy": [W + num_steps, N, 1]}`` — seed window first, like
       the reference trajectory layout (``render_rollout.py:87-90``) — plus
       ``"neighbor_exactness"`` when the guard is on.
+
+    ``aggregation="cellblock"`` switches the message-passing aggregation to
+    the selection-matrix MXU kernel (``ops/cellblock.py``) — the big-N path
+    (BASELINE config 4) where the HBM row gather is latency-bound. The scan
+    state is kept in cell-sorted order (re-sorted at each re-neighboring);
+    trajectory outputs are in original particle order as always. The
+    in-scan exactness flag additionally covers the cell-block certificate
+    (no cell overflow, every neighbor within one cell).
     """
     if reneighbor_every < 1:
         raise ValueError(
@@ -134,9 +149,26 @@ def rollout(
         )
     if exactness_guard not in ("off", "flag", "fallback"):
         raise ValueError(f"unknown exactness_guard: {exactness_guard}")
+    if aggregation not in ("gather", "cellblock"):
+        raise ValueError(f"unknown aggregation: {aggregation}")
     zero_key = jax.random.PRNGKey(0)
     reuse = reneighbor_every > 1
     guard = exactness_guard != "off"
+    if aggregation == "cellblock":
+        if exactness_guard == "fallback":
+            raise ValueError(
+                "aggregation='cellblock' supports exactness_guard "
+                "'flag'/'off' (brute-force fallback neighbors can exceed "
+                "the one-cell window the selection matrices cover)"
+            )
+        return _cellblock_rollout(
+            params, model_config,
+            initial_positions.astype(jnp.float32),
+            initial_temperatures.astype(jnp.float32),
+            stats, num_steps, num_neighbors, min_image_velocity, dtype,
+            neighbor_query_tile, neighbor_method, reneighbor_every, guard,
+            cellblock_spec, zero_key,
+        )
 
     def searched(pos_window):
         # Match featurize's noise-then-wrap order (featurize wraps before
@@ -247,6 +279,130 @@ def rollout(
     result = {
         "Coordinates": jnp.concatenate([init_windows[0], positions], axis=0),
         "InternalEnergy": jnp.concatenate([init_windows[1], temperatures], axis=0),
+    }
+    if guard:
+        result["neighbor_exactness"] = exactness
+    return result
+
+
+def _cellblock_rollout(
+    params, model_config, init_pos, init_temp, stats, num_steps, k,
+    min_image_velocity, dtype, tile, method, reneighbor_every, guard,
+    spec, zero_key,
+):
+    """Rollout with selection-matrix (cell-block) aggregation.
+
+    Scan state rides in cell-sorted order; ``inv_ids`` maps original
+    particle index -> current row so trajectory outputs stay in original
+    order. Re-sorting happens only at re-neighboring steps (the plan and
+    the window order must agree between them).
+    """
+    from cosmology_gnn_simulation_tpu.ops.cellblock import (
+        build_cellblock,
+        choose_cellblock_spec,
+        sort_neighbors,
+    )
+
+    n = init_pos.shape[1]
+    if spec is None:
+        spec = choose_cellblock_spec(n)
+    box = stats.box_size
+
+    def research(pos_w, temp_w, inv_ids):
+        wrapped = wrap_positions(pos_w[-1], box)
+        neighbors, exact = neighbor_search_certified(
+            wrapped, k, box, method=method, query_tile=tile
+        )
+        plan = build_cellblock(wrapped, neighbors, box, spec)
+        exact = exact & (plan.overflow == 0) & (plan.dropped_edges == 0)
+        pos_w = jnp.take(pos_w, plan.order, axis=1)
+        temp_w = jnp.take(temp_w, plan.order, axis=1)
+        nbr_sorted = sort_neighbors(neighbors, plan.order)
+        invp = (
+            jnp.zeros((n,), jnp.int32)
+            .at[plan.order]
+            .set(jnp.arange(n, dtype=jnp.int32))
+        )
+        inv_ids = jnp.take(invp, inv_ids, axis=0)
+        return pos_w, temp_w, inv_ids, nbr_sorted, plan, exact
+
+    def step(pos_w, temp_w, nbr_sorted, plan):
+        graph = featurize(
+            pos_w,
+            temp_w,
+            stats,
+            zero_key,
+            noise_std=0.0,
+            num_neighbors=k,
+            neighbor_query_tile=tile,
+            neighbor_method=method,
+            neighbors=nbr_sorted,
+        )
+        graph = graph._replace(cellblock=plan)
+        acceleration, temp_rate = _predict_physical(
+            params, graph, model_config, stats, dtype, cellblock_spec=spec
+        )
+        new_pos, new_temp = integrate_step(
+            pos_w[-1],
+            pos_w[-2],
+            temp_w[-1],
+            acceleration,
+            temp_rate,
+            stats,
+            min_image_velocity=min_image_velocity,
+        )
+        return (
+            jnp.concatenate([pos_w[1:], new_pos[None]], axis=0),
+            jnp.concatenate([temp_w[1:], new_temp[None]], axis=0),
+            (new_pos, new_temp),
+        )
+
+    init_inv = jnp.arange(n, dtype=jnp.int32)
+    if reneighbor_every == 1:
+        def body(carry, _):
+            pos_w, temp_w, inv_ids = carry
+            pos_w, temp_w, inv_ids, nbr_sorted, plan, exact = research(
+                pos_w, temp_w, inv_ids
+            )
+            pos_w, temp_w, (new_pos, new_temp) = step(
+                pos_w, temp_w, nbr_sorted, plan
+            )
+            out = (
+                jnp.take(new_pos, inv_ids, axis=0),
+                jnp.take(new_temp, inv_ids, axis=0),
+            )
+            return (pos_w, temp_w, inv_ids), (out, exact)
+
+        _, ((positions, temperatures), exactness) = jax.lax.scan(
+            body, (init_pos, init_temp, init_inv), None, length=num_steps
+        )
+    else:
+        def body(carry, step_index):
+            pos_w, temp_w, inv_ids, nbr_sorted, plan, exact = carry
+            pos_w, temp_w, inv_ids, nbr_sorted, plan, exact = jax.lax.cond(
+                (step_index % reneighbor_every == 0) & (step_index > 0),
+                lambda pw, tw, ii, nb, pn, ex: research(pw, tw, ii),
+                lambda pw, tw, ii, nb, pn, ex: (pw, tw, ii, nb, pn, ex),
+                pos_w, temp_w, inv_ids, nbr_sorted, plan, exact,
+            )
+            pos_w, temp_w, (new_pos, new_temp) = step(
+                pos_w, temp_w, nbr_sorted, plan
+            )
+            out = (
+                jnp.take(new_pos, inv_ids, axis=0),
+                jnp.take(new_temp, inv_ids, axis=0),
+            )
+            carry = (pos_w, temp_w, inv_ids, nbr_sorted, plan, exact)
+            return carry, (out, exact)
+
+        init = research(init_pos, init_temp, init_inv)
+        _, ((positions, temperatures), exactness) = jax.lax.scan(
+            body, init, jnp.arange(num_steps)
+        )
+
+    result = {
+        "Coordinates": jnp.concatenate([init_pos, positions], axis=0),
+        "InternalEnergy": jnp.concatenate([init_temp, temperatures], axis=0),
     }
     if guard:
         result["neighbor_exactness"] = exactness
