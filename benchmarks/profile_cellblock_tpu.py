@@ -11,7 +11,11 @@ from __future__ import annotations
 
 import argparse
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -70,11 +74,16 @@ def main():
 
     z = jnp.asarray(rng.standard_normal((n, h)), jnp.float32)
 
-    # --- baseline: chained gather+sum (same chaining as the kernel bench)
+    # --- baseline: chained gather+sum, chunked as in the production model
+    # path (an unchunked [N, k, H] intermediate is ~15 GB at these shapes).
+    from cosmology_gnn_simulation_tpu.models.encode_process_decode import (
+        _gather_sum,
+    )
+
     @functools.partial(jax.jit, static_argnames=("steps",))
     def baseline(z, nbr, eps, steps=steps):
         def body(carry, _):
-            out = jnp.take(carry, nbr, axis=0).sum(axis=1)
+            out = _gather_sum(carry, nbr)
             return out * 1e-4 + carry + eps, None
 
         final, _ = jax.lax.scan(body, z + eps, None, length=steps)
@@ -140,11 +149,12 @@ def main():
             flush=True,
         )
 
-        # Correctness spot check on-device.
+        # Correctness spot check on-device (first 8192 rows — the full
+        # unchunked oracle gather would need ~15 GB).
         nbr_sorted = sort_neighbors(nbr, plan.order)
-        got = cellblock_aggregate(z_sorted, plan, spec)
+        got = cellblock_aggregate(z_sorted, plan, spec)[:8192]
         zb = z_sorted.astype(jnp.bfloat16).astype(jnp.float32)
-        want = jnp.take(zb, nbr_sorted, axis=0).sum(axis=1)
+        want = jnp.take(zb, nbr_sorted[:8192], axis=0).sum(axis=1)
         err = float(jnp.max(jnp.abs(got - want)) / jnp.max(jnp.abs(want)))
         print(f"  max rel err vs oracle: {err:.2e}", flush=True)
 

@@ -9,6 +9,12 @@ Division of labor:
   built while the device executes step i — replacing the reference's
   Python/h5py slicing in the hot loop (``dataloader.py:102-131``).
 
+Cache format v2 stores EVERY ndim>0 field of the HDF5 schema (Coordinates,
+InternalEnergy, Velocities, HydroAcceleration, ... — the reference serves
+all of them, ``dataloader.py:42-51``); the classic 4-array batch contract
+reads fields 0/1 (Coordinates/InternalEnergy), ``include_extras=True``
+mirrors ``SequenceDataset.batches``'s ``extra_inputs``/``extra_targets``.
+
 Falls back cleanly: ``is_available()`` is False when no compiler exists, and
 ``SequenceDataset`` (pure numpy) remains the default path.
 """
@@ -24,9 +30,11 @@ from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-_MAGIC = 0x43474E4E53494D31
+_MAGIC_V2 = 0x43474E4E53494D32
+_CORE_FIELDS = ("Coordinates", "InternalEnergy")
 _LIB = None
 _LIB_ERR: Optional[str] = None
+_F32P = ctypes.POINTER(ctypes.c_float)
 
 
 def _source_path() -> str:
@@ -76,30 +84,39 @@ def _load_library():
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int,
     ]
-    lib.wl_num_sequences.restype = ctypes.c_int64
-    lib.wl_num_sequences.argtypes = [ctypes.c_void_p]
-    lib.wl_num_particles.restype = ctypes.c_int64
-    lib.wl_num_particles.argtypes = [ctypes.c_void_p]
-    lib.wl_num_snapshots.restype = ctypes.c_int64
-    lib.wl_num_snapshots.argtypes = [ctypes.c_void_p]
+    for name in ("wl_num_sequences", "wl_num_particles", "wl_num_snapshots"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p]
     lib.wl_box_size.restype = ctypes.c_double
     lib.wl_box_size.argtypes = [ctypes.c_void_p]
     lib.wl_dt.restype = ctypes.c_double
     lib.wl_dt.argtypes = [ctypes.c_void_p]
-    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.wl_num_fields.restype = ctypes.c_int
+    lib.wl_num_fields.argtypes = [ctypes.c_void_p]
+    lib.wl_field_dim.restype = ctypes.c_int64
+    lib.wl_field_dim.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.wl_field_name.restype = ctypes.c_int
+    lib.wl_field_name.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+    ]
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-    lib.wl_get_batch.restype = None
-    lib.wl_get_batch.argtypes = [
-        ctypes.c_void_p, i64p, ctypes.c_int, f32p, f32p, f32p, f32p,
+    lib.wl_get_batch_fields.restype = None
+    lib.wl_get_batch_fields.argtypes = [
+        ctypes.c_void_p, i64p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(_F32P), ctypes.POINTER(_F32P),
     ]
     lib.wl_close.restype = None
     lib.wl_close.argtypes = [ctypes.c_void_p]
-    lib.wl_prefetch_start.restype = ctypes.c_void_p
-    lib.wl_prefetch_start.argtypes = [
+    lib.wl_prefetch_start_fields.restype = ctypes.c_void_p
+    lib.wl_prefetch_start_fields.argtypes = [
         ctypes.c_void_p, i64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
     ]
-    lib.wl_prefetch_next.restype = ctypes.c_int
-    lib.wl_prefetch_next.argtypes = [ctypes.c_void_p, f32p, f32p, f32p, f32p]
+    lib.wl_prefetch_next_fields.restype = ctypes.c_int
+    lib.wl_prefetch_next_fields.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(_F32P), ctypes.POINTER(_F32P),
+    ]
     lib.wl_prefetch_stop.restype = None
     lib.wl_prefetch_stop.argtypes = [ctypes.c_void_p]
     _LIB = lib
@@ -112,36 +129,61 @@ def is_available() -> bool:
 
 def convert_hdf5_to_cache(hdf5_path: str, cache_path: str) -> str:
     """One-time conversion of a reference-schema HDF5 file into the flat
-    binary cache the native loader mmaps.
+    binary cache (v2) the native loader mmaps.
 
-    Written atomically (temp file + os.replace) so an interrupted conversion
-    never leaves a newer-than-source truncated cache behind; reads only the
-    fields the cache stores (Coordinates/InternalEnergy + scalars)."""
+    Stores every ndim>0 field ([T, N] fields expanded to [T, N, 1] like the
+    reference, ``dataloader.py:125-129``), Coordinates and InternalEnergy
+    first. Written atomically (temp file + os.replace) so an interrupted
+    conversion never leaves a newer-than-source truncated cache behind."""
     from cosmology_gnn_simulation_tpu.data.hdf5 import read_simulation
 
-    sim = read_simulation(
-        hdf5_path,
-        fields=("Coordinates", "InternalEnergy", "BoxSize", "TimeStep"),
+    sim = read_simulation(hdf5_path)
+    arrays: List[np.ndarray] = []
+    names: List[str] = []
+    extra = sorted(
+        name
+        for name, arr in sim.items()
+        if getattr(arr, "ndim", 0) > 0 and name not in _CORE_FIELDS
     )
-    coords = np.ascontiguousarray(sim["Coordinates"], dtype=np.float32)
-    energy = np.ascontiguousarray(sim["InternalEnergy"], dtype=np.float32)
-    t, n = coords.shape[0], coords.shape[1]
+    for name in (*_CORE_FIELDS, *extra):
+        if name not in sim:
+            raise ValueError(f"{hdf5_path} lacks required field {name}")
+        arr = np.asarray(sim[name], dtype=np.float32)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        if arr.ndim != 3:
+            raise ValueError(f"{name}: expected [T, N(, d)], got {arr.shape}")
+        arrays.append(np.ascontiguousarray(arr))
+        names.append(name)
+    t, n = arrays[0].shape[:2]
     tmp_path = cache_path + f".tmp.{os.getpid()}"
     with open(tmp_path, "wb") as f:
-        f.write(struct.pack("<qqqdd", _MAGIC, t, n,
+        f.write(struct.pack("<qqqdd", _MAGIC_V2, t, n,
                             float(sim["BoxSize"]), float(sim["TimeStep"])))
-        f.write(coords.tobytes())
-        f.write(energy.tobytes())
+        f.write(struct.pack("<q", len(names)))
+        for name, arr in zip(names, arrays):
+            encoded = name.encode()
+            f.write(struct.pack("<q", len(encoded)))
+            f.write(encoded)
+            f.write(struct.pack("<q", arr.shape[2]))
+        for arr in arrays:
+            f.write(arr.tobytes())
     os.replace(tmp_path, cache_path)
     return cache_path
+
+
+def _ptr_array(arrays: Sequence[np.ndarray]):
+    return (_F32P * len(arrays))(
+        *[a.ctypes.data_as(_F32P) for a in arrays]
+    )
 
 
 class NativeSequenceLoader:
     """Drop-in batch source backed by the C++ loader.
 
     ``batches()`` mirrors ``SequenceDataset.batches`` (same dict-of-arrays
-    contract) but assembles batches in native threads with background
-    prefetch.
+    contract, incl. ``include_extras``) but assembles batches in native
+    threads with background prefetch.
     """
 
     def __init__(
@@ -169,28 +211,61 @@ class NativeSequenceLoader:
         self.num_snapshots = int(lib.wl_num_snapshots(self._handle))
         self.box_size = float(lib.wl_box_size(self._handle))
         self.dt = float(lib.wl_dt(self._handle))
+        self.field_names: List[str] = []
+        self.field_dims: List[int] = []
+        buf = ctypes.create_string_buffer(256)
+        for i in range(int(lib.wl_num_fields(self._handle))):
+            lib.wl_field_name(self._handle, i, buf, 256)
+            self.field_names.append(buf.value.decode())
+            self.field_dims.append(int(lib.wl_field_dim(self._handle, i)))
+        if tuple(self.field_names[:2]) != _CORE_FIELDS:
+            raise ValueError(
+                f"cache field order {self.field_names[:2]} != {_CORE_FIELDS}"
+            )
 
     def __len__(self) -> int:
         return int(self._lib.wl_num_sequences(self._handle))
 
-    def _alloc(self, batch_size: int) -> Dict[str, np.ndarray]:
+    def _alloc(self, batch_size: int, num_fields: int):
+        """Allocate (wins, tgts) arrays for the leading ``num_fields``."""
         w, n = self.window_size, self.num_particles
-        return {
-            "positions": np.empty((batch_size, w, n, 3), np.float32),
-            "temperatures": np.empty((batch_size, w, n, 1), np.float32),
-            "target_positions": np.empty((batch_size, n, 3), np.float32),
-            "target_temperatures": np.empty((batch_size, n, 1), np.float32),
-        }
+        wins = [
+            np.empty((batch_size, w, n, d), np.float32)
+            for d in self.field_dims[:num_fields]
+        ]
+        tgts = [
+            np.empty((batch_size, n, d), np.float32)
+            for d in self.field_dims[:num_fields]
+        ]
+        return wins, tgts
 
-    def get_batch(self, seq_indices: Sequence[int]) -> Dict[str, np.ndarray]:
+    def _pack(self, wins, tgts) -> Dict[str, np.ndarray]:
+        batch = {
+            "positions": wins[0],
+            "temperatures": wins[1],
+            "target_positions": tgts[0],
+            "target_temperatures": tgts[1],
+        }
+        if len(wins) > 2:
+            batch["extra_inputs"] = dict(
+                zip(self.field_names[2:], wins[2:])
+            )
+            batch["extra_targets"] = dict(
+                zip(self.field_names[2:], tgts[2:])
+            )
+        return batch
+
+    def get_batch(
+        self, seq_indices: Sequence[int], *, include_extras: bool = False
+    ) -> Dict[str, np.ndarray]:
+        nf = len(self.field_names) if include_extras else 2
         seqs = np.asarray(seq_indices, dtype=np.int64)
-        out = self._alloc(len(seqs))
-        self._lib.wl_get_batch(
-            self._handle, seqs, len(seqs),
-            out["positions"], out["temperatures"],
-            out["target_positions"], out["target_temperatures"],
+        wins, tgts = self._alloc(len(seqs), nf)
+        self._lib.wl_get_batch_fields(
+            self._handle, seqs, len(seqs), nf,
+            _ptr_array(wins), _ptr_array(tgts),
         )
-        return out
+        return self._pack(wins, tgts)
 
     def batches(
         self,
@@ -200,32 +275,34 @@ class NativeSequenceLoader:
         seed: int = 0,
         drop_remainder: bool = True,
         prefetch_depth: int = 2,
+        include_extras: bool = False,
     ) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self), dtype=np.int64)
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         num_full = (len(order) // batch_size) * batch_size
-        pf = self._lib.wl_prefetch_start(
+        nf = len(self.field_names) if include_extras else 2
+        pf = self._lib.wl_prefetch_start_fields(
             self._handle, order[:num_full], num_full, batch_size,
-            prefetch_depth,
+            prefetch_depth, nf,
         )
         try:
             while True:
-                out = self._alloc(batch_size)
-                ok = self._lib.wl_prefetch_next(
-                    pf,
-                    out["positions"], out["temperatures"],
-                    out["target_positions"], out["target_temperatures"],
+                wins, tgts = self._alloc(batch_size, nf)
+                ok = self._lib.wl_prefetch_next_fields(
+                    pf, _ptr_array(wins), _ptr_array(tgts)
                 )
                 if not ok:
                     break
-                yield out
+                yield self._pack(wins, tgts)
         finally:
             self._lib.wl_prefetch_stop(pf)
         if not drop_remainder and num_full < len(order):
             # Tail batch assembled synchronously (same contract as
             # SequenceDataset.batches(drop_remainder=False)).
-            yield self.get_batch(order[num_full:].tolist())
+            yield self.get_batch(
+                order[num_full:].tolist(), include_extras=include_extras
+            )
 
     def close(self):
         if self._handle:

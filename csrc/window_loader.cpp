@@ -8,18 +8,23 @@
 // background double-buffered prefetch thread, so batch i+1 is built while
 // the device runs step i.
 //
-// Cache layout (little-endian):
-//   int64 magic = 0x43474E4E53494D31 ("CGNNSIM1")
+// Cache layout v2 (little-endian), generalizing to every ndim>0 field of
+// the reference HDF5 schema (dataloader.py:42-51 serves all of them):
+//   int64 magic = 0x43474E4E53494D32 ("CGNNSIM2")
 //   int64 num_snapshots (T), int64 num_particles (N)
 //   float64 box_size, float64 dt
-//   float32 coordinates [T, N, 3]
-//   float32 internal_energy [T, N, 1]
+//   int64 num_fields (F)
+//   F x { int64 name_len, bytes name, int64 feat_dim }
+//   F x float32 payload [T, N, feat_dim] (field order; fields 0/1 are
+//       Coordinates [.,.,3] and InternalEnergy [.,.,1] by converter
+//       convention — the classic 2-field ABI serves exactly those)
 //
-// A window sample (window W, start s) is served as:
-//   positions      [W, N, 3]  (frames s .. s+W-1)   — one memcpy
-//   temperatures   [W, N, 1]
-//   target_pos     [N, 3]     (frame s+W)
-//   target_temp    [N, 1]
+// v1 caches (magic "CGNNSIM1", fixed Coordinates+InternalEnergy payloads)
+// remain readable.
+//
+// A window sample (window W, start s) is served per field as:
+//   window  [W, N, d]  (frames s .. s+W-1) — one memcpy
+//   target  [N, d]     (frame s+W)
 //
 // Exposed with a plain C ABI for ctypes.
 
@@ -30,6 +35,7 @@
 #include <cstring>
 #include <mutex>
 #include <queue>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -40,7 +46,8 @@
 
 namespace {
 
-constexpr int64_t kMagic = 0x43474E4E53494D31LL;
+constexpr int64_t kMagicV1 = 0x43474E4E53494D31LL;
+constexpr int64_t kMagicV2 = 0x43474E4E53494D32LL;
 
 struct SimFile {
   int fd = -1;
@@ -50,8 +57,9 @@ struct SimFile {
   int64_t N = 0;
   double box_size = 0;
   double dt = 0;
-  const float* coords = nullptr;  // [T, N, 3]
-  const float* energy = nullptr;  // [T, N, 1]
+  std::vector<std::string> names;
+  std::vector<int64_t> dims;
+  std::vector<const float*> fields;  // each [T, N, dims[i]]
 };
 
 struct Loader {
@@ -62,13 +70,14 @@ struct Loader {
 };
 
 struct Batch {
-  std::vector<float> pos, temp, tpos, ttemp;
+  std::vector<std::vector<float>> wins, tgts;  // per used field
 };
 
 struct Prefetcher {
   Loader* loader = nullptr;
   std::vector<int64_t> order;
   int batch_size = 0;
+  int num_fields = 2;  // leading fields assembled per batch
   size_t cursor = 0;
   int depth = 2;
   std::queue<Batch> ready;
@@ -77,6 +86,13 @@ struct Prefetcher {
   std::atomic<bool> stop{false};
   std::thread worker;
 };
+
+bool read_i64(const uint8_t* p, size_t size, size_t* off, int64_t* out) {
+  if (*off + 8 > size) return false;
+  std::memcpy(out, p + *off, 8);
+  *off += 8;
+  return true;
+}
 
 bool map_file(const char* path, SimFile* out) {
   // All validation happens on locals; *out is populated only on full
@@ -94,64 +110,100 @@ bool map_file(const char* path, SimFile* out) {
     return false;
   }
   const uint8_t* p = static_cast<const uint8_t*>(base);
-  int64_t magic, T, N;
-  double box_size, dt;
-  std::memcpy(&magic, p, 8);
-  std::memcpy(&T, p + 8, 8);
-  std::memcpy(&N, p + 16, 8);
-  std::memcpy(&box_size, p + 24, 8);
-  std::memcpy(&dt, p + 32, 8);
-  // Bounds before multiplying: T*N*16 must not overflow and must fit the
-  // file (a corrupt header with huge T/N would otherwise wrap the product,
-  // pass validation, and SIGBUS on first access).
-  constexpr size_t kHeader = 40;
-  const size_t payload = size_t(st.st_size) - kHeader;
-  bool valid = magic == kMagic && T > 0 && N > 0 &&
-               uint64_t(T) <= payload / 16 / uint64_t(N > 0 ? N : 1) &&
-               size_t(T) * size_t(N) * 16 <= payload;
-  if (!valid) {
+  const size_t size = size_t(st.st_size);
+  auto fail = [&] {
     ::munmap(base, st.st_size);
     ::close(fd);
     return false;
+  };
+  size_t off = 0;
+  int64_t magic, T, N;
+  double box_size, dt;
+  if (!read_i64(p, size, &off, &magic)) return fail();
+  if (!read_i64(p, size, &off, &T)) return fail();
+  if (!read_i64(p, size, &off, &N)) return fail();
+  if (off + 16 > size) return fail();
+  std::memcpy(&box_size, p + off, 8);
+  std::memcpy(&dt, p + off + 8, 8);
+  off += 16;
+  if (T <= 0 || N <= 0) return fail();
+
+  std::vector<std::string> names;
+  std::vector<int64_t> dims;
+  if (magic == kMagicV1) {
+    names = {"Coordinates", "InternalEnergy"};
+    dims = {3, 1};
+  } else if (magic == kMagicV2) {
+    int64_t nf;
+    if (!read_i64(p, size, &off, &nf) || nf <= 0 || nf > 64) return fail();
+    for (int64_t i = 0; i < nf; ++i) {
+      int64_t name_len, d;
+      if (!read_i64(p, size, &off, &name_len)) return fail();
+      if (name_len <= 0 || name_len > 256 || off + size_t(name_len) > size)
+        return fail();
+      names.emplace_back(reinterpret_cast<const char*>(p + off),
+                         size_t(name_len));
+      off += size_t(name_len);
+      if (!read_i64(p, size, &off, &d) || d <= 0 || d > 4096) return fail();
+      dims.push_back(d);
+    }
+  } else {
+    return fail();
   }
-  size_t coords_bytes = size_t(T) * size_t(N) * 3 * sizeof(float);
+
+  // Bounds before multiplying: sum(T*N*d)*4 must not overflow and must fit
+  // the file (a corrupt header with huge T/N would otherwise wrap the
+  // product, pass validation, and SIGBUS on first access).
+  const size_t payload = size - off;
+  uint64_t total_dim = 0;
+  for (int64_t d : dims) total_dim += uint64_t(d);
+  if (total_dim == 0 ||
+      uint64_t(T) > payload / 4 / total_dim / uint64_t(N) ||
+      size_t(T) * size_t(N) * size_t(total_dim) * 4 > payload)
+    return fail();
+
   out->fd = fd;
   out->base = p;
-  out->size = st.st_size;
+  out->size = size;
   out->T = T;
   out->N = N;
   out->box_size = box_size;
   out->dt = dt;
-  out->coords = reinterpret_cast<const float*>(p + kHeader);
-  out->energy = reinterpret_cast<const float*>(p + kHeader + coords_bytes);
+  out->names = std::move(names);
+  out->dims = std::move(dims);
+  size_t cursor = off;
+  for (size_t i = 0; i < out->dims.size(); ++i) {
+    out->fields.push_back(reinterpret_cast<const float*>(p + cursor));
+    cursor += size_t(T) * size_t(N) * size_t(out->dims[i]) * sizeof(float);
+  }
   return true;
 }
 
-// Copy one sample into per-sample offsets of the batch buffers.
-void copy_sample(const Loader& L, int64_t global_seq, int64_t slot, float* pos,
-                 float* temp, float* tpos, float* ttemp) {
+// Copy one sample's leading `nf` fields into per-sample offsets of the
+// batch buffers.
+void copy_sample(const Loader& L, int64_t global_seq, int64_t slot, int nf,
+                 float* const* wins, float* const* tgts) {
   const int64_t sim_idx = global_seq / L.seq_per_sim;
   const int64_t s = global_seq % L.seq_per_sim;
   const SimFile& f = L.sims[sim_idx];
   const int64_t N = f.N;
   const int W = L.window;
-  std::memcpy(pos + slot * W * N * 3, f.coords + s * N * 3,
-              size_t(W) * N * 3 * sizeof(float));
-  std::memcpy(temp + slot * W * N, f.energy + s * N,
-              size_t(W) * N * sizeof(float));
-  std::memcpy(tpos + slot * N * 3, f.coords + (s + W) * N * 3,
-              size_t(N) * 3 * sizeof(float));
-  std::memcpy(ttemp + slot * N, f.energy + (s + W) * N,
-              size_t(N) * sizeof(float));
+  for (int i = 0; i < nf; ++i) {
+    const int64_t d = f.dims[i];
+    std::memcpy(wins[i] + slot * W * N * d, f.fields[i] + s * N * d,
+                size_t(W) * N * d * sizeof(float));
+    std::memcpy(tgts[i] + slot * N * d, f.fields[i] + (s + W) * N * d,
+                size_t(N) * d * sizeof(float));
+  }
 }
 
-void assemble_batch(const Loader& L, const int64_t* seqs, int batch, float* pos,
-                    float* temp, float* tpos, float* ttemp) {
+void assemble_batch(const Loader& L, const int64_t* seqs, int batch, int nf,
+                    float* const* wins, float* const* tgts) {
   const int threads =
       std::min<int>(L.num_threads, batch > 0 ? batch : 1);
   if (threads <= 1 || batch < 2) {
     for (int i = 0; i < batch; ++i)
-      copy_sample(L, seqs[i], i, pos, temp, tpos, ttemp);
+      copy_sample(L, seqs[i], i, nf, wins, tgts);
     return;
   }
   std::vector<std::thread> pool;
@@ -160,7 +212,7 @@ void assemble_batch(const Loader& L, const int64_t* seqs, int batch, float* pos,
     pool.emplace_back([&] {
       int i;
       while ((i = next.fetch_add(1)) < batch)
-        copy_sample(L, seqs[i], i, pos, temp, tpos, ttemp);
+        copy_sample(L, seqs[i], i, nf, wins, tgts);
     });
   }
   for (auto& th : pool) th.join();
@@ -168,18 +220,26 @@ void assemble_batch(const Loader& L, const int64_t* seqs, int batch, float* pos,
 
 void prefetch_loop(Prefetcher* pf) {
   Loader& L = *pf->loader;
-  const int64_t N = L.sims[0].N;
+  const SimFile& f0 = L.sims[0];
+  const int64_t N = f0.N;
   const int W = L.window;
   const int B = pf->batch_size;
+  const int nf = pf->num_fields;
   while (!pf->stop.load()) {
     if (pf->cursor + B > pf->order.size()) break;  // drop remainder
     Batch b;
-    b.pos.resize(size_t(B) * W * N * 3);
-    b.temp.resize(size_t(B) * W * N);
-    b.tpos.resize(size_t(B) * N * 3);
-    b.ttemp.resize(size_t(B) * N);
-    assemble_batch(L, pf->order.data() + pf->cursor, B, b.pos.data(),
-                   b.temp.data(), b.tpos.data(), b.ttemp.data());
+    b.wins.resize(nf);
+    b.tgts.resize(nf);
+    std::vector<float*> wins(nf), tgts(nf);
+    for (int i = 0; i < nf; ++i) {
+      const int64_t d = f0.dims[i];
+      b.wins[i].resize(size_t(B) * W * N * d);
+      b.tgts[i].resize(size_t(B) * N * d);
+      wins[i] = b.wins[i].data();
+      tgts[i] = b.tgts[i].data();
+    }
+    assemble_batch(L, pf->order.data() + pf->cursor, B, nf, wins.data(),
+                   tgts.data());
     pf->cursor += B;
     std::unique_lock<std::mutex> lk(pf->mu);
     pf->cv_space.wait(lk, [&] {
@@ -201,7 +261,7 @@ extern "C" {
 void wl_close(void* handle);
 
 // Open a loader over `num_files` binary-cache paths. Returns nullptr on any
-// failure (bad magic, size mismatch across files, unopenable file).
+// failure (bad magic, shape/field mismatch across files, unopenable file).
 void* wl_open(const char** paths, int num_files, int window, int num_threads) {
   if (num_files <= 0 || window < 1) return nullptr;
   auto* L = new Loader();
@@ -210,7 +270,9 @@ void* wl_open(const char** paths, int num_files, int window, int num_threads) {
   L->sims.resize(num_files);
   for (int i = 0; i < num_files; ++i) {
     if (!map_file(paths[i], &L->sims[i]) ||
-        L->sims[i].T != L->sims[0].T || L->sims[i].N != L->sims[0].N) {
+        L->sims[i].T != L->sims[0].T || L->sims[i].N != L->sims[0].N ||
+        L->sims[i].names != L->sims[0].names ||
+        L->sims[i].dims != L->sims[0].dims) {
       wl_close(L);  // unmap everything mapped so far
       return nullptr;
     }
@@ -242,11 +304,45 @@ double wl_box_size(void* handle) {
 
 double wl_dt(void* handle) { return static_cast<Loader*>(handle)->sims[0].dt; }
 
-// Assemble one batch synchronously (multithreaded memcpy).
+int wl_num_fields(void* handle) {
+  return int(static_cast<Loader*>(handle)->sims[0].dims.size());
+}
+
+int64_t wl_field_dim(void* handle, int i) {
+  auto* L = static_cast<Loader*>(handle);
+  if (i < 0 || size_t(i) >= L->sims[0].dims.size()) return -1;
+  return L->sims[0].dims[i];
+}
+
+// Copies the field name into `buf` (nul-terminated, truncated to cap).
+// Returns the full name length, or -1 for a bad index.
+int wl_field_name(void* handle, int i, char* buf, int cap) {
+  auto* L = static_cast<Loader*>(handle);
+  if (i < 0 || size_t(i) >= L->sims[0].names.size()) return -1;
+  const std::string& s = L->sims[0].names[i];
+  if (cap > 0) {
+    int n = std::min<int>(cap - 1, int(s.size()));
+    std::memcpy(buf, s.data(), n);
+    buf[n] = 0;
+  }
+  return int(s.size());
+}
+
+// Assemble one batch of the leading `num_fields` fields synchronously
+// (multithreaded memcpy). wins[i]/tgts[i] are [B, W, N, d_i]/[B, N, d_i].
+void wl_get_batch_fields(void* handle, const int64_t* seqs, int batch,
+                         int num_fields, float* const* wins,
+                         float* const* tgts) {
+  auto* L = static_cast<Loader*>(handle);
+  assemble_batch(*L, seqs, batch, num_fields, wins, tgts);
+}
+
+// Classic 2-field path (fields 0/1 = Coordinates/InternalEnergy).
 void wl_get_batch(void* handle, const int64_t* seqs, int batch, float* pos,
                   float* temp, float* tpos, float* ttemp) {
-  auto* L = static_cast<Loader*>(handle);
-  assemble_batch(*L, seqs, batch, pos, temp, tpos, ttemp);
+  float* wins[2] = {pos, temp};
+  float* tgts[2] = {tpos, ttemp};
+  wl_get_batch_fields(handle, seqs, batch, 2, wins, tgts);
 }
 
 void wl_close(void* handle) {
@@ -260,20 +356,30 @@ void wl_close(void* handle) {
 
 // --- Background prefetcher -------------------------------------------------
 
-void* wl_prefetch_start(void* handle, const int64_t* order, int64_t num,
-                        int batch, int depth) {
+void* wl_prefetch_start_fields(void* handle, const int64_t* order, int64_t num,
+                               int batch, int depth, int num_fields) {
+  auto* L = static_cast<Loader*>(handle);
+  if (num_fields < 1 || size_t(num_fields) > L->sims[0].dims.size())
+    return nullptr;
   auto* pf = new Prefetcher();
-  pf->loader = static_cast<Loader*>(handle);
+  pf->loader = L;
   pf->order.assign(order, order + num);
   pf->batch_size = batch;
   pf->depth = depth > 0 ? depth : 2;
+  pf->num_fields = num_fields;
   pf->worker = std::thread(prefetch_loop, pf);
   return pf;
 }
 
-// Returns 1 and fills the buffers if a batch was produced; 0 at end of epoch.
-int wl_prefetch_next(void* pfh, float* pos, float* temp, float* tpos,
-                     float* ttemp) {
+void* wl_prefetch_start(void* handle, const int64_t* order, int64_t num,
+                        int batch, int depth) {
+  return wl_prefetch_start_fields(handle, order, num, batch, depth, 2);
+}
+
+// Returns 1 and fills the buffers if a batch was produced; 0 at end of
+// epoch. wins/tgts must hold the prefetcher's num_fields pointers.
+int wl_prefetch_next_fields(void* pfh, float* const* wins,
+                            float* const* tgts) {
   auto* pf = static_cast<Prefetcher*>(pfh);
   std::unique_lock<std::mutex> lk(pf->mu);
   pf->cv_ready.wait(lk, [&] { return pf->stop.load() || !pf->ready.empty(); });
@@ -282,11 +388,21 @@ int wl_prefetch_next(void* pfh, float* pos, float* temp, float* tpos,
   pf->ready.pop();
   pf->cv_space.notify_one();
   lk.unlock();
-  std::memcpy(pos, b.pos.data(), b.pos.size() * sizeof(float));
-  std::memcpy(temp, b.temp.data(), b.temp.size() * sizeof(float));
-  std::memcpy(tpos, b.tpos.data(), b.tpos.size() * sizeof(float));
-  std::memcpy(ttemp, b.ttemp.data(), b.ttemp.size() * sizeof(float));
+  for (int i = 0; i < pf->num_fields; ++i) {
+    std::memcpy(wins[i], b.wins[i].data(), b.wins[i].size() * sizeof(float));
+    std::memcpy(tgts[i], b.tgts[i].data(), b.tgts[i].size() * sizeof(float));
+  }
   return 1;
+}
+
+int wl_prefetch_next(void* pfh, float* pos, float* temp, float* tpos,
+                     float* ttemp) {
+  // Only valid for a 2-field prefetcher (the _fields loop would read past
+  // the two pointers otherwise).
+  if (static_cast<Prefetcher*>(pfh)->num_fields != 2) return 0;
+  float* wins[2] = {pos, temp};
+  float* tgts[2] = {tpos, ttemp};
+  return wl_prefetch_next_fields(pfh, wins, tgts);
 }
 
 void wl_prefetch_stop(void* pfh) {

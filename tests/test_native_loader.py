@@ -132,3 +132,70 @@ def test_overflow_header_rejected(tmp_path):
     )
     with pytest.raises(ValueError, match="failed to open"):
         native_loader.NativeSequenceLoader([str(neg)], window_size=5)
+
+
+def test_extras_match_python_dataset(sim_dir):
+    """v2 caches serve every ndim>0 field; extras mirror SequenceDataset."""
+    path, sims = sim_dir
+    meta = compute_metadata(sims[0])
+    py_ds = SequenceDataset(str(path), window_size=5, metadata=meta)
+    loader = native_loader.open_directory(str(path), window_size=5)
+    assert set(loader.field_names) >= {
+        "Coordinates", "InternalEnergy", "Velocities", "HydroAcceleration",
+    }
+
+    native = loader.get_batch([1, 6], include_extras=True)
+    for name in loader.field_names[2:]:
+        for i, seq in enumerate([1, 6]):
+            sample = py_ds[seq]
+            want_in = sample["input"][name]
+            want_tg = sample["target"][name]
+            if want_in.ndim == 2:  # scalar fields ride as [..., 1]
+                want_in, want_tg = want_in[..., None], want_tg[..., None]
+            np.testing.assert_array_equal(
+                native["extra_inputs"][name][i], want_in
+            )
+            np.testing.assert_array_equal(
+                native["extra_targets"][name][i], want_tg
+            )
+
+    # Prefetched epoch with extras: shapes and determinism.
+    batches = list(
+        loader.batches(2, shuffle=True, seed=7, include_extras=True)
+    )
+    assert len(batches) == len(loader) // 2
+    vel = batches[0]["extra_inputs"]["Velocities"]
+    assert vel.shape == (2, 5, 24, 3)
+    order = np.arange(len(loader), dtype=np.int64)
+    np.random.default_rng(7).shuffle(order)
+    expected = loader.get_batch(order[:2], include_extras=True)
+    np.testing.assert_array_equal(
+        batches[0]["extra_inputs"]["Velocities"],
+        expected["extra_inputs"]["Velocities"],
+    )
+    loader.close()
+
+
+def test_v1_cache_still_readable(tmp_path):
+    """Old 2-field caches (magic CGNNSIM1) keep working."""
+    import struct
+
+    sim = generate_synthetic_simulation(num_snapshots=8, num_particles=16)
+    coords = np.ascontiguousarray(sim["Coordinates"], np.float32)
+    energy = np.ascontiguousarray(sim["InternalEnergy"], np.float32)
+    v1 = tmp_path / "v1.cgnn"
+    with open(v1, "wb") as f:
+        f.write(struct.pack(
+            "<qqqdd", 0x43474E4E53494D31, 8, 16,
+            float(sim["BoxSize"]), float(sim["TimeStep"]),
+        ))
+        f.write(coords.tobytes())
+        f.write(energy.tobytes())
+    loader = native_loader.NativeSequenceLoader([str(v1)], window_size=5)
+    assert loader.field_names == ["Coordinates", "InternalEnergy"]
+    batch = loader.get_batch([0])
+    np.testing.assert_array_equal(batch["positions"][0], coords[:5])
+    np.testing.assert_array_equal(
+        batch["target_temperatures"][0], energy[5].reshape(16, 1)
+    )
+    loader.close()
