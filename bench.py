@@ -13,12 +13,15 @@ block_until_ready is unreliable, so):
 * throughput uses the marginal cost between a short and a long rollout,
   cancelling constant dispatch/transfer overhead.
 
-Baseline: the reference publishes no numbers (BASELINE.md). Its rollout
-rebuilds a 27x ghost-copy k-NN graph on the host CPU and crosses the
-host<->device boundary twice per step (``render_rollout.py:39-58``): at
-N=65k that is a 1.77M-point host kNN build (~1s-class) plus transfers plus
-the PyG forward — ~1 step/s on a modern GPU is a *favorable* estimate, i.e.
-BASELINE_PARTICLE_STEPS_PER_SEC = 65536. vs_baseline is measured/that.
+Baseline: the reference publishes no numbers, so round 2 MEASURED it
+(BASELINE.md "Measured reference numbers"): the reference's own unmodified
+rollout runs at 71 particle-steps/s at N=65k on this machine's CPU
+(926 s/step, quadratic fit over four measured sizes; its 27x-ghost-copy
+k-NN rebuild stays host-side even with a GPU, ``render_rollout.py:39-58``).
+BASELINE_PARTICLE_STEPS_PER_SEC = 65536 grants the reference a ~930x GPU
+speedup over that measurement — deliberately generous (A100-class GPUs
+deliver ~50-200x single-core-CPU on this op mix), so vs_baseline is a
+lower bound on the true ratio.
 """
 
 from __future__ import annotations

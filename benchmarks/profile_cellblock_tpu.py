@@ -93,10 +93,7 @@ def main():
     per_base = (t - floor) / steps
     print(f"baseline gather+sum: {per_base*1e3:8.2f} ms/step", flush=True)
 
-    for spec in (
-        choose_cellblock_spec(n),
-        CellBlockSpec(choose_cellblock_spec(n).grid_size + 4, 64, 4),
-    ):
+    for spec in (choose_cellblock_spec(n),):
         m = n / spec.grid_size**3
         print(
             f"\nspec {spec} mean_occ {m:.1f} slots {spec.num_slots}"
@@ -148,6 +145,101 @@ def main():
             f"({per_base/per:.1f}x vs gather)",
             flush=True,
         )
+
+        # --- Component breakdown ------------------------------------------
+        from cosmology_gnn_simulation_tpu.ops.cellblock import (
+            _build_s_table, _local_indices,
+        )
+        g_, c_ = spec.grid_size, spec.capacity
+
+        from cosmology_gnn_simulation_tpu.ops.cellblock import (
+            expand_to_slots,
+        )
+
+        @functools.partial(jax.jit, static_argnames=("steps",))
+        def expand_only(z, plan, eps, steps=steps):
+            def body(carry, _):
+                z_slots = expand_to_slots(carry, plan, dtype=jnp.bfloat16)
+                return carry + z_slots[: carry.shape[0]].astype(
+                    jnp.float32
+                ) * 1e-6 + eps, None
+
+            final, _ = jax.lax.scan(body, z + eps, None, length=steps)
+            return jnp.sum(final[:1, :8])
+
+        t = bench(expand_only, z_sorted, plan)
+        print(f"  expand once-equiv: {(t-floor)/steps*1e3:8.2f} ms",
+              flush=True)
+
+        from cosmology_gnn_simulation_tpu.ops.cellblock import (
+            cellblock_aggregate_slots,
+        )
+
+        @functools.partial(jax.jit, static_argnames=("spec", "steps"))
+        def run_agg_slots(z_slots, plan, eps, spec=spec, steps=steps):
+            def body(carry, _):
+                out = cellblock_aggregate_slots(carry, plan, spec)
+                return out * 1e-4 + carry + eps, None
+
+            final, _ = jax.lax.scan(body, z_slots + eps, None, length=steps)
+            return jnp.sum(final[:1, :8])
+
+        z_slots0 = expand_to_slots(z_sorted, plan).astype(jnp.float32)
+        t = bench(run_agg_slots, z_slots0, plan)
+        print(
+            f"  slot-space agg:    {(t-floor)/steps*1e3:8.2f} ms/step "
+            f"({per_base/((t-floor)/steps):.1f}x vs gather)",
+            flush=True,
+        )
+
+        @functools.partial(jax.jit, static_argnames=("steps",))
+        def compact_only(out_slots, plan, eps, steps=steps):
+            def body(carry, _):
+                o = jnp.take(carry, plan.slot_of_sorted, axis=0,
+                             mode="clip")
+                return carry.at[: o.shape[0]].add(o * 1e-6 + eps), None
+
+            final, _ = jax.lax.scan(body, out_slots + eps, None,
+                                    length=steps)
+            return jnp.sum(final[:1, :8])
+
+        big = jnp.zeros((spec.num_slots, h), jnp.float32)
+        t = bench(compact_only, big, plan)
+        print(f"  compact only:      {(t-floor)/steps*1e3:8.2f} ms",
+              flush=True)
+
+        # S build split: local-index arithmetic+table vs one-hot matmuls.
+        nbr_sorted_full = sort_neighbors(nbr, plan.order)
+        nbr_slot = jnp.take(plan.slot_of_sorted, nbr_sorted_full, axis=0,
+                            mode="clip")
+        nbr_table = (
+            jnp.full((spec.num_slots + 1, k), spec.num_slots, jnp.int32)
+            .at[plan.slot_of_sorted]
+            .set(nbr_slot, mode="drop")[: spec.num_slots]
+        )
+
+        @functools.partial(jax.jit, static_argnames=("spec",))
+        def s_only(nbr_table, eps, spec=spec):
+            s, dropped = _build_s_table(
+                (nbr_table + jnp.int32(eps * 1e9)) % (spec.num_slots + 1),
+                spec,
+            )
+            return jnp.sum(s[:1, :8].astype(jnp.float32)) + dropped
+
+        t = bench(s_only, nbr_table)
+        print(f"  S one-hot matmuls: {(t-floor)*1e3:8.2f} ms", flush=True)
+
+        @jax.jit
+        def table_only(nbr_slot, slot_of_sorted, eps):
+            tbl = (
+                jnp.full((spec.num_slots + 1, k), spec.num_slots, jnp.int32)
+                .at[slot_of_sorted]
+                .set(nbr_slot + jnp.int32(eps * 1e9), mode="drop")
+            )
+            return jnp.sum(tbl[:1])
+
+        t = bench(table_only, nbr_slot, plan.slot_of_sorted)
+        print(f"  nbr-table scatter: {(t-floor)*1e3:8.2f} ms", flush=True)
 
         # Correctness spot check on-device (first 8192 rows — the full
         # unchunked oracle gather would need ~15 GB).

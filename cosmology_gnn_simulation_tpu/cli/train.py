@@ -94,6 +94,24 @@ def main(argv=None):
             print(f"Error loading pretrained model ({exc}); "
                   "continuing with random init")
 
+    if getattr(args, "distributed", False):
+        from cosmology_gnn_simulation_tpu.parallel.mesh import (
+            initialize_distributed,
+        )
+
+        if initialize_distributed():
+            import jax
+
+            print(
+                f"Multi-process runtime: process "
+                f"{jax.process_index()}/{jax.process_count()}, "
+                f"{jax.local_device_count()} local devices (data axis over "
+                f"DCN, particle axis over ICI)"
+            )
+        else:
+            print("--distributed: no coordinator configured; "
+                  "running single-process")
+
     mesh = None
     halo = None
     spatial = getattr(args, "spatial_shards", 0) or 0

@@ -61,6 +61,11 @@ def build_train_parser() -> argparse.ArgumentParser:
                         help="Matmul operand dtype (accumulation stays fp32)")
     parser.add_argument("--aggregate", type=str, default="sender_latents",
                         choices=["sender_latents", "edge_messages"])
+    parser.add_argument("--distributed", action="store_true",
+                        help="initialize the multi-process (multi-host) JAX "
+                             "runtime before building the mesh "
+                             "(jax.distributed; coordinator from the "
+                             "cluster environment)")
     parser.add_argument("--data_parallel", action="store_true",
                         help="Shard the batch across all visible devices")
     parser.add_argument("--spatial_shards", type=int, default=0,

@@ -274,16 +274,17 @@ def _pruned_processor_step(
     w_self, w_agg = nw[:latent], nw[latent:]
     z = _split_dense(x, w_agg, dtype)
     if cellblock is not None:
-        # Selection-matrix aggregation on the MXU (ops/cellblock.py): the
-        # graph rows are cell-sorted; z is carried in bf16 inside the kernel
-        # (same precision as the dtype-carried gather below).
+        # Selection-matrix aggregation on the MXU (ops/cellblock.py). The
+        # carry `x` is already in SLOT space here (see the slot-space
+        # expansion in apply_encode_process_decode), so the kernel consumes
+        # z directly — the only per-step prep is a contiguous z-wrap pad.
         from cosmology_gnn_simulation_tpu.ops.cellblock import (
-            cellblock_aggregate,
+            cellblock_aggregate_slots,
         )
 
         # Same precision policy as the gather path below: candidates carried
         # in `dtype` when reduced precision is requested, f32 otherwise.
-        agg_h = cellblock_aggregate(
+        agg_h = cellblock_aggregate_slots(
             z, cellblock, cellblock_spec,
             carry_dtype=jnp.float32 if dtype is None else dtype,
         )
@@ -355,6 +356,20 @@ def apply_encode_process_decode(
     )
 
     if prune:
+        if graph.cellblock is not None:
+            # Slot-space forward: expand latents to the padded slot table
+            # ONCE (monotone gather), run every message-passing step on slot
+            # rows (empty-slot rows carry harmless garbage — the selection
+            # matrices never reference them), and compact ONCE before the
+            # decoders. Saves the ~2x-per-step expand/compact gathers at the
+            # cost of C/mean-occupancy extra MLP rows.
+            from cosmology_gnn_simulation_tpu.ops.cellblock import (
+                compact_from_slots,
+                expand_to_slots,
+            )
+
+            x = expand_to_slots(x, graph.cellblock)
+
         def body(carry, step_params):
             x_new = _pruned_processor_step(
                 carry, neighbors, step_params, dtype, particle_axis,
@@ -363,6 +378,8 @@ def apply_encode_process_decode(
             return carry + x_new, None
 
         x, _ = jax.lax.scan(body, x, params["processor"])
+        if graph.cellblock is not None:
+            x = compact_from_slots(x, graph.cellblock)
     else:
         e = apply_mlp(params["encoder"]["edge"], graph.edges, dtype)
 

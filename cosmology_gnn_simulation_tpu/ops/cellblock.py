@@ -41,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cosmology_gnn_simulation_tpu.ops.binning import bin_by_key, scatter_to_table
+from cosmology_gnn_simulation_tpu.ops.binning import bin_by_key
 
 _LANE = 128
 
@@ -99,28 +99,45 @@ class CellBlockSpec(NamedTuple):
             raise ValueError("z_block*capacity must be a multiple of 8")
 
 
+def _poisson_overflow_cells(mean: float, capacity: int, num_cells: int):
+    """Expected number of cells whose Poisson(mean) occupancy exceeds
+    ``capacity`` (stable log-space evaluation, plain Python floats)."""
+    import math
+
+    log_pmf = -mean  # k = 0
+    cdf = math.exp(log_pmf)
+    for k in range(1, capacity + 1):
+        log_pmf += math.log(mean) - math.log(k)
+        cdf += math.exp(log_pmf)
+    return num_cells * max(0.0, 1.0 - cdf)
+
+
 def choose_cellblock_spec(
     num_particles: int,
     *,
-    tail_sigmas: float = 5.0,
+    max_expected_overflow: float = 0.05,
     h_block: int = 128,
 ) -> CellBlockSpec:
     """Pick (G, C, BLK) for a roughly uniform distribution.
 
     C is fixed at 64 and BLK at 4 (so the per-column K slice is exactly
-    3 x 128 lanes and M = 256 rows); G is the largest multiple of 4 whose
-    mean occupancy ``m = N/G^3`` keeps the Poisson tail under C:
-    ``m + tail_sigmas * sqrt(m) <= C``. Clustered data needs more headroom —
-    the ``overflow`` diagnostic makes violations loud.
+    3 x 128 lanes and M = 256 rows); G is the smallest multiple of 4 whose
+    expected number of overflowing cells (exact Poisson tail at mean
+    occupancy ``N/G^3``) is under ``max_expected_overflow``. Coarser is
+    better — fewer empty slots means a smaller S table and fewer wasted
+    FLOPs. Clustered data needs more headroom — the ``overflow``
+    diagnostic makes violations loud.
     """
     c, blk = 64, 4
     g = blk
     while True:
         g_next = g + blk
         m = num_particles / g_next**3
-        if m + tail_sigmas * np.sqrt(m) <= c:
-            # Largest mean occupancy (coarsest grid) that still fits:
-            # fewer empty slots => smaller S and fewer wasted FLOPs.
+        if (
+            m < c
+            and _poisson_overflow_cells(m, c, g_next**3)
+            <= max_expected_overflow
+        ):
             return CellBlockSpec(g_next, c, blk, h_block)
         g = g_next
 
@@ -135,8 +152,8 @@ class CellBlockGraph(NamedTuple):
       order:          ``[N]`` int32 — sort permutation; ``x_sorted = x[order]``.
       slot_of_sorted: ``[N]`` int32 — ascending query-slot id per sorted
                       particle (sentinel ``num_slots`` for overflow).
-      pad_src:        ``[G^2 * (G+2) * C]`` int32 — padded-slot -> sorted
-                      particle index (sentinel ``N`` -> zero row).
+      particle_of_slot: ``[num_slots]`` int32 — slot -> sorted particle
+                      index (sentinel ``N`` for empty slots).
       s_table:        ``[num_slots, 9 * kc]`` int8 — selection matrices.
       overflow:       scalar int32 — particles beyond C in their cell.
       dropped_edges:  scalar int32 — real edges whose sender fell outside
@@ -145,7 +162,7 @@ class CellBlockGraph(NamedTuple):
 
     order: jnp.ndarray
     slot_of_sorted: jnp.ndarray
-    pad_src: jnp.ndarray
+    particle_of_slot: jnp.ndarray
     s_table: jnp.ndarray
     overflow: jnp.ndarray
     dropped_edges: jnp.ndarray
@@ -163,6 +180,10 @@ def build_cellblock(
     ``positions``/``neighbors`` are in ORIGINAL particle order (as produced
     by the k-NN backends); the returned plan's ``order`` defines the sorted
     order everything else uses.
+
+    TPU note: everything here is sorts, merges, contiguous ops, row gathers
+    and MXU contractions — elementwise scatters (60+ ms for a [500k] -> [1.4M]
+    int table at config 4) are deliberately absent.
     """
     spec.validate()
     g, c, blk = spec.grid_size, spec.capacity, spec.z_block
@@ -180,44 +201,70 @@ def build_cellblock(
 
     # slot ids for sorted particles are ascending by construction.
     slot_of_sorted = b.slot.astype(jnp.int32)
-    # original particle -> slot (sentinel num_slots on overflow)
-    slot_of_particle = (
-        jnp.full((n,), num_slots, jnp.int32)
-        .at[b.order]
-        .set(slot_of_sorted, mode="drop")
+    # original particle -> slot: invert the sort permutation by sorting
+    # (order, slot) pairs by original index — a scatter-free inverse.
+    _, slot_of_particle = jax.lax.sort_key_val(
+        b.order.astype(jnp.int32), slot_of_sorted
     )
-    # padded-slot -> sorted particle index (sentinel n)
-    sorted_idx_table = scatter_to_table(
-        b, jnp.arange(n, dtype=jnp.int32), num_cells, c, n, jnp.int32
-    ).reshape(g * g, g, c)
-    pad_src = jnp.concatenate(
-        [sorted_idx_table[:, -1:], sorted_idx_table, sorted_idx_table[:, :1]],
-        axis=1,
-    ).reshape(-1)
+    # slot -> sorted particle: boundaries of the (ascending, injective)
+    # slot_of_sorted stream under a sorted-merge searchsorted; a slot is
+    # occupied iff its boundary strictly advances. No gathers, no scatters.
+    boundaries = jnp.searchsorted(
+        slot_of_sorted,
+        jnp.arange(num_slots + 1, dtype=jnp.int32),
+        side="left",
+        method="sort",
+    ).astype(jnp.int32)
+    occupied = boundaries[1:] > boundaries[:-1]
+    particle_of_slot = jnp.where(occupied, boundaries[:-1], n)
 
-    # Neighbor slots per query slot, in sorted-row order. neighbors[i] lists
-    # ORIGINAL ids; map through slot_of_particle, then arrange rows by the
-    # receiver's sorted position.
+    # Neighbor slots per query slot: map neighbor ids (original order)
+    # through slot_of_particle, arrange rows by the receiver's sorted
+    # position, then spread to slot rows via a row gather (sentinel row
+    # appended for empty slots).
     nbr_slot = jnp.take(
         slot_of_particle, neighbors, axis=0, mode="clip"
     )  # [N(orig), k]
     nbr_slot_sorted = jnp.take(nbr_slot, b.order, axis=0)  # rows sorted
-    # Query-slot table of neighbor slots (sentinel num_slots).
-    nbr_table = (
-        jnp.full((num_slots + 1, k), num_slots, jnp.int32)
-        .at[slot_of_sorted]
-        .set(nbr_slot_sorted, mode="drop")[:num_slots]
+    nbr_slot_ext = jnp.concatenate(
+        [nbr_slot_sorted, jnp.full((1, k), num_slots, jnp.int32)]
     )
+    nbr_table = jnp.take(
+        nbr_slot_ext, particle_of_slot, axis=0, mode="clip"
+    )  # [num_slots, k]
 
     s_table, dropped = _build_s_table(nbr_table, spec)
     return CellBlockGraph(
         order=b.order.astype(jnp.int32),
         slot_of_sorted=slot_of_sorted,
-        pad_src=pad_src,
+        particle_of_slot=particle_of_slot,
         s_table=s_table,
         overflow=b.overflow.astype(jnp.int32),
         dropped_edges=dropped,
     )
+
+
+def expand_to_slots(
+    x_sorted: jnp.ndarray, plan: CellBlockGraph, dtype=None
+) -> jnp.ndarray:
+    """``[N, F]`` (cell-sorted rows) -> ``[num_slots, F]`` slot table.
+
+    Empty slots get zero rows. Monotone row gather (the index stream is
+    sorted), so it runs far faster than a scatter."""
+    if dtype is not None:
+        x_sorted = x_sorted.astype(dtype)
+    x_ext = jnp.concatenate(
+        [x_sorted, jnp.zeros((1, x_sorted.shape[1]), x_sorted.dtype)]
+    )
+    return jnp.take(x_ext, plan.particle_of_slot, axis=0, mode="clip")
+
+
+def compact_from_slots(
+    x_slots: jnp.ndarray, plan: CellBlockGraph
+) -> jnp.ndarray:
+    """``[num_slots, F]`` -> ``[N, F]`` cell-sorted rows (monotone gather;
+    overflow sentinel slots clamp — flagged by ``plan.overflow``)."""
+    return jnp.take(x_slots, plan.slot_of_sorted, axis=0, mode="clip")
 
 
 def _local_indices(nbr_table: jnp.ndarray, spec: CellBlockSpec):
@@ -253,26 +300,56 @@ def _local_indices(nbr_table: jnp.ndarray, spec: CellBlockSpec):
     return czw, sl, valid, dropped
 
 
+# Row-tile length for the chunked S build: bounds the bf16 one-hot factors
+# and the f32 contraction output to ~hundreds of MB (the full [slots, 9*kc]
+# f32 intermediate would be ~19 GB at BASELINE config 4).
+_S_BUILD_TILE = 65536
+
+
 def _build_s_table(nbr_table: jnp.ndarray, spec: CellBlockSpec):
     """S[q, czw * C + sl] = multiplicity of that candidate in q's neighbor
     list — via two one-hot factors contracted on the MXU (a direct
-    scatter-add over N*k elements is pathologically slow on TPU)."""
+    scatter-add over N*k elements is pathologically slow on TPU), chunked
+    over row tiles so only the int8 result is ever resident in full."""
     c = spec.capacity
     nwin = 9 * spec.window_cells
     czw, sl, valid, dropped = _local_indices(nbr_table, spec)
-    oh_czw = (
-        czw[:, :, None] == jnp.arange(nwin, dtype=jnp.int32)
-    ).astype(jnp.bfloat16)  # [rows, k, nwin]
-    oh_sl = jnp.where(valid[:, :, None], 1.0, 0.0).astype(jnp.bfloat16) * (
-        sl[:, :, None] == jnp.arange(c, dtype=jnp.int32)
-    ).astype(jnp.bfloat16)  # [rows, k, C]
-    s = jax.lax.dot_general(
-        oh_czw,
-        oh_sl,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [rows, nwin, C]
-    return s.reshape(s.shape[0], nwin * c).astype(jnp.int8), dropped
+
+    def tile_s(args):
+        czw_t, sl_t, valid_t = args
+        oh_czw = (
+            czw_t[:, :, None] == jnp.arange(nwin, dtype=jnp.int32)
+        ).astype(jnp.bfloat16)  # [tile, k, nwin]
+        oh_sl = jnp.where(valid_t[:, :, None], 1.0, 0.0).astype(
+            jnp.bfloat16
+        ) * (
+            sl_t[:, :, None] == jnp.arange(c, dtype=jnp.int32)
+        ).astype(jnp.bfloat16)  # [tile, k, C]
+        s = jax.lax.dot_general(
+            oh_czw,
+            oh_sl,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [tile, nwin, C]
+        return s.reshape(s.shape[0], nwin * c).astype(jnp.int8)
+
+    rows = nbr_table.shape[0]
+    tile = min(_S_BUILD_TILE, rows)
+    if rows % tile:
+        pad = tile - rows % tile
+        czw = jnp.pad(czw, ((0, pad), (0, 0)), constant_values=-1)
+        sl = jnp.pad(sl, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, ((0, pad), (0, 0)))
+    num_tiles = czw.shape[0] // tile
+    s = jax.lax.map(
+        tile_s,
+        (
+            czw.reshape(num_tiles, tile, -1),
+            sl.reshape(num_tiles, tile, -1),
+            valid.reshape(num_tiles, tile, -1),
+        ),
+    ).reshape(num_tiles * tile, nwin * c)[:rows]
+    return s, dropped
 
 
 def _agg_kernel(spec: CellBlockSpec, out_dtype):
@@ -299,8 +376,8 @@ def _agg_kernel(spec: CellBlockSpec, out_dtype):
 @functools.partial(
     jax.jit, static_argnames=("spec", "out_dtype", "carry_dtype", "interpret")
 )
-def cellblock_aggregate(
-    z_sorted: jnp.ndarray,
+def cellblock_aggregate_slots(
+    z_slots: jnp.ndarray,
     plan: CellBlockGraph,
     spec: CellBlockSpec,
     *,
@@ -308,9 +385,13 @@ def cellblock_aggregate(
     carry_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """``agg[i] = sum_j z[neighbors[i, j]]`` for cell-sorted state.
+    """Slot-space aggregation: ``out[slot q] = sum over q's neighbor slots``.
 
-    ``z_sorted`` is ``[N, H]`` in sorted order; the result is too.
+    ``z_slots`` is ``[num_slots, H]`` (empty-slot rows may hold garbage —
+    the selection matrices never reference them). The hot path of the
+    slot-space forward: the only per-step data prep is a contiguous
+    z-wrap pad (one copy), not a gather.
+
     ``carry_dtype`` is the precision of the candidate table inside the
     kernel (accumulation is always f32 on the MXU); bf16 halves VMEM and
     HBM traffic, f32 makes the op exact up to summation order.
@@ -321,20 +402,20 @@ def cellblock_aggregate(
         interpret = jax.default_backend() != "tpu"
     spec.validate()
     g, c, blk = spec.grid_size, spec.capacity, spec.z_block
-    n, h = z_sorted.shape
+    num_slots, h = z_slots.shape
+    if num_slots != spec.num_slots:
+        raise ValueError(
+            f"z_slots rows {num_slots} != spec.num_slots {spec.num_slots}"
+        )
     hb = min(spec.h_block, h)
     if h % hb != 0:
         raise ValueError(f"H={h} not a multiple of h_block={hb}")
-    num_slots = spec.num_slots
 
-    # Expand to the z-padded slot table (monotone gather; sentinel rows pull
-    # the appended zero row).
-    z_ext = jnp.concatenate(
-        [z_sorted.astype(carry_dtype), jnp.zeros((1, h), carry_dtype)]
-    )
-    z_pad = jnp.take(z_ext, plan.pad_src, axis=0, mode="clip").reshape(
-        g * g, (g + 2) * c, h
-    )
+    # Periodic z-pad: one contiguous copy (no gathers).
+    z5 = z_slots.astype(carry_dtype).reshape(g * g, g, c * h)
+    z_pad = jnp.concatenate(
+        [z5[:, -1:], z5, z5[:, :1]], axis=1
+    ).reshape(g * g, (g + 2) * c, h)
 
     grid = (h // hb, g * g, spec.num_zblocks)
     nzb = spec.num_zblocks
@@ -358,7 +439,7 @@ def cellblock_aggregate(
         lambda hi, b, zb: (b * nzb + zb, hi),
         memory_space=pltpu.VMEM,
     )
-    out_slots = pl.pallas_call(
+    return pl.pallas_call(
         _agg_kernel(spec, out_dtype),
         grid=grid,
         in_specs=[s_spec] + [
@@ -369,9 +450,33 @@ def cellblock_aggregate(
         interpret=interpret,
     )(plan.s_table, *([z_pad] * 9))
 
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "out_dtype", "carry_dtype", "interpret")
+)
+def cellblock_aggregate(
+    z_sorted: jnp.ndarray,
+    plan: CellBlockGraph,
+    spec: CellBlockSpec,
+    *,
+    out_dtype=jnp.float32,
+    carry_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """``agg[i] = sum_j z[neighbors[i, j]]`` for cell-sorted ``[N, H]`` rows.
+
+    Convenience wrapper: expand -> slot-space kernel -> compact. The
+    slot-space forward (``models/encode_process_decode.py``) skips the
+    per-step expand/compact by carrying latents in slot space throughout.
+    """
+    z_slots = expand_to_slots(z_sorted, plan, dtype=carry_dtype)
+    out = cellblock_aggregate_slots(
+        z_slots, plan, spec,
+        out_dtype=out_dtype, carry_dtype=carry_dtype, interpret=interpret,
+    )
     # Compact back to sorted-particle rows (monotone gather; overflow
     # sentinel clamps — flagged by plan.overflow, never silent).
-    return jnp.take(out_slots, plan.slot_of_sorted, axis=0, mode="clip")
+    return compact_from_slots(out, plan)
 
 
 def reference_cellblock_aggregate(

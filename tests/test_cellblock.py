@@ -37,15 +37,23 @@ def test_spec_validation():
 
 
 def test_choose_spec_occupancy():
+    from cosmology_gnn_simulation_tpu.ops.cellblock import (
+        _poisson_overflow_cells,
+    )
+
     spec = choose_cellblock_spec(500_000)
     spec.validate()
     m = 500_000 / spec.grid_size**3
-    assert m + 5.0 * np.sqrt(m) <= spec.capacity
+    assert (
+        _poisson_overflow_cells(m, spec.capacity, spec.grid_size**3) <= 0.05
+    )
     # Coarsest valid grid: one step coarser must violate the tail bound.
     g_prev = spec.grid_size - spec.z_block
     if g_prev >= spec.z_block + 2:
         m_prev = 500_000 / g_prev**3
-        assert m_prev + 5.0 * np.sqrt(m_prev) > spec.capacity
+        assert (
+            _poisson_overflow_cells(m_prev, spec.capacity, g_prev**3) > 0.05
+        )
 
 
 def test_matches_gather_sum_oracle():
