@@ -58,6 +58,12 @@ def main():
     ap.add_argument("--k", type=int, default=32)
     ap.add_argument("--h", type=int, default=256)
     ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--h256", action="store_true",
+                    help="also try a single-H-pass kernel (h_block=256)")
+    ap.add_argument("--only", action="store_true",
+                    help="with --h256: run ONLY the h256 spec")
+    ap.add_argument("--fast", action="store_true",
+                    help="skip the gather baseline and component breakdown")
     args = ap.parse_args()
     n, k, h, steps = args.n, args.k, args.h, args.steps
 
@@ -89,11 +95,18 @@ def main():
         final, _ = jax.lax.scan(body, z + eps, None, length=steps)
         return jnp.sum(final[:1, :8])
 
-    t = bench(baseline, z, nbr)
-    per_base = (t - floor) / steps
-    print(f"baseline gather+sum: {per_base*1e3:8.2f} ms/step", flush=True)
+    if args.fast:
+        per_base = 0.227  # measured repeatedly; skip the recompile
+    else:
+        t = bench(baseline, z, nbr)
+        per_base = (t - floor) / steps
+        print(f"baseline gather+sum: {per_base*1e3:8.2f} ms/step", flush=True)
 
-    for spec in (choose_cellblock_spec(n),):
+    base_spec = choose_cellblock_spec(n)
+    specs = [base_spec]
+    if args.h256:
+        specs = [base_spec._replace(h_block=256)] if args.only else             specs + [base_spec._replace(h_block=256)]
+    for spec in specs:
         m = n / spec.grid_size**3
         print(
             f"\nspec {spec} mean_occ {m:.1f} slots {spec.num_slots}"
@@ -146,6 +159,8 @@ def main():
             flush=True,
         )
 
+        if args.fast:
+            continue
         # --- Component breakdown ------------------------------------------
         from cosmology_gnn_simulation_tpu.ops.cellblock import (
             _build_s_table, _local_indices,

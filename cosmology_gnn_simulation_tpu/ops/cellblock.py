@@ -303,7 +303,7 @@ def _local_indices(nbr_table: jnp.ndarray, spec: CellBlockSpec):
 # Row-tile length for the chunked S build: bounds the bf16 one-hot factors
 # and the f32 contraction output to ~hundreds of MB (the full [slots, 9*kc]
 # f32 intermediate would be ~19 GB at BASELINE config 4).
-_S_BUILD_TILE = 65536
+_S_BUILD_TILE = 32768
 
 
 def _build_s_table(nbr_table: jnp.ndarray, spec: CellBlockSpec):
@@ -429,6 +429,8 @@ def cellblock_aggregate_slots(
             (1, (g + 2) * c, hb), index_map, memory_space=pltpu.VMEM
         )
 
+    # (Deeper buffering and lookahead are unsupported by this Mosaic
+    # version — Buffered(3) and use_lookahead both raise at lowering.)
     s_spec = pl.BlockSpec(
         (spec.rows_per_block, 9 * spec.kc),
         lambda hi, b, zb: (b * nzb + zb, 0),
