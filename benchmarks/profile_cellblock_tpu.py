@@ -142,6 +142,33 @@ def main():
 
         z_sorted = jnp.take(z, plan.order, axis=0)
 
+        from cosmology_gnn_simulation_tpu.ops.cellblock import (
+            cellblock_aggregate_slots as _agg_slots,
+            expand_to_slots as _expand,
+        )
+
+        @functools.partial(jax.jit, static_argnames=("spec", "steps"))
+        def run_slots(z_slots, plan, eps, spec=spec, steps=steps):
+            def body(carry, _):
+                out = _agg_slots(carry, plan, spec)
+                return out * 1e-4 + carry + eps, None
+
+            final, _ = jax.lax.scan(body, z_slots + eps, None, length=steps)
+            return jnp.sum(final[:1, :8])
+
+        z_slots0 = _expand(z_sorted, plan).astype(jnp.float32)
+        t = bench(run_slots, z_slots0, plan)
+        per = (t - floor) / steps
+        print(
+            f"  slot-space agg:    {per*1e3:8.2f} ms/step "
+            f"({per_base/per:.1f}x vs gather)",
+            flush=True,
+        )
+
+        if args.fast:
+            del plan, z_slots0
+            continue
+
         @functools.partial(jax.jit, static_argnames=("spec", "steps"))
         def run_agg(z, plan, eps, spec=spec, steps=steps):
             def body(carry, _):
@@ -158,9 +185,6 @@ def main():
             f"({per_base/per:.1f}x vs gather)",
             flush=True,
         )
-
-        if args.fast:
-            continue
         # --- Component breakdown ------------------------------------------
         from cosmology_gnn_simulation_tpu.ops.cellblock import (
             _build_s_table, _local_indices,

@@ -59,7 +59,7 @@ class CellBlockSpec(NamedTuple):
     grid_size: int  # G: cells per box edge
     capacity: int  # C: slots per cell
     z_block: int  # BLK: query cells per block along z
-    h_block: int = 128  # latent tile per kernel pass
+    h_block: int = 256  # latent tile per kernel pass (min(h_block, H) used)
 
     @property
     def num_columns(self) -> int:
@@ -116,7 +116,7 @@ def choose_cellblock_spec(
     num_particles: int,
     *,
     max_expected_overflow: float = 0.05,
-    h_block: int = 128,
+    h_block: int = 256,
 ) -> CellBlockSpec:
     """Pick (G, C, BLK) for a roughly uniform distribution.
 
@@ -425,8 +425,14 @@ def cellblock_aggregate_slots(
             gx, gy = b // g, b % g
             return ((gx + dx - 1) % g) * g + (gy + dy - 1) % g, 0, hi
 
+        # Single-buffered: the columns change only once per z sweep (the
+        # index map ignores zb), so the transition stall is ~1/nzb-th of a
+        # column fetch per step — and halving their VMEM lets the whole H
+        # ride in one pass (h_block=256 needs ~19 MB double-buffered vs the
+        # 16 MB VMEM budget).
         return pl.BlockSpec(
-            (1, (g + 2) * c, hb), index_map, memory_space=pltpu.VMEM
+            (1, (g + 2) * c, hb), index_map, memory_space=pltpu.VMEM,
+            pipeline_mode=pl.Buffered(buffer_count=1),
         )
 
     # (Deeper buffering and lookahead are unsupported by this Mosaic
