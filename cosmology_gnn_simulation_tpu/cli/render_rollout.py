@@ -46,6 +46,11 @@ def main(argv=None):
                              "failing steps with exact brute force")
     parser.add_argument("--num_steps", type=int, default=None,
                         help="Steps to simulate (default: full trajectory)")
+    parser.add_argument("--aggregation", type=str, default="gather",
+                        choices=["gather", "cellblock"],
+                        help="message-passing aggregation: 'gather' "
+                             "(default) or 'cellblock' (selection-matrix "
+                             "MXU kernel — the fast path at N >= ~250k)")
     parser.add_argument("--reneighbor_every", type=int, default=1,
                         help="Rebuild the k-NN graph every R steps (R=1 = "
                              "reference semantics; R>1 trades exactness for "
@@ -135,6 +140,7 @@ def main(argv=None):
             neighbor_method=args.neighbor_method,
             reneighbor_every=args.reneighbor_every,
             exactness_guard=args.exactness_guard,
+            aggregation=args.aggregation,
         )
     rollout_data = {k: np.asarray(v) for k, v in rollout_data.items()}
     exactness = rollout_data.pop("neighbor_exactness", None)

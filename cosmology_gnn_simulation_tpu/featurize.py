@@ -232,6 +232,7 @@ def featurize(
     particle_axis: Optional[str] = None,
     build_reverse: bool = False,
     neighbors: Optional[jnp.ndarray] = None,
+    build_edges: bool = True,
 ) -> ParticleGraph:
     """Build a ``ParticleGraph`` from a trajectory window.
 
@@ -304,13 +305,24 @@ def featurize(
             query_tile=neighbor_query_tile,
         )
 
-    # Raw displacement sender - receiver, deliberately NOT minimum-image
-    # (data_utils.py:162): boundary-crossing edges carry ~box-sized features.
-    edge_displacement = (
-        jnp.take(all_positions, neighbors, axis=0) - recent_position[:, None, :]
-    )
-    edge_distance = jnp.linalg.norm(edge_displacement, axis=-1, keepdims=True)
-    edges = jnp.concatenate([edge_displacement, edge_distance], axis=-1)
+    if build_edges:
+        # Raw displacement sender - receiver, deliberately NOT minimum-image
+        # (data_utils.py:162): boundary-crossing edges carry ~box-sized
+        # features.
+        edge_displacement = (
+            jnp.take(all_positions, neighbors, axis=0)
+            - recent_position[:, None, :]
+        )
+        edge_distance = jnp.linalg.norm(
+            edge_displacement, axis=-1, keepdims=True
+        )
+        edges = jnp.concatenate([edge_displacement, edge_distance], axis=-1)
+    else:
+        # The default model (pruned sender-latents, SURVEY.md C11) provably
+        # never reads edge features — skipping their [N, k, 4] small-row
+        # gather saves real time at large N (elementwise/small-row gathers
+        # are latency-bound on TPU).
+        edges = None
 
     if build_reverse and particle_axis is not None:
         raise ValueError(

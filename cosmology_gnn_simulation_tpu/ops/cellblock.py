@@ -218,22 +218,23 @@ def build_cellblock(
     occupied = boundaries[1:] > boundaries[:-1]
     particle_of_slot = jnp.where(occupied, boundaries[:-1], n)
 
-    # Neighbor slots per query slot: map neighbor ids (original order)
-    # through slot_of_particle, arrange rows by the receiver's sorted
-    # position, then spread to slot rows via a row gather (sentinel row
-    # appended for empty slots).
+    # Neighbor slots per sorted particle: map neighbor ids (original order)
+    # through slot_of_particle, rows arranged by the receiver's sorted
+    # position. The S rows are computed on this COMPACT stream (N rows,
+    # ~1/2.8 of the slot count at config 4) and spread to slot rows with a
+    # single wide row gather — empty slots pull the appended zero row.
     nbr_slot = jnp.take(
         slot_of_particle, neighbors, axis=0, mode="clip"
     )  # [N(orig), k]
     nbr_slot_sorted = jnp.take(nbr_slot, b.order, axis=0)  # rows sorted
-    nbr_slot_ext = jnp.concatenate(
-        [nbr_slot_sorted, jnp.full((1, k), num_slots, jnp.int32)]
-    )
-    nbr_table = jnp.take(
-        nbr_slot_ext, particle_of_slot, axis=0, mode="clip"
-    )  # [num_slots, k]
 
-    s_table, dropped = _build_s_table(nbr_table, spec)
+    s_compact, dropped = _build_s_table(
+        nbr_slot_sorted, spec, query_slots=slot_of_sorted
+    )
+    s_ext = jnp.concatenate(
+        [s_compact, jnp.zeros((1, s_compact.shape[1]), jnp.int8)]
+    )
+    s_table = jnp.take(s_ext, particle_of_slot, axis=0, mode="clip")
     return CellBlockGraph(
         order=b.order.astype(jnp.int32),
         slot_of_sorted=slot_of_sorted,
@@ -267,17 +268,23 @@ def compact_from_slots(
     return jnp.take(x_slots, plan.slot_of_sorted, axis=0, mode="clip")
 
 
-def _local_indices(nbr_table: jnp.ndarray, spec: CellBlockSpec):
+def _local_indices(
+    nbr_table: jnp.ndarray, spec: CellBlockSpec, query_slots=None
+):
     """Decompose neighbor slot ids into (window-cell, slot) local coords.
 
-    Returns ``czw`` in [0, 9*(BLK+2)) (or -1 if invalid), ``sl`` in [0, C),
-    and the count of real-but-out-of-window edges.
+    ``nbr_table`` rows correspond to query slots ``query_slots`` (default:
+    ``arange(rows)`` — one row per slot). Returns ``czw`` in
+    [0, 9*(BLK+2)) (or -1 if invalid), ``sl`` in [0, C), and the count of
+    real-but-out-of-window edges.
     """
     g, c, blk = spec.grid_size, spec.capacity, spec.z_block
     num_slots = spec.num_slots
     rows = nbr_table.shape[0]
 
-    q = jnp.arange(rows, dtype=jnp.int32)[:, None]  # query slot ids
+    if query_slots is None:
+        query_slots = jnp.arange(rows, dtype=jnp.int32)
+    q = query_slots.astype(jnp.int32)[:, None]  # query slot ids
     q_cell = q // c
     q_col, q_cz = q_cell // g, q_cell % g
     q_gx, q_gy = q_col // g, q_col % g
@@ -306,14 +313,16 @@ def _local_indices(nbr_table: jnp.ndarray, spec: CellBlockSpec):
 _S_BUILD_TILE = 32768
 
 
-def _build_s_table(nbr_table: jnp.ndarray, spec: CellBlockSpec):
+def _build_s_table(
+    nbr_table: jnp.ndarray, spec: CellBlockSpec, query_slots=None
+):
     """S[q, czw * C + sl] = multiplicity of that candidate in q's neighbor
     list — via two one-hot factors contracted on the MXU (a direct
     scatter-add over N*k elements is pathologically slow on TPU), chunked
     over row tiles so only the int8 result is ever resident in full."""
     c = spec.capacity
     nwin = 9 * spec.window_cells
-    czw, sl, valid, dropped = _local_indices(nbr_table, spec)
+    czw, sl, valid, dropped = _local_indices(nbr_table, spec, query_slots)
 
     def tile_s(args):
         czw_t, sl_t, valid_t = args

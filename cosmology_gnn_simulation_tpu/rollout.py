@@ -193,6 +193,13 @@ def rollout(
             )
         return neighbors, exact
 
+    # The pruned sender-latents model never reads edge features — skip
+    # their [N, k, 4] small-row gather (latency-bound at large N).
+    need_edges = not (
+        model_config.aggregate == "sender_latents"
+        and model_config.prune_dead_edge_stream
+    )
+
     def step(pos_window, temp_window, neighbors):
         graph = featurize(
             pos_window,
@@ -204,6 +211,7 @@ def rollout(
             neighbor_query_tile=neighbor_query_tile,
             neighbor_method=neighbor_method,
             neighbors=neighbors,
+            build_edges=need_edges,
         )
         acceleration, temp_rate = _predict_physical(
             params, graph, model_config, stats, dtype
@@ -337,6 +345,7 @@ def _cellblock_rollout(
             neighbor_query_tile=tile,
             neighbor_method=method,
             neighbors=nbr_sorted,
+            build_edges=False,  # cellblock requires the pruned mode
         )
         graph = graph._replace(cellblock=plan)
         acceleration, temp_rate = _predict_physical(

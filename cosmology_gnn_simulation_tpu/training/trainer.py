@@ -111,6 +111,12 @@ def make_train_step(
     ``target_temperatures [B,N,1]``."""
     tc = train_config
     dtype = jnp.dtype(tc.compute_dtype) if tc.compute_dtype else None
+    # The pruned sender-latents model never reads edge features — skip
+    # their [N, k, 4] gather in the hot loop.
+    need_edges = not (
+        model_config.aggregate == "sender_latents"
+        and model_config.prune_dead_edge_stream
+    )
 
     def per_sample(params, pos, temp, tpos, ttemp, key):
         aug_key, feat_key = jax.random.split(key)
@@ -127,6 +133,7 @@ def make_train_step(
             neighbor_query_tile=tc.neighbor_query_tile,
             neighbor_method=tc.neighbor_method,
             build_reverse=tc.build_reverse,
+            build_edges=need_edges,
         )
         preds = apply_encode_process_decode(params, graph, model_config, dtype)
         return preds, graph.target_acceleration, graph.target_temp_rate
@@ -177,6 +184,10 @@ def make_eval_step(
     tc = train_config
     dtype = jnp.dtype(tc.compute_dtype) if tc.compute_dtype else None
     zero_key = jax.random.PRNGKey(0)
+    need_edges = not (
+        model_config.aggregate == "sender_latents"
+        and model_config.prune_dead_edge_stream
+    )
 
     def per_sample(params, pos, temp, tpos, ttemp):
         graph = featurize(
@@ -190,6 +201,7 @@ def make_eval_step(
             target_temperature=ttemp,
             neighbor_query_tile=tc.neighbor_query_tile,
             neighbor_method=tc.neighbor_method,
+            build_edges=need_edges,
         )
         preds = apply_encode_process_decode(params, graph, model_config, dtype)
         return preds, graph.target_acceleration, graph.target_temp_rate
