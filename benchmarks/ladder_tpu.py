@@ -59,7 +59,8 @@ def default_stats():
     )
 
 
-def time_rollout(params, mc, pos, temp, stats, cfg, aggregation, dtype):
+def time_rollout(params, mc, pos, temp, stats, cfg, aggregation, dtype,
+                 reneighbor_every=1):
     from cosmology_gnn_simulation_tpu.rollout import rollout
 
     steps = cfg["rollout_steps"]
@@ -69,6 +70,7 @@ def time_rollout(params, mc, pos, temp, stats, cfg, aggregation, dtype):
             params, mc, pos + eps, temp, stats, steps,
             num_neighbors=cfg["k"], dtype=dtype,
             neighbor_method="pallas", aggregation=aggregation,
+            reneighbor_every=reneighbor_every,
         )
         return float(jnp.sum(out["Coordinates"][-1][:2]))
 
@@ -135,7 +137,14 @@ def main():
 
     stats = default_stats()
     os.makedirs(RESULTS, exist_ok=True)
+    out_path = os.path.join(RESULTS, "ladder_tpu.json")
     results = {}
+    if os.path.exists(out_path):
+        # Merge with previous runs so partial --configs passes don't drop
+        # the other rows.
+        with open(out_path) as f:
+            results = {int(k2): v for k2, v in
+                       json.load(f).get("configs", {}).items()}
     for idx in [int(s) for s in args.configs.split(",")]:
         cfg = CONFIGS[idx]
         mc = default_model_config(
@@ -157,12 +166,21 @@ def main():
             row[f"rollout_particle_steps_per_s_{agg}"] = cfg["n"] / t
             print(f"config {idx} rollout[{agg}]: {t*1e3:.1f} ms/step "
                   f"({cfg['n']/t/1e6:.2f}M particle-steps/s)", flush=True)
+        if cfg["aggregation"] == "both":
+            # Opt-in approximation: reuse the neighbor graph (and the
+            # cell-block plan) for 4 steps — amortizes the per-graph kNN +
+            # S build, which dominate after the kernel work.
+            t = time_rollout(params, mc, pos, temp, stats, cfg,
+                             "cellblock", dtype, reneighbor_every=4)
+            row["rollout_s_per_step_cellblock_r4"] = t
+            print(f"config {idx} rollout[cellblock,R=4]: {t*1e3:.1f} ms/step "
+                  f"({cfg['n']/t/1e6:.2f}M particle-steps/s)", flush=True)
         if cfg["train"]:
             t = time_train(params, mc, stats, cfg, dtype)
             row["train_s_per_batch"] = t
             print(f"config {idx} train: {t*1e3:.1f} ms/batch", flush=True)
         results[idx] = row
-        with open(os.path.join(RESULTS, "ladder_tpu.json"), "w") as f:
+        with open(out_path, "w") as f:
             json.dump({"dtype": args.dtype, "configs": results}, f, indent=2)
     print("written to benchmarks/results/ladder_tpu.json")
 

@@ -89,14 +89,29 @@ def main():
     results["knn_pallas_ms"] = timeit(knn_pallas, positions) * 1e3
     print(f"knn_pallas: {results['knn_pallas_ms']:.0f} ms", flush=True)
 
-    @jax.jit
-    def knn_celllist(p, eps):
-        q = jnp.remainder(p + eps, 1.0)
-        idx = cell_list_knn(q, k, 1.0, grid, query_tile=8192)
-        return jnp.sum(idx)
+    # Grid sweep: the (G, C) defaults were tuned at N=65k; the optimum can
+    # differ at this size. Certified = no overflow (exactness requires a
+    # separate d_k check, done by the production path).
+    from cosmology_gnn_simulation_tpu.ops.cell_list import CellGrid
 
-    results["knn_celllist_ms"] = timeit(knn_celllist, positions) * 1e3
-    print(f"knn_celllist: {results['knn_celllist_ms']:.0f} ms", flush=True)
+    for g_, c_ in ((26, 64), (32, 40), (36, 32)):
+        sweep_grid = CellGrid(g_, c_)
+
+        @jax.jit
+        def knn_sweep(p, eps, sg=sweep_grid):
+            q = jnp.remainder(p + eps, 1.0)
+            idx, (ovf, maxd2) = pallas_cell_list_knn(
+                q, k, 1.0, sg, return_diagnostics=True)
+            return jnp.sum(idx) + ovf
+
+        t = timeit(knn_sweep, positions) * 1e3
+        idx, (ovf, maxd2) = pallas_cell_list_knn(
+            positions, k, 1.0, sweep_grid, return_diagnostics=True)
+        cert = (int(ovf) == 0
+                and float(maxd2) <= (1.0 / g_) ** 2)
+        results[f"knn_G{g_}C{c_}_ms"] = t
+        print(f"knn G={g_} C={c_}: {t:.0f} ms certified={cert}",
+              flush=True)
 
     stats = NormalizationStats(
         temp_mean=jnp.asarray(1.0), temp_std=jnp.asarray(0.3),
