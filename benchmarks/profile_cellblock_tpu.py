@@ -64,6 +64,8 @@ def main():
                     help="with --h256: run ONLY the h256 spec")
     ap.add_argument("--fast", action="store_true",
                     help="skip the gather baseline and component breakdown")
+    ap.add_argument("--spec", action="append", default=None,
+                    help="explicit G,C,BLK spec(s), e.g. --spec 16,32,2")
     args = ap.parse_args()
     n, k, h, steps = args.n, args.k, args.h, args.steps
 
@@ -95,7 +97,7 @@ def main():
         final, _ = jax.lax.scan(body, z + eps, None, length=steps)
         return jnp.sum(final[:1, :8])
 
-    if args.fast:
+    if args.fast and n == 500_000:
         per_base = 0.227  # measured repeatedly; skip the recompile
     else:
         t = bench(baseline, z, nbr)
@@ -104,6 +106,11 @@ def main():
 
     base_spec = choose_cellblock_spec(n)
     specs = [base_spec]
+    if args.spec:
+        specs = [
+            CellBlockSpec(*[int(x) for x in s.split(",")], 256)
+            for s in args.spec
+        ]
     if args.h256:
         specs = [base_spec._replace(h_block=256)] if args.only else             specs + [base_spec._replace(h_block=256)]
     for spec in specs:

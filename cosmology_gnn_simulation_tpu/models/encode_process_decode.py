@@ -71,6 +71,13 @@ class EncodeProcessDecodeConfig(NamedTuple):
     output_size: int = 3
     aggregate: str = "sender_latents"  # or "edge_messages" (canonical GNS)
     prune_dead_edge_stream: bool = True  # skip provably-dead edge compute
+    # Rematerialize each message-passing step in the backward pass
+    # (jax.checkpoint over the scan body): activations per step are
+    # recomputed instead of stored — O(1) instead of O(M) residual memory
+    # in the step count, the standard trade for big-N training
+    # (N=500k x latent 256 x 15 steps would otherwise hold ~30 GB of
+    # residuals).
+    remat: bool = False
 
 
 def init_encode_process_decode(
@@ -377,6 +384,8 @@ def apply_encode_process_decode(
             )
             return carry + x_new, None
 
+        if config.remat:
+            body = jax.checkpoint(body)
         x, _ = jax.lax.scan(body, x, params["processor"])
         if graph.cellblock is not None:
             x = compact_from_slots(x, graph.cellblock)
@@ -391,6 +400,8 @@ def apply_encode_process_decode(
             )
             return (x + x_new, e + e_new), None
 
+        if config.remat:
+            body = jax.checkpoint(body)
         (x, e), _ = jax.lax.scan(body, (x, e), params["processor"])
     return {
         "acceleration": apply_mlp(params["decoder_acc"], x, dtype),

@@ -93,6 +93,12 @@ def build_sorted_edges(neighbors: jnp.ndarray) -> SortedEdges:
 # that the triangular matmul's O(E * chunk * H) FLOPs stay sub-ms.
 _PREFIX_CHUNK = 128
 
+# Above this many bytes for the [E, H] prefix stream, the segment sum runs
+# per H-tile (sequential lax.map) so peak memory stays bounded — at
+# BASELINE config 4 training shapes (E = 16M, H = 256) the full f32 stream
+# would be ~16 GB.
+_PREFIX_BYTES_LIMIT = 1 << 32
+
 
 def _segment_sum_sorted(
     rows: jnp.ndarray, boundaries: jnp.ndarray, out_dtype
@@ -105,8 +111,23 @@ def _segment_sum_sorted(
     (~4 ms at N*k=512k, H=128 — as slow as the scatter it replaces), whereas
     ``L @ tiles`` with a lower-triangular ones matrix reads the stream once
     and runs on the MXU (~sub-ms).
+
+    Very large streams are processed per H-tile (memory bound, same math).
     """
     e, h = rows.shape
+    if e * h * 4 > _PREFIX_BYTES_LIMIT and h > 1:
+        h_tile = max(1, _PREFIX_BYTES_LIMIT // (e * 4))
+        h_tile = min(h, h_tile)
+        if h % h_tile:
+            # fall back to the largest divisor of h not above h_tile
+            h_tile = next(
+                d for d in range(h_tile, 0, -1) if h % d == 0
+            )
+        tiles = rows.reshape(e, h // h_tile, h_tile).transpose(1, 0, 2)
+        out = jax.lax.map(
+            lambda r: _segment_sum_sorted(r, boundaries, out_dtype), tiles
+        )  # [h/h_tile, P, h_tile]
+        return out.transpose(1, 0, 2).reshape(-1, h)
     rows = rows.astype(jnp.float32)
     chunk = _PREFIX_CHUNK
     pad = (-e) % chunk

@@ -687,6 +687,7 @@ def default_model_config(
     output_size: int = 3,
     aggregate: str = "sender_latents",
     prune_dead_edge_stream: bool = True,
+    remat: bool = False,
 ) -> EncodeProcessDecodeConfig:
     return EncodeProcessDecodeConfig(
         node_input_size=node_feature_size(window_size),
@@ -698,4 +699,5 @@ def default_model_config(
         output_size=output_size,
         aggregate=aggregate,
         prune_dead_edge_stream=prune_dead_edge_stream,
+        remat=remat,
     )

@@ -222,3 +222,20 @@ def test_model_gradients_identical_with_sorted_edges(rng):
             a, b = np.asarray(a), np.asarray(b)
             scale = max(np.abs(a).max(), 1e-8)
             np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-4 * scale)
+
+
+def test_segment_sum_h_tiled_matches_untiled(monkeypatch):
+    """Big-stream H-tiling path (memory-bounded) is numerically identical."""
+    import cosmology_gnn_simulation_tpu.ops.aggregation as agg
+
+    rng = np.random.default_rng(11)
+    n, k, h = 64, 4, 24
+    nbr = jnp.asarray(rng.integers(0, n, size=(n, k)), jnp.int32)
+    se = agg.build_sorted_edges(nbr)
+    rows = jnp.asarray(rng.standard_normal((n * k, h)), jnp.float32)
+    want = agg._segment_sum_sorted(rows, se.boundaries, jnp.float32)
+    # Force the tiled path (limit below the stream size).
+    monkeypatch.setattr(agg, "_PREFIX_BYTES_LIMIT", 256)
+    got = agg._segment_sum_sorted(rows, se.boundaries, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6,
+                               atol=1e-6)

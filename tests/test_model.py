@@ -221,3 +221,48 @@ def test_globals_broadcast():
         np.asarray(out["acceleration"]), np.asarray(ref["acceleration"]),
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_remat_gradients_match():
+    """jax.checkpoint over the processor scan changes memory, not math."""
+    from cosmology_gnn_simulation_tpu.models.encode_process_decode import (
+        apply_encode_process_decode,
+        init_encode_process_decode,
+    )
+    from cosmology_gnn_simulation_tpu.training.trainer import (
+        default_model_config,
+    )
+    from cosmology_gnn_simulation_tpu.featurize import featurize
+    from cosmology_gnn_simulation_tpu.types import NormalizationStats
+    from cosmology_gnn_simulation_tpu.metadata import compute_metadata
+    from cosmology_gnn_simulation_tpu.data.synthetic import (
+        generate_synthetic_simulation,
+    )
+
+    sim = generate_synthetic_simulation(num_snapshots=6, num_particles=64,
+                                        seed=7)
+    stats = NormalizationStats.from_metadata(compute_metadata(sim))
+    graph = featurize(
+        jnp.asarray(sim["Coordinates"][:5]),
+        jnp.asarray(sim["InternalEnergy"][:5]),
+        stats, jax.random.PRNGKey(0), num_neighbors=4,
+    )
+    mc = default_model_config(latent_size=16, mlp_hidden_size=16,
+                              num_message_passing_steps=3)
+    mc_r = mc._replace(remat=True)
+    params = init_encode_process_decode(jax.random.PRNGKey(0), mc)
+
+    def loss(p, cfg):
+        out = apply_encode_process_decode(p, graph, cfg)
+        return jnp.sum(out["acceleration"] ** 2) + jnp.sum(
+            out["temp_rate"] ** 2
+        )
+
+    g0 = jax.grad(loss)(params, mc)
+    g1 = jax.grad(loss)(params, mc_r)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        g0, g1,
+    )
