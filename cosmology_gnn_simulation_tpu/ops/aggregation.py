@@ -93,11 +93,39 @@ def build_sorted_edges(neighbors: jnp.ndarray) -> SortedEdges:
 # that the triangular matmul's O(E * chunk * H) FLOPs stay sub-ms.
 _PREFIX_CHUNK = 128
 
-# Above this many bytes for the [E, H] prefix stream, the segment sum runs
-# per H-tile (sequential lax.map) so peak memory stays bounded — at
-# BASELINE config 4 training shapes (E = 16M, H = 256) the full f32 stream
-# would be ~16 GB.
-_PREFIX_BYTES_LIMIT = 1 << 32
+# Above this many bytes for the gathered [E, H] cotangent stream, the
+# backward runs per H-tile: slice the cotangent columns FIRST, then gather
+# and prefix-sum each [E, h_tile] stream — at BASELINE config-4 training
+# shapes (E = 16M, H = 256) the full f32 stream would be ~16 GB. The tile
+# stays lane-aligned (>= 128) so nothing pads.
+_BWD_STREAM_BYTES_LIMIT = 1 << 33
+
+
+def _tiled_gather_segment_sum(g, gather_idx, boundaries, out_dtype):
+    """``segment_sum(g[gather_idx][boundaries...])`` with the H axis tiled
+    BEFORE the row gather, bounding peak memory (the gather is what
+    materializes E rows)."""
+    n, h = g.shape
+    e = gather_idx.shape[0]
+    if e * h * 4 <= _BWD_STREAM_BYTES_LIMIT or h <= _PREFIX_CHUNK:
+        gathered = jnp.take(g, gather_idx, axis=0)
+        return _segment_sum_sorted(gathered, boundaries, out_dtype)
+    h_tile = max(_PREFIX_CHUNK, (_BWD_STREAM_BYTES_LIMIT // (e * 4))
+                 // _PREFIX_CHUNK * _PREFIX_CHUNK)
+    h_tile = min(h, h_tile)
+    if h % h_tile:
+        h_tile = next(
+            d for d in range(h_tile, 0, -1) if h % d == 0
+        )
+    num_tiles = h // h_tile
+
+    def tile(ti):
+        g_t = jax.lax.dynamic_slice_in_dim(g, ti * h_tile, h_tile, axis=1)
+        gathered = jnp.take(g_t, gather_idx, axis=0)
+        return _segment_sum_sorted(gathered, boundaries, out_dtype)
+
+    out = jax.lax.map(tile, jnp.arange(num_tiles))  # [T, P, h_tile]
+    return out.transpose(1, 0, 2).reshape(-1, h)
 
 
 def _segment_sum_sorted(
@@ -111,23 +139,8 @@ def _segment_sum_sorted(
     (~4 ms at N*k=512k, H=128 — as slow as the scatter it replaces), whereas
     ``L @ tiles`` with a lower-triangular ones matrix reads the stream once
     and runs on the MXU (~sub-ms).
-
-    Very large streams are processed per H-tile (memory bound, same math).
     """
     e, h = rows.shape
-    if e * h * 4 > _PREFIX_BYTES_LIMIT and h > 1:
-        h_tile = max(1, _PREFIX_BYTES_LIMIT // (e * 4))
-        h_tile = min(h, h_tile)
-        if h % h_tile:
-            # fall back to the largest divisor of h not above h_tile
-            h_tile = next(
-                d for d in range(h_tile, 0, -1) if h % d == 0
-            )
-        tiles = rows.reshape(e, h // h_tile, h_tile).transpose(1, 0, 2)
-        out = jax.lax.map(
-            lambda r: _segment_sum_sorted(r, boundaries, out_dtype), tiles
-        )  # [h/h_tile, P, h_tile]
-        return out.transpose(1, 0, 2).reshape(-1, h)
     rows = rows.astype(jnp.float32)
     chunk = _PREFIX_CHUNK
     pad = (-e) % chunk
@@ -182,8 +195,9 @@ def _agg_fwd(z, neighbors, sorted_edges):
 
 
 def _agg_bwd(sorted_edges, g):
-    gathered = jnp.take(g, sorted_edges.receivers, axis=0)
-    dz = _segment_sum_sorted(gathered, sorted_edges.boundaries, g.dtype)
+    dz = _tiled_gather_segment_sum(
+        g, sorted_edges.receivers, sorted_edges.boundaries, g.dtype
+    )
     return dz, None, None
 
 
@@ -204,8 +218,9 @@ def _gather_fwd(z, neighbors, sorted_edges):
 
 def _gather_bwd(sorted_edges, g):
     h = g.shape[-1]
-    gathered = jnp.take(g.reshape(-1, h), sorted_edges.order, axis=0)
-    dz = _segment_sum_sorted(gathered, sorted_edges.boundaries, g.dtype)
+    dz = _tiled_gather_segment_sum(
+        g.reshape(-1, h), sorted_edges.order, sorted_edges.boundaries, g.dtype
+    )
     return dz, None, None
 
 

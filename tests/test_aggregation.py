@@ -224,18 +224,24 @@ def test_model_gradients_identical_with_sorted_edges(rng):
             np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-4 * scale)
 
 
-def test_segment_sum_h_tiled_matches_untiled(monkeypatch):
-    """Big-stream H-tiling path (memory-bounded) is numerically identical."""
+def test_backward_h_tiled_matches_untiled(monkeypatch):
+    """Big-stream H-tiling of the backward (slice-then-gather) is
+    numerically identical to the untiled path."""
     import cosmology_gnn_simulation_tpu.ops.aggregation as agg
 
     rng = np.random.default_rng(11)
-    n, k, h = 64, 4, 24
+    n, k, h = 64, 4, 256
     nbr = jnp.asarray(rng.integers(0, n, size=(n, k)), jnp.int32)
     se = agg.build_sorted_edges(nbr)
-    rows = jnp.asarray(rng.standard_normal((n * k, h)), jnp.float32)
-    want = agg._segment_sum_sorted(rows, se.boundaries, jnp.float32)
-    # Force the tiled path (limit below the stream size).
-    monkeypatch.setattr(agg, "_PREFIX_BYTES_LIMIT", 256)
-    got = agg._segment_sum_sorted(rows, se.boundaries, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((n, h)), jnp.float32)
+    want = agg._tiled_gather_segment_sum(
+        g, se.receivers, se.boundaries, jnp.float32
+    )
+    # Force the tiled path (limit below the stream size) — h_tile clamps to
+    # the 128-lane floor, giving 2 tiles at h=256.
+    monkeypatch.setattr(agg, "_BWD_STREAM_BYTES_LIMIT", 256)
+    got = agg._tiled_gather_segment_sum(
+        g, se.receivers, se.boundaries, jnp.float32
+    )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6,
                                atol=1e-6)
