@@ -235,7 +235,7 @@ def mode_train(args):
     meta_path = os.path.join(FIXTURE_DIR, f"mse_metadata_n{n}.json")
     meta = make_metadata(os.path.join(train_dir, "sim0.hdf5"), meta_path)
 
-    out_dir = os.path.join(RESULTS_DIR, f"reference_model_n{n}")
+    out_dir = os.path.join(RESULTS_DIR, f"reference_model_n{n}_s{args.seed}")
     argv = [
         "train.py",
         "--train_dir", train_dir, "--val_dir", val_dir,
@@ -249,7 +249,7 @@ def mode_train(args):
         "--noise_std", str(args.noise_std),
         "--num_epochs", str(args.epochs),
         "--learning_rate", "1e-3", "--final_learning_rate", "1e-4",
-        "--device", "cpu", "--seed", "42",
+        "--device", "cpu", "--seed", str(args.seed),
     ]
     import train as ref_train
 
@@ -283,7 +283,7 @@ def mode_train(args):
         num_neighbors=args.k, num_timesteps=10_000, noise_std=0.0,
     )
     summary = {
-        "n": n, "k": args.k, "latent": args.latent,
+        "n": n, "k": args.k, "seed": args.seed, "latent": args.latent,
         "mp_steps": args.mp_steps, "epochs": args.epochs,
         "noise_std": args.noise_std,
         "train_wall_s": train_time,
@@ -292,7 +292,7 @@ def mode_train(args):
         "fixture": {"train_dir": train_dir, "val_dir": val_dir,
                     "test": test_path, "metadata": meta_path},
     }
-    out = os.path.join(RESULTS_DIR, f"reference_mse_n{n}.json")
+    out = os.path.join(RESULTS_DIR, f"reference_mse_n{n}_s{args.seed}.json")
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
@@ -308,6 +308,7 @@ def main():
     p.set_defaults(func=mode_throughput)
     p = sub.add_parser("train")
     p.add_argument("--n", type=int, default=2048)
+    p.add_argument("--seed", type=int, default=42)
     p.add_argument("--k", type=int, default=8)
     p.add_argument("--latent", type=int, default=64)
     p.add_argument("--mp_steps", type=int, default=5)
