@@ -189,6 +189,11 @@ def build_cellblock(
     g, c, blk = spec.grid_size, spec.capacity, spec.z_block
     n = positions.shape[0]
     k = neighbors.shape[1]
+    if k > 127:
+        raise ValueError(
+            f"k={k} exceeds 127 — S-table entries are int8 multiplicity "
+            "counts (an all-duplicate row could overflow)"
+        )
     num_cells = g**3
     num_slots = spec.num_slots
 
