@@ -105,3 +105,42 @@ def test_initialize_distributed_calls_jax(monkeypatch):
 def test_make_mesh_single_process_unchanged():
     mesh = make_mesh((1, 8))
     assert mesh.shape == {"data": 1, "particle": 8}
+
+
+def test_shard_batch_process_local_mocked(monkeypatch):
+    """Multi-process shard_batch assembles globals from process-local
+    slices via jax.make_array_from_process_local_data (mocked — real
+    multi-process hardware unavailable here)."""
+    import jax
+    import numpy as np
+
+    from cosmology_gnn_simulation_tpu.parallel import sharded
+
+    mesh = make_mesh((1, 8))
+    batch = {
+        "positions": np.zeros((2, 5, 16, 3), np.float32),
+        "temperatures": np.zeros((2, 5, 16, 1), np.float32),
+        "target_positions": np.zeros((2, 16, 3), np.float32),
+        "target_temperatures": np.zeros((2, 16, 1), np.float32),
+    }
+    calls = []
+
+    def fake_from_local(sharding, arr):
+        calls.append((sharding, arr.shape))
+        return jax.device_put(arr, sharding)  # single-process stand-in
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(
+        jax, "make_array_from_process_local_data", fake_from_local
+    )
+    out = sharded.shard_batch(batch, mesh)
+    assert len(calls) == 4  # every field went through the process-local path
+    assert out["positions"].shape == (2, 5, 16, 3)
+
+    # Global batch (local * process_count) must divide the data axis.
+    import pytest
+
+    mesh3 = make_mesh((8, 1))
+    bad = {k: v[:1] for k, v in batch.items()}  # global batch = 2, axis 8
+    with pytest.raises(ValueError, match="global batch"):
+        sharded.shard_batch(bad, mesh3, process_local=True)
