@@ -316,6 +316,18 @@ def _cellblock_rollout(
         spec = choose_cellblock_spec(n)
     box = stats.box_size
 
+    def permute_window(win, order):
+        # [W, N, D] permuted along N as ONE row gather on a [N, W*D]
+        # flattening — take(axis=1) would issue W x N tiny-slice gathers
+        # (latency-bound on TPU); the transposes are contiguous copies.
+        w, n_, d = win.shape
+        flat = win.transpose(1, 0, 2).reshape(n_, w * d)
+        return (
+            jnp.take(flat, order, axis=0)
+            .reshape(n_, w, d)
+            .transpose(1, 0, 2)
+        )
+
     def research(pos_w, temp_w, inv_ids):
         wrapped = wrap_positions(pos_w[-1], box)
         neighbors, exact = neighbor_search_certified(
@@ -323,8 +335,8 @@ def _cellblock_rollout(
         )
         plan = build_cellblock(wrapped, neighbors, box, spec)
         exact = exact & (plan.overflow == 0) & (plan.dropped_edges == 0)
-        pos_w = jnp.take(pos_w, plan.order, axis=1)
-        temp_w = jnp.take(temp_w, plan.order, axis=1)
+        pos_w = permute_window(pos_w, plan.order)
+        temp_w = permute_window(temp_w, plan.order)
         nbr_sorted = sort_neighbors(neighbors, plan.order)
         invp = (
             jnp.zeros((n,), jnp.int32)
