@@ -253,6 +253,10 @@ def featurize(
       neighbors: optional precomputed ``[N, k]`` neighbor indices — skips the
         neighbor search entirely (the rollout engine's
         ``reneighbor_every > 1`` reuse path).
+      build_edges: build the ``[N, k, 4]`` per-edge features (default). The
+        pruned sender-latents model provably never reads them — callers in
+        that mode pass False to skip a latency-bound small-row gather
+        (``graph.edges`` is then None).
       particle_axis: mesh axis name when called inside ``shard_map`` with
         particles sharded over that axis. Recent positions are all-gathered
         so the k-NN sees the global box; ``neighbors`` then hold **global**
