@@ -172,6 +172,7 @@ def mode_train(args):
         mlp_num_hidden_layers=2,
         num_message_passing_steps=args.mp_steps,
     )
+    suffix = f"_{args.compute_dtype}" if args.compute_dtype else ""
     tc = TrainConfig(
         num_neighbors=args.k,
         batch_size=2,
@@ -182,7 +183,10 @@ def mode_train(args):
         final_learning_rate=1e-4,
         seed=args.seed,
         augment_prob=1.0,
-        output_dir=os.path.join(RESULTS_DIR, f"ours_model_n{n}_s{args.seed}"),
+        compute_dtype=args.compute_dtype,
+        output_dir=os.path.join(
+            RESULTS_DIR, f"ours_model_n{n}_s{args.seed}{suffix}"
+        ),
     )
     train_ds = SequenceDataset(train_dir, window, meta)
     val_ds = SequenceDataset(val_dir, window, meta)
@@ -200,12 +204,15 @@ def mode_train(args):
     summary = {
         "n": n, "k": args.k, "seed": args.seed, "latent": args.latent, "mp_steps": args.mp_steps,
         "epochs": args.epochs, "noise_std": args.noise_std,
+        "compute_dtype": args.compute_dtype,
         "train_wall_s": train_time,
         "one_step_position_mse": result["position_error"],
         "one_step_temperature_mse": result["temperature_error"],
         "platform": jax.default_backend(),
     }
-    out = os.path.join(RESULTS_DIR, f"ours_mse_n{n}_s{args.seed}.json")
+    out = os.path.join(
+        RESULTS_DIR, f"ours_mse_n{n}_s{args.seed}{suffix}.json"
+    )
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
@@ -229,6 +236,9 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tpu", action="store_true",
                    help="run on the TPU instead of forcing CPU")
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   help="e.g. bfloat16 — the TPU training precision policy "
+                        "(matmuls + the aggregation gather carried in bf16)")
     p.set_defaults(func=mode_train)
     args = parser.parse_args()
     args.func(args)

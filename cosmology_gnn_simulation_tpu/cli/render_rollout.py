@@ -61,6 +61,12 @@ def main(argv=None):
                              "(0/1 = single device)")
     add_model_flags(parser)
     args = parser.parse_args(argv)
+    if args.aggregation == "cellblock" and args.exactness_guard == "fallback":
+        parser.error(
+            "--aggregation cellblock supports --exactness_guard flag/off "
+            "only: brute-force fallback neighbors can exceed the one-cell "
+            "window the selection matrices cover"
+        )
 
     os.makedirs(args.output_dir, exist_ok=True)
     with open(args.metadata_path) as f:
@@ -151,6 +157,14 @@ def main(argv=None):
                 print(f"NOTE: {inexact}/{len(exactness)} steps failed the "
                       "bucketed-kNN certificate and were rerun with exact "
                       "brute force")
+            elif args.aggregation == "cellblock":
+                print(f"WARNING: {inexact}/{len(exactness)} rollout steps "
+                      "failed the exactness certificate (kNN overflow/"
+                      "cell-edge bound, cell-block slot overflow, or dropped "
+                      "edges — clustered distribution?). Results are "
+                      "approximate on those steps. Remedies: a larger "
+                      "cellblock capacity (CellBlockSpec), --aggregation "
+                      "gather, or --neighbor_method bruteforce.")
             else:
                 print(f"WARNING: {inexact}/{len(exactness)} rollout steps "
                       "failed the kNN exactness certificate (clustered "
@@ -158,7 +172,12 @@ def main(argv=None):
                       "those steps. Rerun with --exactness_guard fallback "
                       "or --neighbor_method bruteforce.")
         else:
-            print("kNN exactness certificate held for every rollout step")
+            certificate = (
+                "kNN + cell-block exactness certificates"
+                if args.aggregation == "cellblock"
+                else "kNN exactness certificate"
+            )
+            print(f"{certificate} held for every rollout step")
 
     print("Calculating errors")
     errors = calculate_rollout_errors(rollout_data, ground_truth)

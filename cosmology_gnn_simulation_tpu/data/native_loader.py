@@ -286,6 +286,14 @@ class NativeSequenceLoader:
             self._handle, order[:num_full], num_full, batch_size,
             prefetch_depth, nf,
         )
+        if not pf:
+            # wl_prefetch_start_fields returns NULL on invalid arguments
+            # (e.g. nf out of range); passing that to wl_prefetch_next_fields
+            # would be a NULL deref in the C++ layer.
+            raise RuntimeError(
+                f"native prefetcher failed to start (fields={nf}, "
+                f"batch_size={batch_size}) — cache/loader invariant violated"
+            )
         try:
             while True:
                 wins, tgts = self._alloc(batch_size, nf)

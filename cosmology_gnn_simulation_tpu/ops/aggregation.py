@@ -26,11 +26,15 @@ Fix — express the transpose entirely in TPU-friendly primitives:
    prefix rows*: ``dz[p] = prefix[end_p] - prefix[start_p]`` — two [N, H]
    row gathers. No scatter anywhere.
 
-The prefix sum is carried in float32 with a two-level (chunked) form so
-rounding does not accumulate over the full ``N*k`` stream: segments read
-from a chunk-local prefix plus an inter-chunk offset, bounding the extra
-rounding to ~sqrt(chunk) ULPs — measured grad agreement vs. the native
-scatter transpose is ~1e-6 relative (tests/test_aggregation.py).
+The prefix sum is carried in float32 with a two-level (chunked) form:
+segments read from a chunk-local prefix plus an inter-chunk offset. The
+intra-chunk error is bounded by ~chunk ULPs, but the inter-chunk offsets are
+a plain f32 cumsum whose rounding scales with the ULP of the *running total*
+— for same-sign cotangent streams it grows with the number of chunks (E can
+reach ~16M at BASELINE config 4). Measured grad agreement vs. the native
+scatter transpose is ~1e-6 relative at test sizes
+(tests/test_aggregation.py asserts 1e-3/1e-4-scaled bounds); carry the
+offsets in float64 if tighter agreement is ever needed at extreme E.
 
 Exact for ANY neighbor table (duplicates included — multiplicity is
 preserved by the edge stream); there is no capacity/overflow regime, unlike

@@ -179,8 +179,11 @@ class CellBlockGraph(NamedTuple):
                       index (sentinel ``N`` for empty slots).
       s_table:        ``[num_slots, 9 * kc]`` int8 — selection matrices.
       overflow:       scalar int32 — particles beyond C in their cell.
-      dropped_edges:  scalar int32 — real edges whose sender fell outside
-                      the receiver's 3^3-cell window (certificate breach).
+      dropped_edges:  scalar int32 — edges S cannot represent despite the
+                      receiver having a row: sender outside the receiver's
+                      3^3-cell window, or sender dropped by cell overflow
+                      (certificate breach either way). Edges whose RECEIVER
+                      overflowed are accounted by ``overflow`` instead.
     """
 
     order: jnp.ndarray
@@ -304,7 +307,11 @@ def _local_indices(
     ``nbr_table`` rows correspond to query slots ``query_slots`` (default:
     ``arange(rows)`` — one row per slot). Returns ``czw`` in
     [0, 9*(BLK+2)) (or -1 if invalid), ``sl`` in [0, C), and the count of
-    real-but-out-of-window edges.
+    edges not representable in S: real-sender-out-of-window plus
+    sender-overflowed-its-cell (sentinel slot). Rows whose QUERY slot is the
+    overflow sentinel are masked out of both S and the dropped count — the
+    receiving particle has no S row at all; those edges are covered by the
+    separate ``overflow`` diagnostic.
     """
     g, c, blk = spec.grid_size, spec.capacity, spec.z_block
     num_slots = spec.num_slots
@@ -327,11 +334,17 @@ def _local_indices(
     dx = (s_gx - q_gx + 1 + g) % g
     dy = (s_gy - q_gy + 1 + g) % g
     w = (s_cz - zb0 + 1 + g) % g
+    q_ok = q < num_slots  # receiver overflowed its cell -> no S row exists
     is_real = s < num_slots
+    sender_overflowed = s == num_slots  # sentinel from slot_of_particle
     in_window = (dx < 3) & (dy < 3) & (w < blk + 2)
-    valid = is_real & in_window
+    valid = q_ok & is_real & in_window
     czw = jnp.where(valid, (dx * 3 + dy) * (blk + 2) + w, -1)
-    dropped = jnp.sum(is_real & ~in_window).astype(jnp.int32)
+    # Edges S cannot represent even though the receiver has a row: sender
+    # outside the 3x3x(BLK+2) window, or sender dropped by cell overflow.
+    dropped = jnp.sum(
+        q_ok & ((is_real & ~in_window) | sender_overflowed)
+    ).astype(jnp.int32)
     return czw, sl, valid, dropped
 
 

@@ -829,10 +829,14 @@ def reassemble_trajectory(
     gid = np.asarray(outs["gid"])
     pos = np.asarray(outs["positions"])
     temp = np.asarray(outs["temperatures"])
-    for s in range(steps):
-        m = valid[s]
-        coords[w + s, gid[s][m]] = pos[s][m]
-        temps[w + s, gid[s][m]] = temp[s][m]
+    # One vectorized scatter over all (step, slot) pairs — a Python loop of
+    # per-step fancy-index assignments is O(steps) host dispatches and
+    # crawls at config-5 trajectory sizes (N=2M x hundreds of steps).
+    m = valid.reshape(-1)
+    step_idx = np.repeat(np.arange(w, w + steps), valid.shape[1])[m]
+    part_idx = gid.reshape(-1)[m]
+    coords[step_idx, part_idx] = pos.reshape(-1, 3)[m]
+    temps[step_idx, part_idx] = temp.reshape(-1, temp.shape[-1])[m]
     return {"Coordinates": coords, "InternalEnergy": temps}
 
 

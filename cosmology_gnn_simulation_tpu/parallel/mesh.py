@@ -102,8 +102,9 @@ def hybrid_device_order(
             f"local device count {per_proc}"
         )
     # Outer (DCN) dimension first along the data axis, processes in index
-    # order; within a process, devices keep their given (ICI-contiguous)
-    # order.
+    # order; within a process, devices are ordered by id (deterministic and
+    # ICI-contiguous for standard TPU enumerations — callers needing a custom
+    # within-process order should build the mesh array themselves).
     blocks = [
         np.array(sorted(by_proc[p], key=lambda d: d.id)).reshape(inner_sizes)
         for p in procs
