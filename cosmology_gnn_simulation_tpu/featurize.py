@@ -233,6 +233,7 @@ def featurize(
     build_reverse: bool = False,
     neighbors: Optional[jnp.ndarray] = None,
     build_edges: bool = True,
+    noise_gids: Optional[jnp.ndarray] = None,
 ) -> ParticleGraph:
     """Build a ``ParticleGraph`` from a trajectory window.
 
@@ -257,6 +258,9 @@ def featurize(
         pruned sender-latents model provably never reads them — callers in
         that mode pass False to skip a latency-bound small-row gather
         (``graph.edges`` is then None).
+      noise_gids: optional ``[N]`` global particle ids — layout-invariant
+        per-particle noise keying (``ops/noise.py``), the mode that makes
+        sharded and single-device noised training numerically identical.
       particle_axis: mesh axis name when called inside ``shard_map`` with
         particles sharded over that axis. Recent positions are all-gathered
         so the k-NN sees the global box; ``neighbors`` then hold **global**
@@ -273,11 +277,14 @@ def featurize(
     temp_seq = jnp.transpose(temperature_seq, (1, 0, 2)).astype(jnp.float32)
 
     pos_key, temp_key = jax.random.split(key)
-    position_noise = random_walk_position_noise(pos_key, pos_seq, noise_std, dt)
+    position_noise = random_walk_position_noise(
+        pos_key, pos_seq, noise_std, dt, gids=noise_gids
+    )
     pos_seq = wrap_positions(pos_seq + position_noise, box)
 
     temperature_noise = random_walk_temperature_noise(
-        temp_key, temp_seq, noise_std, stats.temp_rate_std, dt
+        temp_key, temp_seq, noise_std, stats.temp_rate_std, dt,
+        gids=noise_gids,
     )
     temp_seq = temp_seq + temperature_noise
 

@@ -48,7 +48,7 @@ def choose_cell_grid(
     num_particles: int,
     k: int,
     *,
-    safety: float = 1.35,
+    safety: Optional[float] = None,
     capacity_multiplier: float = 2.5,
 ) -> CellGrid:
     """Pick (G, C) for a roughly uniform distribution of ``num_particles``
@@ -57,9 +57,22 @@ def choose_cell_grid(
     Cell edge is ``safety`` x the uniform k-th-neighbor radius
     r_k = (3k / (4 pi n))^(1/3); capacity is ``capacity_multiplier`` x the
     mean occupancy (clustered data needs headroom — check ``overflow``).
-    Defaults tuned on TPU at N=65k/k=16 (grid 19: 47ms vs 82ms at grid 17,
-    exactness certificate intact; see git history for the sweep).
+
+    The default safety covers the MAX k-th-neighbor radius over all N
+    queries, not the mean: exactness requires every query's k-th neighbor
+    within one cell edge, and for Poisson-uniform data the count in a ball
+    fluctuates by ~sqrt(k) with an extreme-value ln(N) term across N
+    queries, so edge^3 must hold ~(k + 3 sqrt(k) + ln N) expected points:
+    ``safety = ((k + 3 sqrt(k) + ln N) / k)^(1/3)``, floored at 1.35 — the
+    TPU-tuned value at N=65k/k=16 (grid 19: 47ms vs 82ms at grid 17,
+    certificate intact; see git history), which the formula reproduces
+    there (1.346). Small N/k get the coarser grids their heavier relative
+    tails need (e.g. N=4096/k=4: 1.66 -> grid 9, where 1.35's grid 12
+    fails the certificate on the synthetic fixture).
     """
+    if safety is None:
+        tail = (k + 3.0 * math.sqrt(k) + math.log(num_particles)) / k
+        safety = max(1.35, tail ** (1.0 / 3.0))
     r_k = (3.0 * k / (4.0 * math.pi * num_particles)) ** (1.0 / 3.0)
     grid_size = max(3, int(1.0 / (safety * r_k)))
     mean_occupancy = num_particles / grid_size**3

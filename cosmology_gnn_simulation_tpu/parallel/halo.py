@@ -241,6 +241,7 @@ def featurize_halo(
     target_position: Optional[jnp.ndarray] = None,
     target_temperature: Optional[jnp.ndarray] = None,
     with_diagnostics: bool = False,
+    noise_gids: Optional[jnp.ndarray] = None,
 ):
     """Shard-local graph build with halo exchange.
 
@@ -254,6 +255,12 @@ def featurize_halo(
       position_seq / temperature_seq: ``[T, N_cap, .]`` spatially-partitioned
         windows (``partition_windows``); padding slots arbitrary.
       valid: ``[N_cap]`` bool — real-particle slots.
+      noise_gids: ``[N_cap]`` global particle ids (``partition_windows``'s
+        ``gid``) — REQUIRED whenever ``noise_std`` can be nonzero: noise is
+        then keyed per particle id (``ops/noise.py``), making the sharded
+        noised step numerically identical to the single-device step with the
+        same ids (stream keying would give every shard row-position-dependent
+        draws instead).
 
     Returns:
       ``(graph, halo, diagnostics)`` — pass ``halo`` into
@@ -269,10 +276,13 @@ def featurize_halo(
     temp_seq = jnp.transpose(temperature_seq, (1, 0, 2)).astype(jnp.float32)
 
     pos_key, temp_key = jax.random.split(key)
-    position_noise = random_walk_position_noise(pos_key, pos_seq, noise_std, dt)
+    position_noise = random_walk_position_noise(
+        pos_key, pos_seq, noise_std, dt, gids=noise_gids
+    )
     pos_seq = wrap_positions(pos_seq + position_noise, box)
     temperature_noise = random_walk_temperature_noise(
-        temp_key, temp_seq, noise_std, stats.temp_rate_std, dt
+        temp_key, temp_seq, noise_std, stats.temp_rate_std, dt,
+        gids=noise_gids,
     )
     temp_seq = temp_seq + temperature_noise
 
@@ -514,8 +524,12 @@ def make_halo_train_step(
         "gid": P(DATA_AXIS, PARTICLE_AXIS),
     }
 
-    def per_sample(params, pos, temp, tpos, ttemp, valid, key):
-        feat_key = jax.random.fold_in(key, jax.lax.axis_index(PARTICLE_AXIS))
+    def per_sample(params, pos, temp, tpos, ttemp, valid, gid, key):
+        # Same key derivation as the single-device step (which splits into
+        # (aug_key, feat_key); augmentation is host-side here, so the aug
+        # slot is discarded) + per-particle-gid noise keying: the noised
+        # sharded step is numerically IDENTICAL to the single-device one.
+        feat_key = jax.random.split(key)[1]
         graph, halo, _ = featurize_halo(
             pos, temp, valid, stats, feat_key,
             noise_std=tc.noise_std,
@@ -525,6 +539,7 @@ def make_halo_train_step(
             query_tile=tc.neighbor_query_tile,
             target_position=tpos,
             target_temperature=ttemp,
+            noise_gids=gid,
         )
         preds = apply_encode_process_decode(
             params, graph, model_config, dtype,
@@ -550,7 +565,7 @@ def make_halo_train_step(
 
     def loss_fn(params, batch, keys):
         acc_se, temp_se, momentum = jax.vmap(
-            per_sample, in_axes=(None, 0, 0, 0, 0, 0, 0)
+            per_sample, in_axes=(None, 0, 0, 0, 0, 0, 0, 0)
         )(
             params,
             batch["positions"],
@@ -558,6 +573,7 @@ def make_halo_train_step(
             batch["target_positions"],
             batch["target_temperatures"],
             batch["valid"],
+            batch["gid"],
             keys,
         )
         acc_loss = jax.lax.pmean(jnp.mean(acc_se), DATA_AXIS)
@@ -718,11 +734,13 @@ def make_halo_rollout(
     """Halo-sharded multi-step rollout (BASELINE config 5's execution plan).
 
     Returns jitted ``(params, positions [W, P*cap, 3], temperatures
-    [W, P*cap, 1], valid [P*cap], gid [P*cap]) -> outputs`` where outputs
-    carry per-step ``positions/temperatures/valid/gid`` (slot layouts change
-    as particles migrate between slabs — reassemble with
-    ``reassemble_trajectory``) plus migration/halo overflow diagnostics
-    (max over steps; must be 0 for an exact rollout).
+    [W, P*cap, 1], valid [P*cap], gid [P*cap]) -> (outputs, diag, exactness)``
+    where outputs carry per-step ``positions/temperatures/valid/gid`` (slot
+    layouts change as particles migrate between slabs — reassemble with
+    ``reassemble_trajectory``), ``diag`` the max-over-steps migration/halo
+    overflow diagnostics, and ``exactness`` a per-step ``[num_steps]`` bool
+    certificate (parity with ``rollout()``'s in-scan guard: halo sends,
+    cell capacity, k-th-distance bound and migration all within limits).
 
     Use ``run_halo_rollout`` for the partition -> rollout -> reassemble
     round trip with the single-device ``rollout()`` interface.
@@ -755,18 +773,29 @@ def make_halo_rollout(
                 "gid": P(None, PARTICLE_AXIS),
             },
             P(),
+            P(),
         ),
     )
     def rollout_fn(params, init_pos, init_temp, valid, gid):
         def body(carry, _):
             pos_w, temp_w, valid, gid = carry
-            graph, halo, _ = featurize_halo(
+            graph, halo, fdiag = featurize_halo(
                 pos_w, temp_w, valid, stats, zero_key,
                 noise_std=0.0,
                 num_neighbors=num_neighbors,
                 hc=hc,
                 axis_name=PARTICLE_AXIS,
                 query_tile=query_tile,
+                with_diagnostics=True,
+            )
+            # Per-step exactness certificate, the sharded counterpart of
+            # rollout()'s in-scan guard (rollout.py): neighbor graphs are
+            # provably exact iff no halo send overflowed, no cell
+            # overflowed, and every k-th neighbor lies within one cell edge.
+            exact_local = (
+                (fdiag["halo_overflow"] == 0)
+                & (fdiag["cell_overflow"] == 0)
+                & (fdiag["max_kth_d2"] <= fdiag["cell_edge_sq"])
             )
             preds = apply_encode_process_decode(
                 params, graph, model_config, dtype,
@@ -788,13 +817,18 @@ def make_halo_rollout(
             pos_w, temp_w, valid, gid, diag = _migrate(
                 pos_w, temp_w, valid, gid, hc, stats.box_size, PARTICLE_AXIS
             )
+            exact_local &= (diag["overflow"] == 0) & (diag["stranded"] == 0)
+            # psum of violations makes the flag identical on every shard.
+            exact = jax.lax.psum(
+                jnp.where(exact_local, 0, 1), PARTICLE_AXIS
+            ) == 0
             out = {
                 "positions": pos_w[-1],
                 "temperatures": temp_w[-1],
                 "valid": valid,
                 "gid": gid,
             }
-            return (pos_w, temp_w, valid, gid), (out, diag)
+            return (pos_w, temp_w, valid, gid), (out, diag, exact)
 
         init = (
             init_pos.astype(jnp.float32),
@@ -802,11 +836,13 @@ def make_halo_rollout(
             valid,
             gid,
         )
-        _, (outs, diags) = jax.lax.scan(body, init, None, length=num_steps)
+        _, (outs, diags, exactness) = jax.lax.scan(
+            body, init, None, length=num_steps
+        )
         diag_max = jax.lax.psum(
             jax.tree.map(jnp.max, diags), PARTICLE_AXIS
         )
-        return outs, diag_max
+        return outs, diag_max, exactness
 
     return jax.jit(rollout_fn)
 
@@ -856,8 +892,9 @@ def run_halo_rollout(
     query_tile: int = 2048,
 ):
     """Partition -> halo rollout -> reassemble, with the same interface and
-    trajectory layout as the single-device ``rollout()``. Also returns the
-    overflow diagnostics dict."""
+    trajectory layout as the single-device ``rollout()`` — including the
+    per-step ``neighbor_exactness`` certificate. Also returns the overflow
+    diagnostics dict."""
     init_pos = np.asarray(initial_positions, np.float32)
     init_temp = np.asarray(initial_temperatures, np.float32)
     part = partition_windows(init_pos, init_temp, hc, stats.box_size)
@@ -867,7 +904,7 @@ def run_halo_rollout(
         min_image_velocity=min_image_velocity,
         dtype=dtype, query_tile=query_tile,
     )
-    outs, diag = fn(
+    outs, diag, exactness = fn(
         params,
         jnp.asarray(part["positions"]),
         jnp.asarray(part["temperatures"]),
@@ -875,9 +912,11 @@ def run_halo_rollout(
         jnp.asarray(part["gid"]),
     )
     diag = {k: int(v) for k, v in diag.items()}
-    return reassemble_trajectory(
+    traj = reassemble_trajectory(
         jax.tree.map(np.asarray, outs), init_pos, init_temp
-    ), diag
+    )
+    traj["neighbor_exactness"] = np.asarray(exactness)
+    return traj, diag
 
 
 def make_halo_eval_step(

@@ -82,6 +82,12 @@ class TrainConfig:
     # so the backward pass is a prefix-sum difference instead of a TPU
     # scatter-add (ops/aggregation.py). Exact for any neighbor table.
     build_reverse: bool = True
+    # Key training noise per GLOBAL particle id instead of per row stream
+    # (ops/noise.py): the noise a particle receives is then independent of
+    # data layout, so single-device and halo-sharded training produce
+    # IDENTICAL numbers. The halo path always uses gid keying; setting this
+    # makes the single-device path match it (same distribution either way).
+    partition_invariant_noise: bool = False
     # Failure detection (reference has none, SURVEY.md §5): abort the run
     # with a clear report when the loss goes non-finite.
     halt_on_nonfinite: bool = True
@@ -121,6 +127,10 @@ def make_train_step(
     def per_sample(params, pos, temp, tpos, ttemp, key):
         aug_key, feat_key = jax.random.split(key)
         pos, tpos = _augment_axes(aug_key, pos, tpos, tc.augment_prob)
+        noise_gids = (
+            jnp.arange(pos.shape[1], dtype=jnp.int32)
+            if tc.partition_invariant_noise else None
+        )
         graph = featurize(
             pos,
             temp,
@@ -134,6 +144,7 @@ def make_train_step(
             neighbor_method=tc.neighbor_method,
             build_reverse=tc.build_reverse,
             build_edges=need_edges,
+            noise_gids=noise_gids,
         )
         preds = apply_encode_process_decode(params, graph, model_config, dtype)
         return preds, graph.target_acceleration, graph.target_temp_rate

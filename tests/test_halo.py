@@ -172,6 +172,98 @@ def test_halo_train_step_matches_single_device(setup):
         )
 
 
+def test_halo_memory_scaling(setup):
+    """O(N/P + halo) memory contract: the halo rollout's HLO must never
+    materialize a GLOBAL [P*cap, latent] tensor — a regression to an
+    all-gather of projected latents would otherwise pass every numeric
+    test while destroying the config-5 scaling story."""
+    sim, stats, model_config, params = setup
+    latent = model_config.latent_size
+    hc = choose_halo_config(N, K, 4)
+    mesh = make_mesh((2, 4))
+    fn = make_halo_rollout(model_config, stats, mesh, 2, hc, num_neighbors=K)
+    part = partition_windows(
+        np.asarray(sim["Coordinates"][:5], np.float32),
+        np.asarray(sim["InternalEnergy"][:5], np.float32),
+        hc, stats.box_size,
+    )
+    args = (
+        params,
+        jnp.asarray(part["positions"]),
+        jnp.asarray(part["temperatures"]),
+        jnp.asarray(part["valid"]),
+        jnp.asarray(part["gid"]),
+    )
+    hlo = jax.jit(fn).lower(*args).as_text()
+    n_global = hc.num_shards * hc.local_capacity
+    # lower().as_text() is StableHLO: shapes print as tensor<AxBxdtype>.
+    forbidden = f"tensor<{n_global}x{latent}x"
+    assert forbidden not in hlo, (
+        f"halo rollout HLO materializes a global latent tensor {forbidden}"
+    )
+    # The shard-local latent tensors it SHOULD hold instead do appear.
+    assert f"tensor<{hc.local_capacity}x{latent}x" in hlo
+
+
+def test_noised_halo_train_step_matches_single_device(setup):
+    """With per-particle-gid noise keying, the NOISED halo step is
+    numerically identical to the single-device step (round-2 verdict: the
+    invariance contract must cover noise_std > 0, not just 0)."""
+    sim, stats, model_config, params = setup
+    tc = TrainConfig(
+        num_neighbors=K,
+        batch_size=4,
+        noise_std=3e-4,
+        augment_prob=0.0,  # single-device augments on device, halo on host
+        momentum_loss_weight=0.5,
+        partition_invariant_noise=True,  # single-device side of the contract
+    )
+    optimizer = make_optimizer(tc, steps_per_epoch=1)
+    opt_state = optimizer.init(params)
+    batch = {
+        "positions": np.stack(
+            [sim["Coordinates"][i % 2: i % 2 + 5] for i in range(4)]
+        ),
+        "temperatures": np.stack(
+            [sim["InternalEnergy"][i % 2: i % 2 + 5] for i in range(4)]
+        ),
+        "target_positions": np.stack(
+            [sim["Coordinates"][i % 2 + 5] for i in range(4)]
+        ),
+        "target_temperatures": np.stack(
+            [sim["InternalEnergy"][i % 2 + 5] for i in range(4)]
+        ),
+    }
+    single_step = make_train_step(model_config, stats, tc, optimizer)
+    p_single, _, m_single = single_step(
+        params, opt_state, batch, jax.random.PRNGKey(5)
+    )
+
+    hc = choose_halo_config(N, K, 2, noise=True)
+    assert hc.halo_layers == 2
+    mesh = make_mesh((4, 2))
+    halo_step = make_halo_train_step(
+        model_config, stats, tc, optimizer, mesh, hc
+    )
+    part = partition_batch(batch, hc, stats.box_size)
+    # The same per-sample keys the single-device step derives internally.
+    keys = jax.random.split(jax.random.PRNGKey(5), 4)
+    p_halo, _, m_halo = halo_step(
+        params, opt_state, shard_halo_batch(part, mesh), keys
+    )
+    for key, rtol in (("acceleration", 2e-4), ("temp_rate", 2e-4),
+                      ("momentum", 1e-3), ("loss", 1e-3)):
+        np.testing.assert_allclose(
+            float(m_halo[key]), float(m_single[key]), rtol=rtol, err_msg=key
+        )
+    flat_s, _ = jax.tree.flatten(p_single)
+    flat_h, _ = jax.tree.flatten(p_halo)
+    for a, b in zip(flat_h, flat_s):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-6
+        )
+
+
 def test_halo_train_step_with_noise_runs(setup):
     sim, stats, model_config, params = setup
     tc = TrainConfig(
@@ -234,6 +326,7 @@ def test_halo_rollout_matches_single_device(setup, num_shards):
         num_neighbors=K,
     )
     assert diag["overflow"] == 0 and diag["stranded"] == 0
+    assert got["neighbor_exactness"].all()
     np.testing.assert_allclose(
         got["Coordinates"], np.asarray(expected["Coordinates"]),
         rtol=2e-5, atol=2e-5,
@@ -258,13 +351,15 @@ def test_halo_rollout_migration_occurs(setup):
         np.asarray(sim["InternalEnergy"][:5], np.float32),
         hc, stats.box_size,
     )
-    outs, diag = fn(
+    outs, diag, exactness = fn(
         params,
         jnp.asarray(part["positions"]),
         jnp.asarray(part["temperatures"]),
         jnp.asarray(part["valid"]),
         jnp.asarray(part["gid"]),
     )
+    # The per-step certificate holds on this well-behaved fixture.
+    assert np.asarray(exactness).all()
     # Particle count is conserved every step...
     valid = np.asarray(outs["valid"])
     assert (valid.sum(axis=1) == N).all()
