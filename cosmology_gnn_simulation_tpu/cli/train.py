@@ -59,6 +59,7 @@ def main(argv=None):
         num_message_passing_steps=args.num_message_passing_steps,
         output_size=args.output_size,
         aggregate=args.aggregate,
+        remat=getattr(args, "remat", False),
     )
     train_config = TrainConfig(
         num_neighbors=args.num_neighbors,
@@ -79,7 +80,18 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         neighbor_method=args.neighbor_method,
         strict_neighbor_check=not args.no_strict_neighbors,
+        aggregation=getattr(args, "aggregation", "gather"),
     )
+    if train_config.aggregation == "cellblock" and (
+        getattr(args, "spatial_shards", 0) > 1
+        or getattr(args, "data_parallel", False)
+        or getattr(args, "distributed", False)
+    ):
+        raise SystemExit(
+            "--aggregation cellblock is single-device only (the slot-space "
+            "forward is incompatible with particle/data sharding); drop the "
+            "--spatial_shards/--data_parallel/--distributed flags"
+        )
     steps_per_epoch = max(len(train_dataset) // args.batch_size, 1)
 
     init_params = None

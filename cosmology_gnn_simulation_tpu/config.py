@@ -76,6 +76,17 @@ def build_train_parser() -> argparse.ArgumentParser:
     parser.add_argument("--neighbor_method", type=str, default="auto",
                         choices=["auto", "bruteforce", "celllist", "pallas"],
                         help="Periodic k-NN backend")
+    parser.add_argument("--aggregation", type=str, default="gather",
+                        choices=["gather", "cellblock"],
+                        help="Message-passing aggregation backend: 'gather' "
+                             "(fused gather+sum, sorted-edge VJP) or "
+                             "'cellblock' (selection-matrix MXU kernel — "
+                             "the big-N training path)")
+    parser.add_argument("--remat", action="store_true",
+                        help="Rematerialize each message-passing step in "
+                             "the backward pass (O(1) residual memory in "
+                             "the step count — required for config-4-scale "
+                             "training on one chip)")
     parser.add_argument("--no_strict_neighbors", action="store_true",
                         help="Downgrade a failed kNN exactness certificate "
                              "from an error to a warning")

@@ -9,48 +9,50 @@ counterpart: the torch_scatter segment-add inside PyG's ``propagate``,
 latency-bound at ~1/8 of HBM bandwidth, ~176 ms per message-passing step.
 
 This module re-expresses the aggregation as dense matmuls over a periodic
-cell decomposition:
+cell decomposition. Round-3 design: **per-column compaction** (the round-2
+per-cell slot table carried a measured 2.81x padding that multiplied S
+size, matmul FLOPs, column traffic and the slot-space MLP rows):
 
-* particles are binned into a ``G^3`` grid (``C`` slots per cell) and the
-  model state is kept in **cell-sorted order** so slot<->particle maps are
-  monotone (fast contiguous-row gathers);
-* a 0/1 **selection matrix** ``S`` is built ONCE per graph (amortized over
-  all message-passing steps): row = query slot, column = candidate slot in
-  the query's 3x3 column x (BLK+2)-cell z-window; ``S[q, c]`` counts how
-  often candidate ``c`` appears in query ``q``'s neighbor list;
-* per step, a Pallas kernel computes ``out = S @ z_window`` per cell block:
-  the 9 neighbor columns are VMEM-resident (streamed once per column sweep
-  thanks to z-innermost grid order), and the data-dependent neighbor
-  structure rides the MXU as int8->bf16 matmuls — no per-row HBM gathers.
+* particles are sorted by cell id and stored COMPACTLY per (gx, gy)
+  **column**: column ``col`` owns rows ``[col*CC, col*CC + cnt_col)`` of the
+  slot table (capacity ``CC ~ mean + 5*sqrt(mean)``, ~1.2-1.35x padding),
+  in z-cell order within the column;
+* a 0/1 **selection matrix** ``S`` (int8 multiplicity counts) is built ONCE
+  per graph: row = query slot, column = ``(neighbor column j in the 3x3
+  ring, offset inside a contiguous candidate window of that column)``;
+* per step, a Pallas kernel computes ``out[tile] = sum_j S_j @ window_j``
+  per ``QB``-row query tile: the 9 candidate windows are **dynamically
+  placed** contiguous row ranges of a z-wrap-padded candidate array
+  (``pl.Element`` indexing, window starts ride as scalar prefetch), and the
+  data-dependent neighbor structure rides the MXU as int8->bf16 matmuls —
+  no per-row HBM gathers.
+
+Z-wrap: each column's padded image is ``[cP | main | cA]`` — up to
+``wrap_cap`` copies of its LAST z-cell's rows, then its real rows, then up
+to ``wrap_cap`` copies of its FIRST cell's rows, tightly packed (layout is
+data-dependent; the per-graph ``pad_src`` gather map realizes it from slot
+space in one monotone-ish row gather per step). Windows for tiles at the
+z boundary run into the wrap segments, so every window is one contiguous
+range.
 
 Exactness: identical to gather+sum (in exact arithmetic) whenever
-(a) no cell holds more than ``C`` particles and (b) every neighbor lies
-within one cell of its receiver — exactly the cell-list exactness
-certificate (``d_k <= cell edge``), checked on the aggregation grid via the
-``dropped_edges``/``overflow`` diagnostics (never silent).
+(a) no column holds more than ``CC`` rows and (b) every edge is
+representable: sender within the 3x3 column ring and inside the receiver
+tile's candidate window — which holds whenever every neighbor lies within
+one cell of its receiver (the cell-list exactness certificate,
+``d_k <= cell edge``) and the static window/wrap capacities fit the data.
+All violations are counted (``overflow``/``dropped_edges``/
+``window_overflow``) — never silent.
 
-Round-3 design note — per-column compaction (the measured ~2.8x slot
-padding at config 4 multiplies S size, matmul FLOPs, column traffic and
-the slot-space MLP rows; the kernel is DMA-bound at ~500-600 GB/s):
-
-* bin particles per (gx, gy) COLUMN with a per-column capacity
-  (~mean + 5*sqrt(mean), ~1.2x padding) instead of per-cell slots; keep
-  within-column cell order. Per-(column, cell) start offsets from the
-  sorted keys (searchsorted, as here).
-* query block = the occupants of BLK consecutive cells of one column
-  (static row cap); candidate window per neighbor column j = a CONTIGUOUS
-  row range [start(j, zb*BLK-1), +W_cap) of j's compact array, where
-  W_cap ~ (BLK+2)*mean + tail, padded to a lane multiple.
-* kernel uses pltpu.PrefetchScalarGridSpec: the per-(column, zb) window
-  starts ride as scalar-prefetch operands and the column inputs use
-  element-offset indexing; z-wrap is covered by 9 extra fixed-size
-  first/last-cell segments (used only by the first/last z-blocks, zero S
-  elsewhere).
-* S build: local index = j * W_cap + (compact_idx - start_j) — the same
-  two-factor one-hot contraction over (column one-hot [9], offset one-hot
-  [W_cap]).
-Projected: S ~2 GB, ~1 TF, ~12 ms/step at config 4 (vs 43 ms), and the
-slot-space MLP/LN rows shrink 2.3x.
+Training (round 3): the aggregation is linear, ``out = S @ z``, so the VJP
+is ``dz = S^T @ g`` — ANOTHER cell-block matmul with queries and candidates
+swapped. ``build_cellblock(..., with_reverse=True)`` additionally builds
+the reverse selection table over the SAME tile windows (the +-1-cell
+adjacency is symmetric, so the window geometry transposes to itself), and
+``cellblock_aggregate_slots`` exposes it through a ``jax.custom_vjp`` —
+the backward pass is the same Pallas kernel with ``s_rev_table``.
+``reverse_mismatch`` certifies the transpose is exact (fwd and reverse
+tables must represent the same edge multiset).
 """
 
 from __future__ import annotations
@@ -64,105 +66,123 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cosmology_gnn_simulation_tpu.ops.binning import bin_by_key
+from cosmology_gnn_simulation_tpu.ops.cell_list import choose_cell_grid
 
 _LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-int(x) // m) * m
 
 
 class CellBlockSpec(NamedTuple):
     """Static cell-block configuration (python ints — part of the jit key).
 
-    Constraints (asserted by ``validate``):
-      * ``grid_size % z_block == 0`` (query blocks tile z exactly);
-      * ``(z_block + 2) * capacity % 128 == 0`` (per-column selection slices
-        are lane-aligned — no padding waste in the matmul K dimension);
-      * ``z_block + 2 <= grid_size`` (a window never self-overlaps).
+    Attributes:
+      grid_size:    G — cells per box edge (G^2 columns, G z-cells each).
+      col_capacity: CC — slot rows per column (multiple of ``query_block``).
+      query_block:  QB — query rows per kernel grid step.
+      window:       W — candidate rows per neighbor column per tile
+                    (the matmul K-dim contribution of one column).
+      wrap_cap:     max rows copied per z-wrap segment (first/last cell).
+      h_block:      latent tile per kernel pass (min(h_block, H) used).
     """
 
-    grid_size: int  # G: cells per box edge
-    capacity: int  # C: slots per cell
-    z_block: int  # BLK: query cells per block along z
-    h_block: int = 256  # latent tile per kernel pass (min(h_block, H) used)
+    grid_size: int
+    col_capacity: int
+    query_block: int
+    window: int
+    wrap_cap: int
+    h_block: int = 256
 
     @property
     def num_columns(self) -> int:
         return self.grid_size**2
 
     @property
-    def num_zblocks(self) -> int:
-        return self.grid_size // self.z_block
+    def tiles_per_col(self) -> int:
+        return self.col_capacity // self.query_block
+
+    @property
+    def num_tiles(self) -> int:
+        return self.num_columns * self.tiles_per_col
 
     @property
     def num_slots(self) -> int:
-        return self.grid_size**3 * self.capacity
+        return self.num_columns * self.col_capacity
 
     @property
-    def window_cells(self) -> int:
-        return self.z_block + 2
+    def padded_col(self) -> int:  # CCp: rows per column in the padded image
+        return self.col_capacity + 2 * self.wrap_cap
 
     @property
-    def kc(self) -> int:  # K-dim contributed by one neighbor column
-        return self.window_cells * self.capacity
+    def num_padded(self) -> int:
+        return self.num_columns * self.padded_col
 
     @property
-    def rows_per_block(self) -> int:
-        return self.z_block * self.capacity
+    def s_width(self) -> int:
+        return 9 * self.window
 
     def validate(self) -> None:
-        g, c, blk = self.grid_size, self.capacity, self.z_block
-        if g % blk != 0:
-            raise ValueError(f"grid_size {g} not a multiple of z_block {blk}")
-        if (blk + 2) * c % _LANE != 0:
+        g, cc, qb, w, ec = (self.grid_size, self.col_capacity,
+                            self.query_block, self.window, self.wrap_cap)
+        if g < 3:
+            raise ValueError(f"grid_size {g} must be >= 3")
+        if cc % qb:
+            raise ValueError(f"col_capacity {cc} not a multiple of "
+                             f"query_block {qb}")
+        if qb % 8 or w % 8 or ec % 8:
             raise ValueError(
-                f"(z_block+2)*capacity = {(blk + 2) * c} not a multiple of 128"
+                f"query_block/window/wrap_cap ({qb}/{w}/{ec}) must be "
+                "multiples of 8 (TPU sublane alignment)"
             )
-        if blk + 2 > g:
-            raise ValueError(f"z_block+2 = {blk + 2} exceeds grid_size {g}")
-        if self.rows_per_block % 8 != 0:
-            raise ValueError("z_block*capacity must be a multiple of 8")
-
-
-def _poisson_overflow_cells(mean: float, capacity: int, num_cells: int):
-    """Expected number of cells whose Poisson(mean) occupancy exceeds
-    ``capacity`` (stable log-space evaluation, plain Python floats)."""
-    import math
-
-    log_pmf = -mean  # k = 0
-    cdf = math.exp(log_pmf)
-    for k in range(1, capacity + 1):
-        log_pmf += math.log(mean) - math.log(k)
-        cdf += math.exp(log_pmf)
-    return num_cells * max(0.0, 1.0 - cdf)
+        if w >= _LANE and w % _LANE:
+            raise ValueError(f"window {w} >= 128 must be a multiple of 128")
+        if w > self.padded_col:
+            raise ValueError(
+                f"window {w} exceeds padded column {self.padded_col}"
+            )
+        if self.num_slots * g >= 2**31:
+            raise ValueError("num_slots * grid_size overflows int32 packing")
 
 
 def choose_cellblock_spec(
     num_particles: int,
+    k: Optional[int] = None,
     *,
-    max_expected_overflow: float = 0.05,
     h_block: int = 256,
+    query_block: Optional[int] = None,
 ) -> CellBlockSpec:
-    """Pick (G, C, BLK) for a roughly uniform distribution.
+    """Pick (G, CC, QB, W, wrap_cap) for a roughly uniform distribution.
 
-    C is fixed at 64 and BLK at 4 (so the per-column K slice is exactly
-    3 x 128 lanes and M = 256 rows); G is the smallest multiple of 4 whose
-    expected number of overflowing cells (exact Poisson tail at mean
-    occupancy ``N/G^3``) is under ``max_expected_overflow``. Coarser is
-    better — fewer empty slots means a smaller S table and fewer wasted
-    FLOPs. Clustered data needs more headroom — the ``overflow``
-    diagnostic makes violations loud.
+    G follows the k-NN exactness grid when ``k`` is known (every neighbor
+    within one cell <=> ``choose_cell_grid``'s certified edge), else targets
+    ~24 particles per cell. CC covers the per-column Poisson tail
+    (mean + 5 sqrt(mean)), QB ~ a third of a column so windows stay narrow,
+    and W covers a QB-row tile's z-extent plus one cell on each side with a
+    5-sigma fluctuation margin. Clustered data can exceed any of the static
+    capacities — the ``overflow``/``dropped_edges`` diagnostics make
+    violations loud, never silent.
     """
-    c, blk = 64, 4
-    g = blk
-    while True:
-        g_next = g + blk
-        m = num_particles / g_next**3
-        if (
-            m < c
-            and _poisson_overflow_cells(m, c, g_next**3)
-            <= max_expected_overflow
-        ):
-            return CellBlockSpec(g_next, c, blk, h_block)
-        g = g_next
+    if k is not None:
+        g = choose_cell_grid(num_particles, k).grid_size
+    else:
+        g = max(3, int(round((num_particles / 24.0) ** (1.0 / 3.0))))
+    mean_col = num_particles / g**2
+    mean_cell = num_particles / g**3
+    qb = query_block or min(256, max(8, _round_up(mean_col / 3.0, 8)))
+    cc = _round_up(max(mean_col + 5.0 * np.sqrt(mean_col), qb), qb)
+    wrap = _round_up(mean_cell + 6.0 * np.sqrt(mean_cell) + 4.0, 8)
+    need = qb + 3.0 * mean_cell + 5.0 * np.sqrt(qb + 3.0 * mean_cell)
+    w = _round_up(need, _LANE)
+    padded = cc + 2 * wrap
+    if w > padded:
+        # Tiny columns: one window covers the whole padded column.
+        w = padded if padded < _LANE else padded // _LANE * _LANE
+    return CellBlockSpec(
+        grid_size=g, col_capacity=cc, query_block=qb, window=w,
+        wrap_cap=wrap, h_block=h_block,
+    )
 
 
 class CellBlockGraph(NamedTuple):
@@ -173,35 +193,89 @@ class CellBlockGraph(NamedTuple):
 
     Attributes:
       order:          ``[N]`` int32 — sort permutation; ``x_sorted = x[order]``.
-      slot_of_sorted: ``[N]`` int32 — ascending query-slot id per sorted
-                      particle (sentinel ``num_slots`` for overflow).
+      slot_of_sorted: ``[N]`` int32 — ascending slot id per sorted particle
+                      (``col*CC + rank``; sentinel ``num_slots`` for column
+                      overflow).
       particle_of_slot: ``[num_slots]`` int32 — slot -> sorted particle
                       index (sentinel ``N`` for empty slots).
-      s_table:        ``[num_slots, 9 * kc]`` int8 — selection matrices.
-      overflow:       scalar int32 — particles beyond C in their cell.
+      pad_src:        ``[num_padded]`` int32 — padded-image row -> source
+                      slot (sentinel ``num_slots`` for unused rows); realizes
+                      the ``[cP | main | cA]`` z-wrap layout as one gather.
+      window_starts:  ``[num_tiles, 9]`` int32 — flat padded-image row
+                      offset of each tile's candidate window per neighbor
+                      column (scalar-prefetch operand of the kernel).
+      s_table:        ``[num_slots, 9*W]`` int8 — selection matrices.
+      overflow:       scalar int32 — particles beyond CC in their column.
       dropped_edges:  scalar int32 — edges S cannot represent despite the
-                      receiver having a row: sender outside the receiver's
-                      3^3-cell window, or sender dropped by cell overflow
-                      (certificate breach either way). Edges whose RECEIVER
-                      overflowed are accounted by ``overflow`` instead.
+                      receiver having a row: sender outside the 3x3-column
+                      ring, dropped by column overflow, or outside the
+                      tile's candidate window (certificate breach either
+                      way). Edges whose RECEIVER overflowed are accounted
+                      by ``overflow`` instead.
+      window_overflow: scalar int32 — worst-case rows a tile's required
+                      candidate range exceeds ``window`` by (0 when every
+                      window fit; the per-edge misses are already in
+                      ``dropped_edges`` — this localizes the cause).
+      s_rev_table:    ``[num_slots, 9*W]`` int8 or None — transpose
+                      selection matrices (``with_reverse=True``), consumed
+                      by the custom VJP.
+      reverse_mismatch: scalar int32 or None — (edges in S) − (edges in
+                      S_rev); 0 certifies the backward is the exact
+                      transpose of the forward.
     """
 
     order: jnp.ndarray
     slot_of_sorted: jnp.ndarray
     particle_of_slot: jnp.ndarray
+    pad_src: jnp.ndarray
+    window_starts: jnp.ndarray
     s_table: jnp.ndarray
     overflow: jnp.ndarray
     dropped_edges: jnp.ndarray
+    window_overflow: jnp.ndarray
+    s_rev_table: Optional[jnp.ndarray] = None
+    reverse_mismatch: Optional[jnp.ndarray] = None
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
+# Row-tile length for the chunked S build: bounds the bf16 one-hot factors
+# and the f32 contraction output to a few hundred MB.
+_S_BUILD_TILE = 16384
+
+# Query tiles per chunk of the reverse-table build (bounds the gathered
+# [chunk, 9W, k] window tables and their one-hot factors).
+_REV_BUILD_TILES = 8
+
+
+def _onehot_contract(jh, lo, valid, n_jh, n_lo):
+    """``S[row, jh * n_lo + lo] = multiplicity`` via two one-hot factors
+    contracted on the MXU (a direct scatter-add over N*k elements is
+    pathologically slow on TPU). ``jh``/``lo``/``valid`` are ``[rows, k]``;
+    returns ``[rows, n_jh * n_lo]`` int8."""
+    oh_jh = (
+        jh[:, :, None] == jnp.arange(n_jh, dtype=jnp.int32)
+    ).astype(jnp.bfloat16)
+    oh_lo = jnp.where(valid[:, :, None], 1.0, 0.0).astype(jnp.bfloat16) * (
+        lo[:, :, None] == jnp.arange(n_lo, dtype=jnp.int32)
+    ).astype(jnp.bfloat16)
+    s = jax.lax.dot_general(
+        oh_jh, oh_lo,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [rows, n_jh, n_lo]
+    return s.reshape(s.shape[0], n_jh * n_lo).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "with_reverse")
+)
 def build_cellblock(
     positions: jnp.ndarray,
     neighbors: jnp.ndarray,
     box_size,
     spec: CellBlockSpec,
+    with_reverse: bool = False,
 ) -> CellBlockGraph:
-    """Build the per-graph plan: binning, sort order, and the S table.
+    """Build the per-graph plan: binning, sort order, windows, S table(s).
 
     ``positions``/``neighbors`` are in ORIGINAL particle order (as produced
     by the k-NN backends); the returned plan's ``order`` defines the sorted
@@ -209,10 +283,16 @@ def build_cellblock(
 
     TPU note: everything here is sorts, merges, contiguous ops, row gathers
     and MXU contractions — elementwise scatters (60+ ms for a [500k] -> [1.4M]
-    int table at config 4) are deliberately absent.
+    int table at config 4) are deliberately absent. The only large
+    elementwise gather is the unavoidable ``aux[neighbors]`` id mapping.
     """
     spec.validate()
-    g, c, blk = spec.grid_size, spec.capacity, spec.z_block
+    g = spec.grid_size
+    cc, qb, w_cap, wrap = (spec.col_capacity, spec.query_block,
+                           spec.window, spec.wrap_cap)
+    tpc, ccp = spec.tiles_per_col, spec.padded_col
+    num_cols, num_slots = spec.num_columns, spec.num_slots
+    num_tiles = spec.num_tiles
     n = positions.shape[0]
     k = neighbors.shape[1]
     if k > 127:
@@ -220,60 +300,432 @@ def build_cellblock(
             f"k={k} exceeds 127 — S-table entries are int8 multiplicity "
             "counts (an all-duplicate row could overflow)"
         )
-    num_cells = g**3
-    num_slots = spec.num_slots
 
     inv_cell = g / jnp.asarray(box_size, positions.dtype)
     coords = jnp.clip(
         jnp.floor(positions * inv_cell).astype(jnp.int32), 0, g - 1
     )
-    cell_id = (coords[:, 0] * g + coords[:, 1]) * g + coords[:, 2]
-    b = bin_by_key(cell_id, num_cells, c)
+    col_id = coords[:, 0] * g + coords[:, 1]
+    cz = coords[:, 2]
+    cell_id = col_id * g + cz
 
-    # slot ids for sorted particles are ascending by construction.
-    slot_of_sorted = b.slot.astype(jnp.int32)
-    # original particle -> slot: invert the sort permutation by sorting
-    # (order, slot) pairs by original index — a scatter-free inverse.
-    _, slot_of_particle = jax.lax.sort_key_val(
-        b.order.astype(jnp.int32), slot_of_sorted
-    )
-    # slot -> sorted particle: boundaries of the (ascending, injective)
-    # slot_of_sorted stream under a sorted-merge searchsorted; a slot is
-    # occupied iff its boundary strictly advances. No gathers, no scatters.
+    order = jnp.argsort(cell_id).astype(jnp.int32)
+    sorted_cell = jnp.take(cell_id, order)
+    sorted_col = sorted_cell // g
+    sorted_cz = sorted_cell % g
+
+    # Per-cell / per-column boundaries of the sorted stream.
+    gstart = jnp.searchsorted(
+        sorted_cell, jnp.arange(g**3 + 1, dtype=jnp.int32),
+        side="left", method="sort",
+    ).astype(jnp.int32)  # [G^3 + 1]
+    col_start = gstart[:: g]  # [G^2 + 1] (gstart[c*G] == column start)
+    counts = (gstart[1:] - gstart[:-1]).reshape(num_cols, g)
+    col_cnt = col_start[1:] - col_start[:-1]
+
+    # Compact per-column rank (z-ordered) and the slot table maps.
+    r = jnp.arange(n, dtype=jnp.int32) - jnp.take(col_start, sorted_col)
+    q_ok = r < cc
+    slot_of_sorted = jnp.where(q_ok, sorted_col * cc + r, num_slots)
+    overflow = jnp.sum(~q_ok).astype(jnp.int32)
+    _, slot_of_particle = jax.lax.sort_key_val(order, slot_of_sorted)
+    # NOTE: with overflow > 0 the sentinel entries make the stream
+    # non-monotone and the searchsorted boundaries below are unreliable —
+    # exactly the regime ``overflow`` flags as inexact.
     boundaries = jnp.searchsorted(
         slot_of_sorted,
         jnp.arange(num_slots + 1, dtype=jnp.int32),
-        side="left",
-        method="sort",
+        side="left", method="sort",
     ).astype(jnp.int32)
     occupied = boundaries[1:] > boundaries[:-1]
     particle_of_slot = jnp.where(occupied, boundaries[:-1], n)
 
-    # Neighbor slots per sorted particle: map neighbor ids (original order)
-    # through slot_of_particle, rows arranged by the receiver's sorted
-    # position. The S rows are computed on this COMPACT stream (N rows,
-    # ~1/2.8 of the slot count at config 4) and spread to slot rows with a
-    # single wide row gather — empty slots pull the appended zero row.
-    nbr_slot = jnp.take(
-        slot_of_particle, neighbors, axis=0, mode="clip"
-    )  # [N(orig), k]
-    nbr_slot_sorted = jnp.take(nbr_slot, b.order, axis=0)  # rows sorted
-
-    s_compact, dropped = _build_s_table(
-        nbr_slot_sorted, spec, query_slots=slot_of_sorted
+    # Per-column z-wrap layout [cP | main | cA], tightly packed.
+    m = jnp.minimum(col_cnt, cc)  # used main rows
+    cnt_last = counts[:, g - 1]
+    cnt_first = counts[:, 0]
+    c_pre = jnp.minimum(cnt_last, wrap)
+    c_app = jnp.minimum(cnt_first, wrap)
+    # Compact start of each z-cell within its column, clipped by capacity;
+    # extended so index G reads the used-row count.
+    cstart_rel = jnp.clip(
+        gstart[: num_cols * g].reshape(num_cols, g) - col_start[:-1, None],
+        0, cc,
     )
+    cstart_ext = jnp.concatenate([cstart_rel, m[:, None]], axis=1)  # [C, G+1]
+    cstart_g1 = cstart_rel[:, g - 1]
+
+    # pad_src: padded-image row -> source slot.
+    t_pad = jnp.arange(ccp, dtype=jnp.int32)[None, :]  # [1, CCp]
+    src_pre = cstart_g1[:, None] + t_pad
+    src_main = t_pad - c_pre[:, None]
+    src_app = t_pad - c_pre[:, None] - m[:, None]
+    src = jnp.where(
+        t_pad < c_pre[:, None],
+        src_pre,
+        jnp.where(
+            t_pad < (c_pre + m)[:, None],
+            src_main,
+            jnp.where(t_pad < (c_pre + m + c_app)[:, None], src_app, cc),
+        ),
+    )
+    cols = jnp.arange(num_cols, dtype=jnp.int32)[:, None]
+    pad_src = jnp.where(
+        src < cc, cols * cc + src, num_slots
+    ).reshape(-1)
+
+    # Per-tile z extents (first/last VALID query row of the tile).
+    tile_col = jnp.arange(num_tiles, dtype=jnp.int32) // tpc
+    tile_qt = jnp.arange(num_tiles, dtype=jnp.int32) % tpc
+    a_row = tile_qt * qb
+    m_tile = jnp.take(m, tile_col)
+    has_rows = a_row < m_tile
+    b_row = jnp.clip(jnp.minimum((tile_qt + 1) * qb, m_tile) - 1, a_row, None)
+    base = jnp.take(col_start, tile_col)
+    z_lo = jnp.take(sorted_cz, jnp.clip(base + a_row, 0, n - 1))
+    z_hi = jnp.take(sorted_cz, jnp.clip(base + b_row, 0, n - 1))
+    z_lo = jnp.where(has_rows, z_lo, 0)
+    z_hi = jnp.where(has_rows, z_hi, 0)
+
+    # Neighbor columns of each tile (3x3 periodic ring) and their windows.
+    gx = tile_col // g
+    gy = tile_col % g
+    dxy = jnp.arange(9, dtype=jnp.int32)
+    col_j = (
+        ((gx[:, None] + dxy[None, :] // 3 - 1) % g) * g
+        + (gy[:, None] + dxy[None, :] % 3 - 1) % g
+    )  # [num_tiles, 9]
+    cp_j = jnp.take(c_pre, col_j)
+    m_j = jnp.take(m, col_j)
+    ca_j = jnp.take(c_app, col_j)
+    cg1_j = jnp.take(cstart_g1, col_j)
+    start_lo = jnp.take_along_axis(
+        jnp.take(cstart_ext, col_j.reshape(-1), axis=0).reshape(
+            num_tiles, 9, g + 1
+        ),
+        jnp.broadcast_to(
+            jnp.clip(z_lo - 1, 0, g)[:, None, None], (num_tiles, 9, 1)
+        ),
+        axis=2,
+    )[..., 0]
+    w_loc = jnp.where(z_lo[:, None] >= 1, cp_j + start_lo, 0)
+    end_hi = jnp.take_along_axis(
+        jnp.take(cstart_ext, col_j.reshape(-1), axis=0).reshape(
+            num_tiles, 9, g + 1
+        ),
+        jnp.broadcast_to(
+            jnp.clip(z_hi + 2, 0, g)[:, None, None], (num_tiles, 9, 1)
+        ),
+        axis=2,
+    )[..., 0]
+    end = jnp.where(
+        z_hi[:, None] <= g - 2, cp_j + end_hi, cp_j + m_j + ca_j
+    )
+    w_loc = jnp.clip(w_loc, 0, ccp - w_cap)
+    window_overflow = jnp.max(
+        jnp.where(has_rows[:, None], end - w_loc - w_cap, 0)
+    ).astype(jnp.int32)
+    window_overflow = jnp.maximum(window_overflow, 0)
+    window_starts = (col_j * ccp + w_loc).astype(jnp.int32)
+
+    # ---- Forward S table --------------------------------------------------
+    # Packed sender aux (slot * G + cz) in original particle order, then the
+    # one unavoidable big elementwise gather through the neighbor table.
+    aux = slot_of_particle * g + jnp.where(
+        slot_of_particle < num_slots, cz, 0
+    )
+    nbr_aux = jnp.take(
+        jnp.take(aux, neighbors.reshape(-1), mode="clip").reshape(n, k),
+        order, axis=0,
+    )  # [N(sorted rows), k]
+
+    tile_q = sorted_col * tpc + jnp.clip(r // qb, 0, tpc - 1)
+    # Per-(tile, j) constants, one row gather of a packed [num_tiles, 45]
+    # table per query row.
+    const = jnp.stack([w_loc, cp_j, m_j, ca_j, cg1_j], axis=2).astype(
+        jnp.float32
+    )  # [num_tiles, 9, 5]
+    const_rows = jnp.take(
+        const.reshape(num_tiles, 45), tile_q, axis=0
+    )  # [N, 45]
+
+    lo_w = min(_LANE, w_cap)
+    hi_w = w_cap // lo_w
+
+    gx_q = sorted_col // g
+    gy_q = sorted_col % g
+
+    def s_tile(args):
+        nbr_t, const_t, gxq_t, gyq_t, qok_t = args
+        rows = nbr_t.shape[0]
+        s_slot = nbr_t // g
+        s_cz = nbr_t % g
+        real = s_slot < num_slots
+        col_s = s_slot // cc
+        r_s = s_slot % cc
+        dx = (col_s // g - gxq_t[:, None] + 1 + g) % g
+        dy = (col_s % g - gyq_t[:, None] + 1 + g) % g
+        in3 = (dx < 3) & (dy < 3) & real
+        j = jnp.where(in3, dx * 3 + dy, 9)
+        oh_j = (
+            j[:, :, None] == jnp.arange(9, dtype=jnp.int32)
+        ).astype(jnp.float32)  # [rows, k, 9]
+        # Select the 5 per-(tile, j) constants via the j one-hot (values are
+        # small ints — exact in f32).
+        sel = jnp.einsum(
+            "rkj,rjc->rkc", oh_j, const_t.reshape(rows, 9, 5)
+        ).astype(jnp.int32)
+        w_s, cp_s, m_s, ca_s, cg1_s = (
+            sel[..., 0], sel[..., 1], sel[..., 2], sel[..., 3], sel[..., 4]
+        )
+        rel_main = cp_s + r_s - w_s
+        ok_main = in3 & (rel_main >= 0) & (rel_main < w_cap)
+        rank_pre = r_s - cg1_s
+        rel_pre = rank_pre - w_s
+        ok_pre = (
+            in3 & (s_cz == g - 1) & (rank_pre < cp_s)
+            & (rel_pre >= 0) & (rel_pre < w_cap)
+        )
+        rel_app = cp_s + m_s + r_s - w_s
+        ok_app = (
+            in3 & (s_cz == 0) & (r_s < ca_s)
+            & (rel_app >= 0) & (rel_app < w_cap)
+        )
+        use_pre = ok_pre & ~ok_main
+        use_app = ok_app & ~ok_main & ~ok_pre
+        off = jnp.where(
+            ok_main, rel_main, jnp.where(use_pre, rel_pre, rel_app)
+        )
+        valid = (qok_t[:, None]) & (ok_main | ok_pre | ok_app)
+        dropped = jnp.sum(
+            qok_t[:, None] & real & ~(ok_main | ok_pre | ok_app)
+        ).astype(jnp.int32)
+        jh = j * hi_w + jnp.clip(off // lo_w, 0, hi_w - 1)
+        s = _onehot_contract(
+            jnp.where(valid, jh, -1), off % lo_w, valid, 9 * hi_w, lo_w
+        )
+        return s, dropped
+
+    tile = min(_S_BUILD_TILE, n)
+    pad = (-n) % tile
+    arrays = [nbr_aux, const_rows, gx_q, gy_q, q_ok]
+    if pad:
+        arrays = [
+            jnp.pad(
+                a,
+                ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                constant_values=False if a.dtype == jnp.bool_ else 0,
+            )
+            for a in arrays
+        ]
+    num = (n + pad) // tile
+    s_chunks, drop_chunks = jax.lax.map(
+        s_tile, tuple(a.reshape((num, tile) + a.shape[1:]) for a in arrays)
+    )
+    s_compact = s_chunks.reshape(num * tile, spec.s_width)[:n]
+    dropped = jnp.sum(drop_chunks).astype(jnp.int32)
+
     s_ext = jnp.concatenate(
-        [s_compact, jnp.zeros((1, s_compact.shape[1]), jnp.int8)]
+        [s_compact, jnp.zeros((1, spec.s_width), jnp.int8)]
     )
     s_table = jnp.take(s_ext, particle_of_slot, axis=0, mode="clip")
+
+    s_rev_table = None
+    reverse_mismatch = None
+    if with_reverse:
+        s_rev_table, rev_total = _build_reverse_table(
+            nbr_aux, particle_of_slot, pad_src, window_starts,
+            c_pre, spec, n,
+        )
+        fwd_total = (
+            jnp.sum(s_table.astype(jnp.int32)).astype(jnp.int32)
+        )
+        reverse_mismatch = fwd_total - rev_total
+
     return CellBlockGraph(
-        order=b.order.astype(jnp.int32),
+        order=order,
         slot_of_sorted=slot_of_sorted,
         particle_of_slot=particle_of_slot,
+        pad_src=pad_src,
+        window_starts=window_starts,
         s_table=s_table,
-        overflow=b.overflow.astype(jnp.int32),
+        overflow=overflow,
         dropped_edges=dropped,
+        window_overflow=window_overflow,
+        s_rev_table=s_rev_table,
+        reverse_mismatch=reverse_mismatch,
     )
+
+
+def _build_reverse_table(
+    nbr_aux, particle_of_slot, pad_src, window_starts, c_pre, spec, n
+):
+    """Transpose selection table: ``S_rev[sender slot, (j, off)]`` counts the
+    edges whose RECEIVER is the particle at padded-window position
+    ``(j, off)`` of the sender tile's window.
+
+    Enumerates each tile's 9 candidate windows (the receiver side), reads
+    each candidate's own neighbor-slot list, and one-hot-matches the
+    senders against the tile's slot range on the MXU — no scatters, no
+    per-sender adjacency table. Wrap-duplicated candidate rows are
+    deduplicated against the window (a particle contributes through its
+    main image when that image is inside the window, else through exactly
+    one wrap image).
+    """
+    g, cc, qb, w_cap = (spec.grid_size, spec.col_capacity,
+                        spec.query_block, spec.window)
+    num_slots, num_tiles, ccp = spec.num_slots, spec.num_tiles, spec.padded_col
+
+    # Slot-space neighbor table (sender slots per receiver slot) and its
+    # padded image, plus each padded row's main-image position for dedup.
+    nbr_slot = nbr_aux // g  # [N, k] sender slots, rows in sorted order
+    k = nbr_slot.shape[1]
+    nbr_ext = jnp.concatenate(
+        [nbr_slot, jnp.full((1, k), num_slots, nbr_slot.dtype)]
+    )
+    nbr_slots_tbl = jnp.take(
+        nbr_ext, particle_of_slot, axis=0, mode="clip"
+    )  # [num_slots, k]
+    slot_ids = jnp.arange(num_slots, dtype=jnp.int32)
+    main_pos_slot = (
+        (slot_ids // cc) * ccp
+        + jnp.take(c_pre, slot_ids // cc)
+        + slot_ids % cc
+    )
+    packed = jnp.concatenate(
+        [nbr_slots_tbl, main_pos_slot[:, None]], axis=1
+    )  # [num_slots, k+1]
+    packed_ext = jnp.concatenate(
+        [packed, jnp.full((1, k + 1), num_slots, packed.dtype)]
+    )
+    packed_pad = jnp.take(
+        packed_ext, pad_src, axis=0, mode="clip"
+    )  # [num_padded, k+1]; sentinel rows read the sentinel line
+    packed_pad = jnp.concatenate(
+        [packed_pad, jnp.full((1, k + 1), num_slots, packed.dtype)]
+    )
+
+    # Factor the row one-hot as [f1] x [f2] (f1*f2 == QB) with f2 near 16 —
+    # balanced factors keep both one-hot tables small.
+    f2 = max(d for d in range(1, 17) if qb % d == 0)
+    f1 = qb // f2
+
+    def rev_chunk(args):
+        starts_c, tile_idx_c = args  # [T, 9], [T]
+        t_chunk = starts_c.shape[0]
+        offs = jnp.arange(w_cap, dtype=jnp.int32)
+        rows = starts_c[:, :, None] + offs[None, None, :]  # [T, 9, W]
+        win = jnp.take(
+            packed_pad, rows.reshape(-1), axis=0, mode="clip"
+        ).reshape(t_chunk, 9 * w_cap, k + 1)
+        senders = win[..., :k]  # [T, 9W, k] sender slots of each candidate
+        main_pos = win[..., k]  # [T, 9W]
+        # Dedup: the candidate row speaks for its particle iff it IS the
+        # main image, or the main image lies outside this window.
+        pos = rows.reshape(t_chunk, 9 * w_cap)
+        w_arr = starts_c[:, :, None]
+        in_win = (
+            (main_pos.reshape(t_chunk, 9, w_cap) >= w_arr)
+            & (main_pos.reshape(t_chunk, 9, w_cap) < w_arr + w_cap)
+        ).reshape(t_chunk, 9 * w_cap)
+        canonical = (main_pos == pos) | ~in_win
+        tile_base = tile_idx_c[:, None, None] * qb
+        local = senders - tile_base  # [T, 9W, k]
+        valid = (
+            (local >= 0) & (local < qb) & canonical[:, :, None]
+        )
+        oh_hi = (
+            jnp.clip(local // f2, 0, f1 - 1)[..., None]
+            == jnp.arange(f1, dtype=jnp.int32)
+        ).astype(jnp.bfloat16) * jnp.where(
+            valid[..., None], 1.0, 0.0
+        ).astype(jnp.bfloat16)
+        oh_lo = (
+            (local % f2)[..., None] == jnp.arange(f2, dtype=jnp.int32)
+        ).astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            oh_hi, oh_lo,
+            dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32,
+        )  # [T, 9W, f1, f2]
+        s = s.reshape(t_chunk, 9 * w_cap, qb).transpose(0, 2, 1)
+        return s.astype(jnp.int8), jnp.sum(s).astype(jnp.int32)
+
+    t_chunk = min(_REV_BUILD_TILES, num_tiles)
+    pad_t = (-num_tiles) % t_chunk
+    starts = window_starts
+    tile_idx = jnp.arange(num_tiles, dtype=jnp.int32)
+    if pad_t:
+        # Padding tiles read window 0 but match no senders (their slot
+        # range lies beyond num_slots).
+        starts = jnp.pad(starts, ((0, pad_t), (0, 0)))
+        tile_idx = jnp.pad(
+            tile_idx, (0, pad_t), constant_values=num_tiles + pad_t
+        )
+    chunks = (num_tiles + pad_t) // t_chunk
+    s_chunks, totals = jax.lax.map(
+        rev_chunk,
+        (
+            starts.reshape(chunks, t_chunk, 9),
+            tile_idx.reshape(chunks, t_chunk),
+        ),
+    )
+    s_rev = s_chunks.reshape((num_tiles + pad_t) * qb, spec.s_width)[
+        : num_slots
+    ]
+    return s_rev, jnp.sum(totals).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Slot-space expand / compact (monotone gathers both ways — custom VJPs so
+# the transposes never become TPU scatter-adds)
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _expand(x_sorted, particle_of_slot, slot_of_sorted):
+    x_ext = jnp.concatenate(
+        [x_sorted, jnp.zeros((1, x_sorted.shape[1]), x_sorted.dtype)]
+    )
+    return jnp.take(x_ext, particle_of_slot, axis=0, mode="clip")
+
+
+def _expand_fwd(x_sorted, particle_of_slot, slot_of_sorted):
+    return _expand(x_sorted, particle_of_slot, slot_of_sorted), slot_of_sorted
+
+
+def _expand_bwd(slot_of_sorted, gr):
+    g_ext = jnp.concatenate(
+        [gr, jnp.zeros((1, gr.shape[1]), gr.dtype)]
+    )
+    dx = jnp.take(g_ext, slot_of_sorted, axis=0, mode="clip")
+    return dx, None, None
+
+
+_expand.defvjp(_expand_fwd, _expand_bwd)
+
+
+@jax.custom_vjp
+def _compact(x_slots, particle_of_slot, slot_of_sorted):
+    return jnp.take(x_slots, slot_of_sorted, axis=0, mode="clip")
+
+
+def _compact_fwd(x_slots, particle_of_slot, slot_of_sorted):
+    return (
+        _compact(x_slots, particle_of_slot, slot_of_sorted),
+        particle_of_slot,
+    )
+
+
+def _compact_bwd(particle_of_slot, gr):
+    g_ext = jnp.concatenate(
+        [gr, jnp.zeros((1, gr.shape[1]), gr.dtype)]
+    )
+    dy = jnp.take(g_ext, particle_of_slot, axis=0, mode="clip")
+    return dy, None, None
+
+
+_compact.defvjp(_compact_fwd, _compact_bwd)
 
 
 def expand_to_slots(
@@ -281,14 +733,11 @@ def expand_to_slots(
 ) -> jnp.ndarray:
     """``[N, F]`` (cell-sorted rows) -> ``[num_slots, F]`` slot table.
 
-    Empty slots get zero rows. Monotone row gather (the index stream is
-    sorted), so it runs far faster than a scatter."""
+    Empty slots get zero rows. Monotone row gather both ways (the custom
+    VJP gathers by ``slot_of_sorted`` — no scatter transpose)."""
     if dtype is not None:
         x_sorted = x_sorted.astype(dtype)
-    x_ext = jnp.concatenate(
-        [x_sorted, jnp.zeros((1, x_sorted.shape[1]), x_sorted.dtype)]
-    )
-    return jnp.take(x_ext, plan.particle_of_slot, axis=0, mode="clip")
+    return _expand(x_sorted, plan.particle_of_slot, plan.slot_of_sorted)
 
 
 def compact_from_slots(
@@ -296,131 +745,111 @@ def compact_from_slots(
 ) -> jnp.ndarray:
     """``[num_slots, F]`` -> ``[N, F]`` cell-sorted rows (monotone gather;
     overflow sentinel slots clamp — flagged by ``plan.overflow``)."""
-    return jnp.take(x_slots, plan.slot_of_sorted, axis=0, mode="clip")
+    return _compact(x_slots, plan.particle_of_slot, plan.slot_of_sorted)
 
 
-def _local_indices(
-    nbr_table: jnp.ndarray, spec: CellBlockSpec, query_slots=None
-):
-    """Decompose neighbor slot ids into (window-cell, slot) local coords.
-
-    ``nbr_table`` rows correspond to query slots ``query_slots`` (default:
-    ``arange(rows)`` — one row per slot). Returns ``czw`` in
-    [0, 9*(BLK+2)) (or -1 if invalid), ``sl`` in [0, C), and the count of
-    edges not representable in S: real-sender-out-of-window plus
-    sender-overflowed-its-cell (sentinel slot). Rows whose QUERY slot is the
-    overflow sentinel are masked out of both S and the dropped count — the
-    receiving particle has no S row at all; those edges are covered by the
-    separate ``overflow`` diagnostic.
-    """
-    g, c, blk = spec.grid_size, spec.capacity, spec.z_block
-    num_slots = spec.num_slots
-    rows = nbr_table.shape[0]
-
-    if query_slots is None:
-        query_slots = jnp.arange(rows, dtype=jnp.int32)
-    q = query_slots.astype(jnp.int32)[:, None]  # query slot ids
-    q_cell = q // c
-    q_col, q_cz = q_cell // g, q_cell % g
-    q_gx, q_gy = q_col // g, q_col % g
-    zb0 = (q_cz // blk) * blk  # first z-cell of the query's block
-
-    s = nbr_table
-    s_cell = s // c
-    sl = s % c
-    s_col, s_cz = s_cell // g, s_cell % g
-    s_gx, s_gy = s_col // g, s_col % g
-
-    dx = (s_gx - q_gx + 1 + g) % g
-    dy = (s_gy - q_gy + 1 + g) % g
-    w = (s_cz - zb0 + 1 + g) % g
-    q_ok = q < num_slots  # receiver overflowed its cell -> no S row exists
-    is_real = s < num_slots
-    sender_overflowed = s == num_slots  # sentinel from slot_of_particle
-    in_window = (dx < 3) & (dy < 3) & (w < blk + 2)
-    valid = q_ok & is_real & in_window
-    czw = jnp.where(valid, (dx * 3 + dy) * (blk + 2) + w, -1)
-    # Edges S cannot represent even though the receiver has a row: sender
-    # outside the 3x3x(BLK+2) window, or sender dropped by cell overflow.
-    dropped = jnp.sum(
-        q_ok & ((is_real & ~in_window) | sender_overflowed)
-    ).astype(jnp.int32)
-    return czw, sl, valid, dropped
+# ---------------------------------------------------------------------------
+# The window-matmul Pallas kernel (shared by forward and reverse)
+# ---------------------------------------------------------------------------
 
 
-# Row-tile length for the chunked S build: bounds the bf16 one-hot factors
-# and the f32 contraction output to ~hundreds of MB (the full [slots, 9*kc]
-# f32 intermediate would be ~19 GB at BASELINE config 4).
-_S_BUILD_TILE = 32768
+def _window_kernel(spec: CellBlockSpec, hb: int, out_dtype):
+    qb, w = spec.query_block, spec.window
 
-
-def _build_s_table(
-    nbr_table: jnp.ndarray, spec: CellBlockSpec, query_slots=None
-):
-    """S[q, czw * C + sl] = multiplicity of that candidate in q's neighbor
-    list — via two one-hot factors contracted on the MXU (a direct
-    scatter-add over N*k elements is pathologically slow on TPU), chunked
-    over row tiles so only the int8 result is ever resident in full."""
-    c = spec.capacity
-    nwin = 9 * spec.window_cells
-    czw, sl, valid, dropped = _local_indices(nbr_table, spec, query_slots)
-
-    def tile_s(args):
-        czw_t, sl_t, valid_t = args
-        oh_czw = (
-            czw_t[:, :, None] == jnp.arange(nwin, dtype=jnp.int32)
-        ).astype(jnp.bfloat16)  # [tile, k, nwin]
-        oh_sl = jnp.where(valid_t[:, :, None], 1.0, 0.0).astype(
-            jnp.bfloat16
-        ) * (
-            sl_t[:, :, None] == jnp.arange(c, dtype=jnp.int32)
-        ).astype(jnp.bfloat16)  # [tile, k, C]
-        s = jax.lax.dot_general(
-            oh_czw,
-            oh_sl,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [tile, nwin, C]
-        return s.reshape(s.shape[0], nwin * c).astype(jnp.int8)
-
-    rows = nbr_table.shape[0]
-    tile = min(_S_BUILD_TILE, rows)
-    if rows % tile:
-        pad = tile - rows % tile
-        czw = jnp.pad(czw, ((0, pad), (0, 0)), constant_values=-1)
-        sl = jnp.pad(sl, ((0, pad), (0, 0)))
-        valid = jnp.pad(valid, ((0, pad), (0, 0)))
-    num_tiles = czw.shape[0] // tile
-    s = jax.lax.map(
-        tile_s,
-        (
-            czw.reshape(num_tiles, tile, -1),
-            sl.reshape(num_tiles, tile, -1),
-            valid.reshape(num_tiles, tile, -1),
-        ),
-    ).reshape(num_tiles * tile, nwin * c)[:rows]
-    return s, dropped
-
-
-def _agg_kernel(spec: CellBlockSpec, out_dtype):
-    blk_c = spec.rows_per_block
-    kc = spec.kc
-    blk, c = spec.z_block, spec.capacity
-
-    def kernel(s_ref, *col_refs_and_out):
-        col_refs = col_refs_and_out[:9]
-        out_ref = col_refs_and_out[9]
-        zb = pl.program_id(2)
-        acc = jnp.zeros((blk_c, out_ref.shape[-1]), jnp.float32)
+    def kernel(starts_ref, s_ref, *wins_and_out):
+        wins = wins_and_out[:9]
+        out_ref = wins_and_out[9]
+        acc = jnp.zeros((qb, hb), jnp.float32)
         for j in range(9):
-            cand = col_refs[j][0, pl.ds(zb * blk * c, kc), :]  # [kc, hb]
-            sj = s_ref[:, j * kc : (j + 1) * kc].astype(cand.dtype)
-            acc += jnp.dot(
-                sj, cand, preferred_element_type=jnp.float32
-            )
+            cand = wins[j][...]  # [W, hb]
+            sj = s_ref[:, j * w : (j + 1) * w].astype(cand.dtype)
+            acc += jnp.dot(sj, cand, preferred_element_type=jnp.float32)
         out_ref[:] = acc.astype(out_dtype)
 
     return kernel
+
+
+def _pad_candidates(z_slots, pad_src, carry_dtype):
+    """Slot rows -> the z-wrap padded candidate image (one row gather)."""
+    z_ext = jnp.concatenate(
+        [
+            z_slots.astype(carry_dtype),
+            jnp.zeros((1, z_slots.shape[1]), carry_dtype),
+        ]
+    )
+    return jnp.take(z_ext, pad_src, axis=0, mode="clip")
+
+
+def _window_matmul(
+    s_table, z_slots, pad_src, window_starts, spec, out_dtype, carry_dtype,
+    interpret,
+):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    num_slots, h = z_slots.shape
+    hb = min(spec.h_block, h)
+    if h % hb != 0:
+        raise ValueError(f"H={h} not a multiple of h_block={hb}")
+    z_pad = _pad_candidates(z_slots, pad_src, carry_dtype)
+    qb, w = spec.query_block, spec.window
+
+    def win_spec(j):
+        return pl.BlockSpec(
+            (pl.Element(w), pl.Element(hb)),
+            lambda hi, t, st, j=j: (st[t, j], hi * hb),
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(h // hb, spec.num_tiles),
+        in_specs=[pl.BlockSpec((qb, spec.s_width), lambda hi, t, st: (t, 0))]
+        + [win_spec(j) for j in range(9)],
+        out_specs=pl.BlockSpec((qb, hb), lambda hi, t, st: (t, hi)),
+    )
+    return pl.pallas_call(
+        _window_kernel(spec, hb, out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((spec.num_slots, h), out_dtype),
+        interpret=interpret,
+    )(window_starts, s_table, *([z_pad] * 9))
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5)
+)
+def _aggregate_slots(z_slots, plan, spec, out_dtype, carry_dtype, interpret):
+    return _window_matmul(
+        plan.s_table, z_slots, plan.pad_src, plan.window_starts, spec,
+        out_dtype, carry_dtype, interpret,
+    )
+
+
+def _aggregate_slots_fwd(z_slots, plan, spec, out_dtype, carry_dtype,
+                         interpret):
+    out = _aggregate_slots(
+        z_slots, plan, spec, out_dtype, carry_dtype, interpret
+    )
+    # Zero-length dtype token: residuals must be JAX types, and the bwd
+    # needs the primal's dtype for the cotangent.
+    return out, (plan, jnp.zeros((0,), z_slots.dtype))
+
+
+def _aggregate_slots_bwd(spec, out_dtype, carry_dtype, interpret, res, gr):
+    plan, z_token = res
+    z_dtype = z_token.dtype
+    if plan.s_rev_table is None:
+        raise ValueError(
+            "cellblock_aggregate_slots backward needs the reverse table — "
+            "build the plan with build_cellblock(..., with_reverse=True)"
+        )
+    dz = _window_matmul(
+        plan.s_rev_table, gr, plan.pad_src, plan.window_starts, spec,
+        z_dtype, carry_dtype, interpret,
+    )
+    return dz, None
+
+
+_aggregate_slots.defvjp(_aggregate_slots_fwd, _aggregate_slots_bwd)
 
 
 @functools.partial(
@@ -439,74 +868,29 @@ def cellblock_aggregate_slots(
 
     ``z_slots`` is ``[num_slots, H]`` (empty-slot rows may hold garbage —
     the selection matrices never reference them). The hot path of the
-    slot-space forward: the only per-step data prep is a contiguous
-    z-wrap pad (one copy), not a gather.
+    slot-space forward: the only per-step data prep is the ``pad_src`` row
+    gather realizing the z-wrap image, not an elementwise gather.
 
     ``carry_dtype`` is the precision of the candidate table inside the
     kernel (accumulation is always f32 on the MXU); bf16 halves VMEM and
     HBM traffic, f32 makes the op exact up to summation order.
     ``interpret=None``: auto — compiled on TPU, interpreter elsewhere
     (CPU tests and the virtual multi-device mesh).
+
+    Differentiable in ``z_slots`` when the plan carries a reverse table
+    (``with_reverse=True``): the VJP is the same kernel with
+    ``s_rev_table`` (``dz = S^T g``), certified by
+    ``plan.reverse_mismatch == 0``.
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     spec.validate()
-    g, c, blk = spec.grid_size, spec.capacity, spec.z_block
-    num_slots, h = z_slots.shape
-    if num_slots != spec.num_slots:
+    if z_slots.shape[0] != spec.num_slots:
         raise ValueError(
-            f"z_slots rows {num_slots} != spec.num_slots {spec.num_slots}"
+            f"z_slots rows {z_slots.shape[0]} != spec.num_slots "
+            f"{spec.num_slots}"
         )
-    hb = min(spec.h_block, h)
-    if h % hb != 0:
-        raise ValueError(f"H={h} not a multiple of h_block={hb}")
-
-    # Periodic z-pad: one contiguous copy (no gathers).
-    z5 = z_slots.astype(carry_dtype).reshape(g * g, g, c * h)
-    z_pad = jnp.concatenate(
-        [z5[:, -1:], z5, z5[:, :1]], axis=1
-    ).reshape(g * g, (g + 2) * c, h)
-
-    grid = (h // hb, g * g, spec.num_zblocks)
-    nzb = spec.num_zblocks
-
-    def col_spec(dx, dy):
-        def index_map(hi, b, zb):
-            gx, gy = b // g, b % g
-            return ((gx + dx - 1) % g) * g + (gy + dy - 1) % g, 0, hi
-
-        # Single-buffered: the columns change only once per z sweep (the
-        # index map ignores zb), so the transition stall is ~1/nzb-th of a
-        # column fetch per step — and halving their VMEM lets the whole H
-        # ride in one pass (h_block=256 needs ~19 MB double-buffered vs the
-        # 16 MB VMEM budget).
-        return pl.BlockSpec(
-            (1, (g + 2) * c, hb), index_map, memory_space=pltpu.VMEM,
-            pipeline_mode=pl.Buffered(buffer_count=1),
-        )
-
-    # (Deeper buffering and lookahead are unsupported by this Mosaic
-    # version — Buffered(3) and use_lookahead both raise at lowering.)
-    s_spec = pl.BlockSpec(
-        (spec.rows_per_block, 9 * spec.kc),
-        lambda hi, b, zb: (b * nzb + zb, 0),
-        memory_space=pltpu.VMEM,
+    return _aggregate_slots(
+        z_slots, plan, spec, out_dtype, carry_dtype, interpret
     )
-    out_spec = pl.BlockSpec(
-        (spec.rows_per_block, hb),
-        lambda hi, b, zb: (b * nzb + zb, hi),
-        memory_space=pltpu.VMEM,
-    )
-    return pl.pallas_call(
-        _agg_kernel(spec, out_dtype),
-        grid=grid,
-        in_specs=[s_spec] + [
-            col_spec(dx, dy) for dx in (0, 1, 2) for dy in (0, 1, 2)
-        ],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((num_slots, h), out_dtype),
-        interpret=interpret,
-    )(plan.s_table, *([z_pad] * 9))
 
 
 @functools.partial(

@@ -313,7 +313,9 @@ def _cellblock_rollout(
 
     n = init_pos.shape[1]
     if spec is None:
-        spec = choose_cellblock_spec(n)
+        # Align the aggregation grid with the kNN exactness grid: both
+        # certificates demand every neighbor within one cell edge.
+        spec = choose_cellblock_spec(n, k)
     box = stats.box_size
 
     def permute_window(win, order):

@@ -82,6 +82,14 @@ class TrainConfig:
     # so the backward pass is a prefix-sum difference instead of a TPU
     # scatter-add (ops/aggregation.py). Exact for any neighbor table.
     build_reverse: bool = True
+    # Message-passing aggregation backend: "gather" (fused gather+sum with
+    # the sorted-edge VJP) or "cellblock" (selection-matrix MXU kernel,
+    # ops/cellblock.py — the big-N path; BASELINE config 4 training at
+    # N=500k/H=256 is bandwidth-bound on the gather). Cellblock training
+    # builds the reverse selection table once per graph so the backward is
+    # the same kernel transposed; exactness is certified per batch
+    # (``cellblock_violations`` metric, checked at epoch end).
+    aggregation: str = "gather"
     # Key training noise per GLOBAL particle id instead of per row stream
     # (ops/noise.py): the noise a particle receives is then independent of
     # data layout, so single-device and halo-sharded training produce
@@ -117,6 +125,15 @@ def make_train_step(
     ``target_temperatures [B,N,1]``."""
     tc = train_config
     dtype = jnp.dtype(tc.compute_dtype) if tc.compute_dtype else None
+    if tc.aggregation not in ("gather", "cellblock"):
+        raise ValueError(f"unknown aggregation: {tc.aggregation}")
+    if tc.aggregation == "cellblock" and not (
+        model_config.aggregate == "sender_latents"
+        and model_config.prune_dead_edge_stream
+    ):
+        raise ValueError(
+            "aggregation='cellblock' requires the pruned sender_latents mode"
+        )
     # The pruned sender-latents model never reads edge features — skip
     # their [N, k, 4] gather in the hot loop.
     need_edges = not (
@@ -131,6 +148,7 @@ def make_train_step(
             jnp.arange(pos.shape[1], dtype=jnp.int32)
             if tc.partition_invariant_noise else None
         )
+        cellblock = tc.aggregation == "cellblock"
         graph = featurize(
             pos,
             temp,
@@ -142,16 +160,54 @@ def make_train_step(
             target_temperature=ttemp,
             neighbor_query_tile=tc.neighbor_query_tile,
             neighbor_method=tc.neighbor_method,
-            build_reverse=tc.build_reverse,
+            build_reverse=tc.build_reverse and not cellblock,
             build_edges=need_edges,
             noise_gids=noise_gids,
         )
-        preds = apply_encode_process_decode(params, graph, model_config, dtype)
-        return preds, graph.target_acceleration, graph.target_temp_rate
+        if not cellblock:
+            preds = apply_encode_process_decode(
+                params, graph, model_config, dtype
+            )
+            return (
+                preds, graph.target_acceleration, graph.target_temp_rate,
+                jnp.zeros((), jnp.int32),
+            )
+        # Cell-block training: plan + BOTH selection tables (forward and
+        # its transpose for the custom VJP) built once per graph, rows
+        # permuted into cell-sorted order. The losses are row-permutation
+        # invariant, so targets are permuted instead of un-permuting preds.
+        from cosmology_gnn_simulation_tpu.ops.cellblock import (
+            build_cellblock,
+            choose_cellblock_spec,
+        )
+
+        spec = choose_cellblock_spec(pos.shape[1], tc.num_neighbors)
+        plan = build_cellblock(
+            graph.positions, graph.neighbors, stats.box_size, spec,
+            with_reverse=True,
+        )
+        graph = graph._replace(
+            nodes=jnp.take(graph.nodes, plan.order, axis=0),
+            cellblock=plan,
+        )
+        preds = apply_encode_process_decode(
+            params, graph, model_config, dtype, cellblock_spec=spec
+        )
+        violations = (
+            plan.overflow
+            + plan.dropped_edges
+            + jnp.abs(plan.reverse_mismatch)
+        )
+        return (
+            preds,
+            jnp.take(graph.target_acceleration, plan.order, axis=0),
+            jnp.take(graph.target_temp_rate, plan.order, axis=0),
+            violations,
+        )
 
     def loss_fn(params, batch, key):
         keys = jax.random.split(key, batch["positions"].shape[0])
-        preds, tgt_acc, tgt_rate = jax.vmap(
+        preds, tgt_acc, tgt_rate, violations = jax.vmap(
             per_sample, in_axes=(None, 0, 0, 0, 0, 0)
         )(
             params,
@@ -170,6 +226,11 @@ def make_train_step(
             temp_rate_weight=tc.temp_rate_loss_weight,
             momentum_weight=tc.momentum_loss_weight,
         )
+        if tc.aggregation == "cellblock":
+            components = dict(components)
+            components["cellblock_violations"] = jnp.max(violations).astype(
+                jnp.float32
+            )
         return total, components
 
     @jax.jit
@@ -214,6 +275,28 @@ def make_eval_step(
             neighbor_method=tc.neighbor_method,
             build_edges=need_edges,
         )
+        if tc.aggregation == "cellblock":
+            from cosmology_gnn_simulation_tpu.ops.cellblock import (
+                build_cellblock,
+                choose_cellblock_spec,
+            )
+
+            spec = choose_cellblock_spec(pos.shape[1], tc.num_neighbors)
+            plan = build_cellblock(
+                graph.positions, graph.neighbors, stats.box_size, spec,
+            )
+            graph = graph._replace(
+                nodes=jnp.take(graph.nodes, plan.order, axis=0),
+                cellblock=plan,
+            )
+            preds = apply_encode_process_decode(
+                params, graph, model_config, dtype, cellblock_spec=spec
+            )
+            return (
+                preds,
+                jnp.take(graph.target_acceleration, plan.order, axis=0),
+                jnp.take(graph.target_temp_rate, plan.order, axis=0),
+            )
         preds = apply_encode_process_decode(params, graph, model_config, dtype)
         return preds, graph.target_acceleration, graph.target_temp_rate
 
@@ -487,6 +570,17 @@ class Trainer:
                     f"{train_avg} — inspect data/LR; rerun with "
                     "utils.profiling.enable_nan_debugging() to localize."
                 )
+            if train_avg.get("cellblock_violations", 0.0) > 0:
+                msg = (
+                    f"Cell-block aggregation certificate failed during epoch "
+                    f"{epoch} (column overflow / dropped edges / reverse "
+                    f"mismatch > 0): gradients are approximate on this "
+                    f"particle distribution. Remedies: aggregation='gather', "
+                    f"or a CellBlockSpec with more capacity/window headroom."
+                )
+                if tc.strict_neighbor_check:
+                    raise ValueError(msg)
+                print(f"WARNING: {msg}")
 
             val_avg = self.evaluate(val_dataset)
 

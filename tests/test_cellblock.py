@@ -1,4 +1,11 @@
-"""Cell-block (selection-matrix) aggregation vs. the gather+sum oracle."""
+"""Cell-block (selection-matrix) aggregation vs. the gather+sum oracle.
+
+Round-3 scheme: per-column compaction with dynamically-placed candidate
+windows (``ops/cellblock.py``). The contract: identical to gather+sum up
+to summation order whenever ``overflow == dropped_edges == 0``, and the
+custom VJP (reverse selection table) is the exact transpose whenever
+``reverse_mismatch == 0``.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -9,13 +16,21 @@ from cosmology_gnn_simulation_tpu.ops.cellblock import (
     CellBlockSpec,
     build_cellblock,
     cellblock_aggregate,
+    cellblock_aggregate_slots,
     choose_cellblock_spec,
+    compact_from_slots,
+    expand_to_slots,
     reference_cellblock_aggregate,
     sort_neighbors,
 )
 from cosmology_gnn_simulation_tpu.ops.neighbors import knn_periodic
 
-SPEC = CellBlockSpec(grid_size=4, capacity=32, z_block=2, h_block=128)
+# G=4, CC=32 (4 tiles of 8), window = whole padded column (80 rows):
+# small enough that z-wrap windows are exercised on every fixture.
+SPEC = CellBlockSpec(
+    grid_size=4, col_capacity=32, query_block=8, window=80, wrap_cap=24,
+    h_block=128,
+)
 
 
 def _fixture(n=200, k=4, h=16, seed=0, box=1.0):
@@ -28,32 +43,26 @@ def _fixture(n=200, k=4, h=16, seed=0, box=1.0):
 
 def test_spec_validation():
     with pytest.raises(ValueError):
-        CellBlockSpec(5, 32, 2).validate()  # G not multiple of BLK
+        CellBlockSpec(2, 32, 8, 80, 24).validate()  # grid too small
     with pytest.raises(ValueError):
-        CellBlockSpec(4, 24, 2).validate()  # (BLK+2)*C not lane-aligned
+        CellBlockSpec(4, 30, 8, 80, 24).validate()  # CC not multiple of QB
     with pytest.raises(ValueError):
-        CellBlockSpec(4, 32, 4).validate()  # window exceeds grid
+        CellBlockSpec(4, 32, 8, 200, 24).validate()  # 128<W not lane-aligned
+    with pytest.raises(ValueError):
+        CellBlockSpec(4, 32, 8, 96, 24).validate()  # window > padded column
     SPEC.validate()
 
 
-def test_choose_spec_occupancy():
-    from cosmology_gnn_simulation_tpu.ops.cellblock import (
-        _poisson_overflow_cells,
-    )
-
-    spec = choose_cellblock_spec(500_000)
+def test_choose_spec():
+    spec = choose_cellblock_spec(500_000, 32)
     spec.validate()
-    m = 500_000 / spec.grid_size**3
-    assert (
-        _poisson_overflow_cells(m, spec.capacity, spec.grid_size**3) <= 0.05
-    )
-    # Coarsest valid grid: one step coarser must violate the tail bound.
-    g_prev = spec.grid_size - spec.z_block
-    if g_prev >= spec.z_block + 2:
-        m_prev = 500_000 / g_prev**3
-        assert (
-            _poisson_overflow_cells(m_prev, spec.capacity, g_prev**3) > 0.05
-        )
+    mean_col = 500_000 / spec.num_columns
+    # Column capacity covers the Poisson tail but stays lean (< 1.5x mean).
+    assert spec.col_capacity >= mean_col + 5 * np.sqrt(mean_col) - spec.query_block
+    assert spec.col_capacity <= 1.5 * mean_col
+    # Tiny N still yields a valid spec.
+    choose_cellblock_spec(200).validate()
+    choose_cellblock_spec(200, 4).validate()
 
 
 def test_matches_gather_sum_oracle():
@@ -61,6 +70,7 @@ def test_matches_gather_sum_oracle():
     plan = build_cellblock(pos, nbr, 1.0, SPEC)
     assert int(plan.overflow) == 0
     assert int(plan.dropped_edges) == 0
+    assert int(plan.window_overflow) == 0
 
     nbr_sorted = sort_neighbors(nbr, plan.order)
     z_sorted = z[plan.order]
@@ -76,6 +86,7 @@ def test_matches_gather_sum_oracle():
 def test_matches_oracle_in_original_order():
     pos, nbr, z = _fixture(seed=3, h=128)
     plan = build_cellblock(pos, nbr, 1.0, SPEC)
+    assert int(plan.dropped_edges) == 0
     got_sorted = cellblock_aggregate(
         z[plan.order], plan, SPEC, interpret=True
     )
@@ -87,8 +98,24 @@ def test_matches_oracle_in_original_order():
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
 
 
+def test_matches_oracle_chosen_spec():
+    # The chooser's own spec (different G/QB/window) must agree too.
+    pos, nbr, z = _fixture(n=700, k=5, h=32, seed=7)
+    spec = choose_cellblock_spec(700, 5)
+    plan = build_cellblock(pos, nbr, 1.0, spec)
+    assert int(plan.overflow) == 0
+    assert int(plan.dropped_edges) == 0
+    got = cellblock_aggregate(z[plan.order], plan, spec, interpret=True)
+    z_bf = z[plan.order].astype(jnp.bfloat16).astype(jnp.float32)
+    want = reference_cellblock_aggregate(
+        z_bf, sort_neighbors(nbr, plan.order)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-6,
+                               atol=2e-6)
+
+
 def test_duplicate_neighbors_counted():
-    # Multiplicity must be preserved (clamped sentinel rows duplicate picks).
+    # Multiplicity must be preserved.
     pos, nbr, z = _fixture(n=64, k=3, h=8, seed=1)
     nbr = nbr.at[:, 2].set(nbr[:, 1])  # duplicate an edge everywhere
     plan = build_cellblock(pos, nbr, 1.0, SPEC)
@@ -104,7 +131,7 @@ def test_duplicate_neighbors_counted():
 def test_s_table_counts():
     pos, nbr, _ = _fixture(n=50, k=3, h=8, seed=2)
     plan = build_cellblock(pos, nbr, 1.0, SPEC)
-    s = np.asarray(plan.s_table)
+    s = np.asarray(plan.s_table, np.int64)
     # Every real particle's row sums to k; empty slots to 0.
     row_sums = s.sum(axis=1)
     slots = np.asarray(plan.slot_of_sorted)
@@ -115,7 +142,7 @@ def test_s_table_counts():
 
 def test_overflow_flagged():
     rng = np.random.default_rng(0)
-    # 80 particles crammed into one cell (capacity 32).
+    # 80 particles crammed into one cell (column capacity 32).
     pos = jnp.asarray(
         0.05 + 0.01 * rng.uniform(size=(80, 3)), jnp.float32
     )
@@ -126,12 +153,74 @@ def test_overflow_flagged():
 
 def test_out_of_window_edges_flagged():
     pos, nbr, _ = _fixture(n=100, k=3)
-    # Wire one neighbor to a particle 2+ cells away.
+    # Wire one neighbor to a particle 2+ cells away (outside the 3x3 ring).
     pos = pos.at[0].set(jnp.array([0.05, 0.05, 0.05]))
     pos = pos.at[1].set(jnp.array([0.55, 0.55, 0.55]))
     nbr = nbr.at[0, 1].set(1)
     plan = build_cellblock(pos, nbr, 1.0, SPEC)
     assert int(plan.dropped_edges) >= 1
+
+
+def test_expand_compact_roundtrip_and_vjp():
+    pos, nbr, z = _fixture(n=120, k=3, h=8, seed=4)
+    plan = build_cellblock(pos, nbr, 1.0, SPEC)
+    z_sorted = z[plan.order]
+    slots = expand_to_slots(z_sorted, plan)
+    back = compact_from_slots(slots, plan)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(z_sorted))
+
+    # VJPs are the exact transposes (gather both ways — no scatter).
+    def f(x):
+        return jnp.sum(compact_from_slots(expand_to_slots(x, plan), plan) ** 2)
+
+    g = jax.grad(f)(z_sorted)
+    np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(z_sorted),
+                               rtol=1e-6)
+
+
+def test_reverse_table_certified():
+    pos, nbr, _ = _fixture(n=150, k=4, seed=5)
+    plan = build_cellblock(pos, nbr, 1.0, SPEC, with_reverse=True)
+    assert int(plan.dropped_edges) == 0
+    assert int(plan.reverse_mismatch) == 0
+    # Column sums of S == row sums of S_rev per slot (same edge multiset).
+    s = np.asarray(plan.s_table, np.int64)
+    sr = np.asarray(plan.s_rev_table, np.int64)
+    assert s.sum() == sr.sum() == nbr.size
+
+
+def test_aggregation_vjp_matches_oracle():
+    """d/dz of sum(f(S @ z)) must equal the oracle gather+sum's gradient
+    (the wrap-window dedup makes this nontrivial)."""
+    pos, nbr, z = _fixture(n=180, k=4, h=16, seed=6)
+    plan = build_cellblock(pos, nbr, 1.0, SPEC, with_reverse=True)
+    assert int(plan.reverse_mismatch) == 0
+    nbr_sorted = sort_neighbors(nbr, plan.order)
+    z_sorted = z[plan.order]
+    w = jnp.asarray(
+        np.random.default_rng(9).standard_normal((16,)), jnp.float32
+    )
+
+    def f_cb(x):
+        slots = expand_to_slots(x, plan)
+        out = cellblock_aggregate_slots(
+            slots, plan, SPEC, carry_dtype=jnp.float32, interpret=True
+        )
+        return jnp.sum(compact_from_slots(out, plan) ** 2 @ w)
+
+    def f_oracle(x):
+        return jnp.sum(
+            reference_cellblock_aggregate(x, nbr_sorted) ** 2 @ w
+        )
+
+    np.testing.assert_allclose(
+        float(f_cb(z_sorted)), float(f_oracle(z_sorted)), rtol=1e-5
+    )
+    g_cb = jax.grad(f_cb)(z_sorted)
+    g_oracle = jax.grad(f_oracle)(z_sorted)
+    np.testing.assert_allclose(
+        np.asarray(g_cb), np.asarray(g_oracle), rtol=1e-4, atol=1e-5
+    )
 
 
 def test_sort_neighbors_roundtrip():

@@ -17,7 +17,10 @@ from cosmology_gnn_simulation_tpu.rollout import rollout
 from cosmology_gnn_simulation_tpu.training.trainer import default_model_config
 from cosmology_gnn_simulation_tpu.types import NormalizationStats
 
-SPEC = CellBlockSpec(grid_size=4, capacity=32, z_block=2, h_block=128)
+SPEC = CellBlockSpec(
+    grid_size=4, col_capacity=32, query_block=8, window=80, wrap_cap=24,
+    h_block=128,
+)
 
 
 def _setup(n=256, latent=16):
