@@ -615,8 +615,18 @@ def make_halo_train_step(
     return train_step
 
 
-def shard_halo_batch(batch: Dict[str, np.ndarray], mesh):
-    """Place a ``partition_batch`` output onto the (data, particle) mesh."""
+def shard_halo_batch(batch: Dict[str, np.ndarray], mesh,
+                     *, process_local: Optional[bool] = None):
+    """Place a ``partition_batch`` output onto the (data, particle) mesh.
+
+    ``process_local``: in a multi-process runtime (``jax.distributed``, data
+    axis over DCN — ``parallel.mesh.make_mesh``), each process passes only
+    ITS data-axis block of the partitioned batch (global batch =
+    process-local batches stacked in process order along the data axis);
+    the global arrays are assembled without cross-host transfers via
+    ``jax.make_array_from_process_local_data``. Default: auto (on iff
+    ``jax.process_count() > 1``).
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from cosmology_gnn_simulation_tpu.parallel.sharded import (
@@ -624,6 +634,8 @@ def shard_halo_batch(batch: Dict[str, np.ndarray], mesh):
         PARTICLE_AXIS,
     )
 
+    if process_local is None:
+        process_local = jax.process_count() > 1
     specs = {
         "positions": P(DATA_AXIS, None, PARTICLE_AXIS, None),
         "temperatures": P(DATA_AXIS, None, PARTICLE_AXIS, None),
@@ -632,6 +644,14 @@ def shard_halo_batch(batch: Dict[str, np.ndarray], mesh):
         "valid": P(DATA_AXIS, PARTICLE_AXIS),
         "gid": P(DATA_AXIS, PARTICLE_AXIS),
     }
+    if process_local:
+        return {
+            name: jax.make_array_from_process_local_data(
+                NamedSharding(mesh, specs[name]), np.asarray(arr)
+            )
+            for name, arr in batch.items()
+            if name in specs
+        }
     return {
         name: jax.device_put(arr, NamedSharding(mesh, specs[name]))
         for name, arr in batch.items()
