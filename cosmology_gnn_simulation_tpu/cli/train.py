@@ -142,9 +142,18 @@ def main(argv=None):
                 f"{n_dev}"
             )
         mesh = make_mesh((n_dev // spatial, spatial))
+        try:
+            # Size capacities from measured occupancies (clustered data
+            # overflows the uniform plan at partition time otherwise).
+            first = next(iter(train_dataset.batches(1, shuffle=False)))
+            sample_positions = first["positions"][0, -1]
+        except StopIteration:
+            sample_positions = None
         halo = choose_halo_config(
             train_dataset.num_particles, args.num_neighbors, spatial,
             noise=args.noise_std > 0,
+            positions=sample_positions,
+            box=float(stats.box_size),
         )
         print(
             f"Halo-sharded training: {spatial} spatial shards x "

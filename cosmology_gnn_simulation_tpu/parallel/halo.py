@@ -91,8 +91,21 @@ def choose_halo_config(
     local_slack: float = 1.3,
     halo_slack: float = 2.0,
     capacity_multiplier: float = 2.5,
+    positions: Optional[np.ndarray] = None,
+    box: float = 1.0,
 ) -> HaloConfig:
-    """Pick a halo decomposition for ~uniform data in a unit-scaled box.
+    """Pick a halo decomposition for data in a unit-scaled box.
+
+    Without ``positions``, capacities assume ~uniform occupancy. Clustered
+    cosmological data (the actual physics) violates that: a dense slab
+    overflows ``local_capacity`` and the run dies loudly at
+    ``partition_windows``. Passing a representative ``positions`` sample
+    (e.g. the first frame, host-side — this is setup-time numpy, not jit)
+    sizes ``local/halo/cell`` capacities from the MEASURED per-slab,
+    boundary-layer and cell occupancies instead (taking the max with the
+    uniform estimate, so capacities never shrink below the uniform plan).
+    Extremely clustered data still fails loudly — at partition time or via
+    the exactness certificates — rather than silently dropping particles.
 
     Raises if the box does not support ``num_shards`` slabs of at least
     ``2 * halo_layers`` cell layers at an exactness-preserving cell size
@@ -130,6 +143,49 @@ def choose_halo_config(
     halo_capacity = _round_up(
         int(np.ceil(halo_layers * per_layer * halo_slack)), 8
     )
+    if positions is not None:
+        pos = np.remainder(np.asarray(positions, np.float64), box)
+        # Measured slab occupancy (ownership rule of partition_windows).
+        owner = np.clip(
+            np.floor(pos[:, 0] / box * num_shards).astype(np.int64),
+            0, num_shards - 1,
+        )
+        slab_max = int(np.bincount(owner, minlength=num_shards).max())
+        # Measured boundary-layer mass: worst sum of halo_layers adjacent
+        # cell layers at any slab edge (what one ppermute send carries).
+        layer = np.clip(
+            np.floor(pos[:, 0] / box * grid_size).astype(np.int64),
+            0, grid_size - 1,
+        )
+        layer_counts = np.bincount(layer, minlength=grid_size)
+        edge_max = 0
+        for s in range(num_shards):
+            lo = s * slab_layers
+            hi = (s + 1) * slab_layers
+            edge_max = max(
+                edge_max,
+                int(layer_counts[lo:lo + halo_layers].sum()),
+                int(layer_counts[hi - halo_layers:hi].sum()),
+            )
+        # Measured cell occupancy for the shard-local cell lists.
+        coords = np.clip(
+            np.floor(pos / box * grid_size).astype(np.int64),
+            0, grid_size - 1,
+        )
+        cell_ids = (coords[:, 0] * grid_size + coords[:, 1]) * grid_size + \
+            coords[:, 2]
+        cell_max = int(np.bincount(
+            cell_ids, minlength=grid_size**3
+        ).max())
+        # Modest slack over the measurement (noise/migration move particles
+        # by << a cell per step); floors at the uniform plan.
+        local_capacity = max(
+            local_capacity, _round_up(int(np.ceil(slab_max * 1.15)), 8)
+        )
+        halo_capacity = max(
+            halo_capacity, _round_up(int(np.ceil(edge_max * 1.3)), 8)
+        )
+        cell_capacity = max(cell_capacity, int(np.ceil(cell_max * 1.3)))
     return HaloConfig(
         num_shards=num_shards,
         grid_size=grid_size,
@@ -403,8 +459,12 @@ def partition_windows(
     if counts.max() > cap:
         raise ValueError(
             f"slab occupancy {counts.max()} exceeds local_capacity {cap} "
-            f"(counts={counts.tolist()}); raise local_slack in "
-            "choose_halo_config for this distribution"
+            f"(counts={counts.tolist()}) — the data is more clustered than "
+            "the capacity plan. Remedies, in order: (a) pass a "
+            "representative frame as choose_halo_config(positions=...) so "
+            "capacities are sized from measured occupancies; (b) raise "
+            "local_slack; (c) use fewer particle shards; (d) fall back to "
+            "parallel.sharded's all-gather path."
         )
     t = position_seq.shape[0]
     out_pos = np.zeros((t, p * cap, 3), np.float32)

@@ -38,6 +38,11 @@ def save_checkpoint(
         payload["epoch"] = np.asarray(epoch)
     if rng_key is not None:
         payload["rng_key"] = jax.random.key_data(rng_key)
+    # Save host copies: training state is replicated (P()) even under
+    # sharded training, and baking device shardings into the checkpoint
+    # breaks restore on a different topology (e.g. halo-sharded train ->
+    # single-device rollout: orbax then demands a concrete sharding).
+    payload = jax.tree.map(np.asarray, payload)
     checkpointer = ocp.PyTreeCheckpointer()
     checkpointer.save(path, payload, force=True)
     if config is not None:
