@@ -443,7 +443,7 @@ def build_cellblock(
     # Per-(tile, j) constants, one row gather of a packed [num_tiles, 45]
     # table per query row.
     const = jnp.stack([w_loc, cp_j, m_j, ca_j, cg1_j], axis=2).astype(
-        jnp.float32
+        jnp.int32
     )  # [num_tiles, 9, 5]
     const_rows = jnp.take(
         const.reshape(num_tiles, 45), tile_q, axis=0
@@ -467,14 +467,17 @@ def build_cellblock(
         dy = (col_s % g - gyq_t[:, None] + 1 + g) % g
         in3 = (dx < 3) & (dy < 3) & real
         j = jnp.where(in3, dx * 3 + dy, 9)
-        oh_j = (
-            j[:, :, None] == jnp.arange(9, dtype=jnp.int32)
-        ).astype(jnp.float32)  # [rows, k, 9]
-        # Select the 5 per-(tile, j) constants via the j one-hot (values are
-        # small ints — exact in f32).
-        sel = jnp.einsum(
-            "rkj,rjc->rkc", oh_j, const_t.reshape(rows, 9, 5)
-        ).astype(jnp.int32)
+        oh_j = j[:, :, None] == jnp.arange(9, dtype=jnp.int32)  # [rows, k, 9]
+        # Select the 5 per-(tile, j) constants via the j one-hot in EXACT
+        # integer arithmetic. (An f32 einsum here silently corrupts on TPU:
+        # the MXU downcasts f32 operands to bf16 by default, and the
+        # constants exceed bf16's 256-integer exactness range — measured as
+        # ~0.025% dropped/misplaced edges at config-4 scale.)
+        sel = jnp.sum(
+            jnp.where(oh_j[:, :, :, None],
+                      const_t.astype(jnp.int32).reshape(rows, 1, 9, 5), 0),
+            axis=2,
+        )  # [rows, k, 5] int32
         w_s, cp_s, m_s, ca_s, cg1_s = (
             sel[..., 0], sel[..., 1], sel[..., 2], sel[..., 3], sel[..., 4]
         )
