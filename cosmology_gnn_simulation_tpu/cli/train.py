@@ -60,6 +60,7 @@ def main(argv=None):
         output_size=args.output_size,
         aggregate=args.aggregate,
         remat=getattr(args, "remat", False),
+        carry_dtype=getattr(args, "carry_dtype", None),
     )
     train_config = TrainConfig(
         num_neighbors=args.num_neighbors,

@@ -82,6 +82,11 @@ def build_train_parser() -> argparse.ArgumentParser:
                              "(fused gather+sum, sorted-edge VJP) or "
                              "'cellblock' (selection-matrix MXU kernel — "
                              "the big-N training path)")
+    parser.add_argument("--carry_dtype", type=str, default=None,
+                        choices=[None, "bfloat16", "float32"],
+                        help="Residual-stream carry dtype (bfloat16 halves "
+                             "the bandwidth-bound per-step state traffic; "
+                             "default float32)")
     parser.add_argument("--remat", action="store_true",
                         help="Rematerialize each message-passing step in "
                              "the backward pass (O(1) residual memory in "

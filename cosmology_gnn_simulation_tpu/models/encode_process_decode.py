@@ -71,6 +71,13 @@ class EncodeProcessDecodeConfig(NamedTuple):
     output_size: int = 3
     aggregate: str = "sender_latents"  # or "edge_messages" (canonical GNS)
     prune_dead_edge_stream: bool = True  # skip provably-dead edge compute
+    # Dtype of the residual-stream scan carry (None = float32). The
+    # message-passing step is HBM-bandwidth-bound, and ``dtype=bfloat16``
+    # alone only casts matmul OPERANDS (the carried [N, L] state and its
+    # residual adds/LN reads stay f32) — "bfloat16" here halves that
+    # traffic too. Adds ~2^-8 relative rounding per step, the same class
+    # as the bf16 aggregation carriage.
+    carry_dtype: Optional[str] = None
     # Rematerialize each message-passing step in the backward pass
     # (jax.checkpoint over the scan body): activations per step are
     # recomputed instead of stored — O(1) instead of O(M) residual memory
@@ -357,6 +364,17 @@ def apply_encode_process_decode(
         )
         nodes = jnp.concatenate([nodes, broadcast], axis=-1)
     x = apply_mlp(params["encoder"]["node"], nodes, dtype)
+    carry_dt = (
+        jnp.dtype(config.carry_dtype) if config.carry_dtype else None
+    )
+
+    def residual_add(carry, new):
+        if carry_dt is None:
+            return carry + new
+        return carry + new.astype(carry_dt)
+
+    if carry_dt is not None:
+        x = x.astype(carry_dt)
     neighbors = graph.neighbors
     prune = (
         config.aggregate == "sender_latents" and config.prune_dead_edge_stream
@@ -382,7 +400,7 @@ def apply_encode_process_decode(
                 carry, neighbors, step_params, dtype, particle_axis,
                 graph.sorted_edges, halo, graph.cellblock, cellblock_spec,
             )
-            return carry + x_new, None
+            return residual_add(carry, x_new), None
 
         if config.remat:
             body = jax.checkpoint(body)
@@ -391,6 +409,8 @@ def apply_encode_process_decode(
             x = compact_from_slots(x, graph.cellblock)
     else:
         e = apply_mlp(params["encoder"]["edge"], graph.edges, dtype)
+        if carry_dt is not None:
+            e = e.astype(carry_dt)
 
         def body(carry, step_params):
             x, e = carry
@@ -398,7 +418,7 @@ def apply_encode_process_decode(
                 x, e, neighbors, step_params, config.aggregate, dtype,
                 particle_axis, graph.sorted_edges, halo,
             )
-            return (x + x_new, e + e_new), None
+            return (residual_add(x, x_new), residual_add(e, e_new)), None
 
         if config.remat:
             body = jax.checkpoint(body)

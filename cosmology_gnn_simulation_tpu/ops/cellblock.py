@@ -131,10 +131,18 @@ class CellBlockSpec(NamedTuple):
         if cc % qb:
             raise ValueError(f"col_capacity {cc} not a multiple of "
                              f"query_block {qb}")
-        if qb % 8 or w % 8 or ec % 8:
+        if qb % 32:
+            # The S table is int8: Mosaic's sublane tiling for int8 is 32
+            # rows, and the S/out block row offsets are t * query_block.
             raise ValueError(
-                f"query_block/window/wrap_cap ({qb}/{w}/{ec}) must be "
-                "multiples of 8 (TPU sublane alignment)"
+                f"query_block {qb} must be a multiple of 32 (int8 block "
+                "tiling)"
+            )
+        if w % 8 or ec % 16:
+            raise ValueError(
+                f"window/wrap_cap ({w}/{ec}) must be multiples of 8/16 "
+                "(TPU sublane alignment; wrap_cap also keeps padded_col - "
+                "window 16-aligned for window-start alignment)"
             )
         if w >= _LANE and w % _LANE:
             raise ValueError(f"window {w} >= 128 must be a multiple of 128")
@@ -170,15 +178,36 @@ def choose_cellblock_spec(
         g = max(3, int(round((num_particles / 24.0) ** (1.0 / 3.0))))
     mean_col = num_particles / g**2
     mean_cell = num_particles / g**3
-    qb = query_block or min(256, max(8, _round_up(mean_col / 3.0, 8)))
-    cc = _round_up(max(mean_col + 5.0 * np.sqrt(mean_col), qb), qb)
-    wrap = _round_up(mean_cell + 6.0 * np.sqrt(mean_cell) + 4.0, 8)
-    need = qb + 3.0 * mean_cell + 5.0 * np.sqrt(qb + 3.0 * mean_cell)
-    w = _round_up(need, _LANE)
-    padded = cc + 2 * wrap
-    if w > padded:
-        # Tiny columns: one window covers the whole padded column.
-        w = padded if padded < _LANE else padded // _LANE * _LANE
+    wrap = _round_up(mean_cell + 6.0 * np.sqrt(mean_cell) + 4.0, 16)
+
+    def plan(qb):
+        cc = _round_up(max(mean_col + 5.0 * np.sqrt(mean_col), qb), qb)
+        need = qb + 3.0 * mean_cell + 5.0 * np.sqrt(qb + 3.0 * mean_cell)
+        w = _round_up(need, _LANE)
+        padded = cc + 2 * wrap
+        if w > padded:
+            # Tiny columns: one window covers the whole padded column.
+            w = padded if padded < _LANE else padded // _LANE * _LANE
+        return cc, w
+
+    if query_block is not None:
+        qb = query_block
+        cc, w = plan(qb)
+    else:
+        # QB must be a multiple of 32 (int8 tiling); among the candidates,
+        # minimize the kernel's per-step HBM traffic: the int8 S table
+        # (read once per step) plus the 9 candidate windows per tile
+        # (re-streamed per tile — smaller QB means narrower windows but
+        # more tiles). Both terms are exact functions of the spec.
+        best = None
+        for qb_c in range(32, 257, 32):
+            cc_c, w_c = plan(qb_c)
+            s_bytes = g * g * cc_c * 9 * w_c
+            win_bytes = g * g * (cc_c // qb_c) * 9 * w_c * h_block * 2
+            score = (s_bytes + win_bytes, -qb_c)
+            if best is None or score < best[0]:
+                best = (score, qb_c, cc_c, w_c)
+        _, qb, cc, w = best
     return CellBlockSpec(
         grid_size=g, col_capacity=cc, query_block=qb, window=w,
         wrap_cap=wrap, h_block=h_block,
@@ -421,7 +450,12 @@ def build_cellblock(
     end = jnp.where(
         z_hi[:, None] <= g - 2, cp_j + end_hi, cp_j + m_j + ca_j
     )
-    w_loc = jnp.clip(w_loc, 0, ccp - w_cap)
+    # Floor starts to 16-row alignment (sublane tiling of the bf16/f32
+    # candidate windows — unaligned Element offsets cost Mosaic re-align
+    # copies); the chooser's tail slack absorbs the <=15 extra lead rows,
+    # and padded_col - window is 16-aligned so the upper clamp stays
+    # aligned too.
+    w_loc = jnp.clip(w_loc // 16 * 16, 0, ccp - w_cap)
     window_overflow = jnp.max(
         jnp.where(has_rows[:, None], end - w_loc - w_cap, 0)
     ).astype(jnp.int32)

@@ -793,6 +793,7 @@ def default_model_config(
     aggregate: str = "sender_latents",
     prune_dead_edge_stream: bool = True,
     remat: bool = False,
+    carry_dtype: Optional[str] = None,
 ) -> EncodeProcessDecodeConfig:
     return EncodeProcessDecodeConfig(
         node_input_size=node_feature_size(window_size),
@@ -805,4 +806,5 @@ def default_model_config(
         aggregate=aggregate,
         prune_dead_edge_stream=prune_dead_edge_stream,
         remat=remat,
+        carry_dtype=carry_dtype,
     )

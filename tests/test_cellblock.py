@@ -25,10 +25,17 @@ from cosmology_gnn_simulation_tpu.ops.cellblock import (
 )
 from cosmology_gnn_simulation_tpu.ops.neighbors import knn_periodic
 
-# G=4, CC=32 (4 tiles of 8), window = whole padded column (80 rows):
-# small enough that z-wrap windows are exercised on every fixture.
+# G=4, one tile per column, window = whole padded column (96 rows): small
+# enough that z-wrap windows are exercised on every fixture.
 SPEC = CellBlockSpec(
-    grid_size=4, col_capacity=32, query_block=8, window=80, wrap_cap=24,
+    grid_size=4, col_capacity=32, query_block=32, window=96, wrap_cap=32,
+    h_block=128,
+)
+# Narrow-window variant: 5 tiles per column with W < padded_col, so the
+# dynamically-placed (Element-indexed) candidate windows actually move —
+# the config-4-scale regime the whole-column specs above never enter.
+SPEC_TILED = CellBlockSpec(
+    grid_size=6, col_capacity=160, query_block=32, window=128, wrap_cap=48,
     h_block=128,
 )
 
@@ -43,14 +50,17 @@ def _fixture(n=200, k=4, h=16, seed=0, box=1.0):
 
 def test_spec_validation():
     with pytest.raises(ValueError):
-        CellBlockSpec(2, 32, 8, 80, 24).validate()  # grid too small
+        CellBlockSpec(2, 32, 32, 96, 32).validate()  # grid too small
     with pytest.raises(ValueError):
-        CellBlockSpec(4, 30, 8, 80, 24).validate()  # CC not multiple of QB
+        CellBlockSpec(4, 48, 32, 96, 32).validate()  # CC not multiple of QB
     with pytest.raises(ValueError):
-        CellBlockSpec(4, 32, 8, 200, 24).validate()  # 128<W not lane-aligned
+        CellBlockSpec(4, 32, 8, 96, 32).validate()  # QB not 32-aligned
     with pytest.raises(ValueError):
-        CellBlockSpec(4, 32, 8, 96, 24).validate()  # window > padded column
+        CellBlockSpec(4, 32, 32, 200, 32).validate()  # 128<W not lane-aligned
+    with pytest.raises(ValueError):
+        CellBlockSpec(4, 32, 32, 128, 32).validate()  # window > padded col
     SPEC.validate()
+    SPEC_TILED.validate()
 
 
 def test_choose_spec():
@@ -65,16 +75,17 @@ def test_choose_spec():
     choose_cellblock_spec(200, 4).validate()
 
 
-def test_matches_gather_sum_oracle():
-    pos, nbr, z = _fixture()
-    plan = build_cellblock(pos, nbr, 1.0, SPEC)
+@pytest.mark.parametrize("spec,n,k", [(SPEC, 200, 4), (SPEC_TILED, 3000, 5)])
+def test_matches_gather_sum_oracle(spec, n, k):
+    pos, nbr, z = _fixture(n=n, k=k)
+    plan = build_cellblock(pos, nbr, 1.0, spec)
     assert int(plan.overflow) == 0
     assert int(plan.dropped_edges) == 0
     assert int(plan.window_overflow) == 0
 
     nbr_sorted = sort_neighbors(nbr, plan.order)
     z_sorted = z[plan.order]
-    got = cellblock_aggregate(z_sorted, plan, SPEC, interpret=True)
+    got = cellblock_aggregate(z_sorted, plan, spec, interpret=True)
     # The kernel carries z in bf16; compare against the oracle on the same
     # rounded values (f32 accumulation order may differ by ULPs).
     z_bf = z_sorted.astype(jnp.bfloat16).astype(jnp.float32)
@@ -189,11 +200,12 @@ def test_reverse_table_certified():
     assert s.sum() == sr.sum() == nbr.size
 
 
-def test_aggregation_vjp_matches_oracle():
+@pytest.mark.parametrize("spec,n", [(SPEC, 180), (SPEC_TILED, 3000)])
+def test_aggregation_vjp_matches_oracle(spec, n):
     """d/dz of sum(f(S @ z)) must equal the oracle gather+sum's gradient
     (the wrap-window dedup makes this nontrivial)."""
-    pos, nbr, z = _fixture(n=180, k=4, h=16, seed=6)
-    plan = build_cellblock(pos, nbr, 1.0, SPEC, with_reverse=True)
+    pos, nbr, z = _fixture(n=n, k=4, h=16, seed=6)
+    plan = build_cellblock(pos, nbr, 1.0, spec, with_reverse=True)
     assert int(plan.reverse_mismatch) == 0
     nbr_sorted = sort_neighbors(nbr, plan.order)
     z_sorted = z[plan.order]
@@ -204,7 +216,7 @@ def test_aggregation_vjp_matches_oracle():
     def f_cb(x):
         slots = expand_to_slots(x, plan)
         out = cellblock_aggregate_slots(
-            slots, plan, SPEC, carry_dtype=jnp.float32, interpret=True
+            slots, plan, spec, carry_dtype=jnp.float32, interpret=True
         )
         return jnp.sum(compact_from_slots(out, plan) ** 2 @ w)
 

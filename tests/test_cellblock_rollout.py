@@ -18,7 +18,7 @@ from cosmology_gnn_simulation_tpu.training.trainer import default_model_config
 from cosmology_gnn_simulation_tpu.types import NormalizationStats
 
 SPEC = CellBlockSpec(
-    grid_size=4, col_capacity=32, query_block=8, window=80, wrap_cap=24,
+    grid_size=4, col_capacity=32, query_block=32, window=96, wrap_cap=32,
     h_block=128,
 )
 

@@ -186,6 +186,33 @@ def test_bfloat16_compute_close_to_fp32():
     assert err < 0.1 * scale + 0.05
 
 
+@pytest.mark.parametrize("aggregate", ["sender_latents", "edge_messages"])
+def test_bfloat16_carry_close_to_fp32(aggregate):
+    """The bf16 residual-stream carry (the bandwidth lever the matmul-only
+    dtype cast misses) stays within bf16 rounding of the f32 stream."""
+    config = small_config(aggregate)._replace(carry_dtype="bfloat16")
+    params = init_encode_process_decode(jax.random.PRNGKey(0), config)
+    graph = make_graph(jax.random.PRNGKey(1))
+    full = apply_encode_process_decode(
+        params, graph, config._replace(carry_dtype=None)
+    )
+    half = apply_encode_process_decode(params, graph, config)
+    err = np.abs(
+        np.asarray(full["acceleration"]) - np.asarray(half["acceleration"])
+    ).max()
+    scale = np.abs(np.asarray(full["acceleration"])).max()
+    assert err < 0.1 * scale + 0.05
+    # Gradients flow through the cast carry.
+    def loss(p):
+        out = apply_encode_process_decode(p, graph, config)
+        return jnp.sum(out["acceleration"] ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert all(
+        bool(jnp.isfinite(g).all()) for g in jax.tree.leaves(grads)
+    )
+
+
 def test_globals_broadcast():
     """Globals concat onto every node before encoding
     (graph_network.py:166-175 parity)."""
