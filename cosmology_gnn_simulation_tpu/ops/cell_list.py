@@ -145,7 +145,27 @@ def cell_list_knn(
         # Out-of-range key -> the scatter's drop mode discards the row.
         cell_id = jnp.where(valid, cell_id, g**3)
     b = bin_by_key(cell_id, g**3, cap)
-    table = scatter_to_table(b, b.order, g**3, cap, n, jnp.int32).reshape(-1)
+    # Scatter-free table build (round 3): slot -> sorted index via the
+    # boundaries trick + one gather — the .at[slot].set scatter this
+    # replaces is a measurable slice of the kNN at scale (see
+    # ops/pallas_knn._build_table). Under cell overflow the mid-stream
+    # sentinels make the boundaries unreliable — the regime ``overflow``
+    # already flags as inexact.
+    num_slots = g**3 * cap
+    boundaries = jnp.searchsorted(
+        b.slot.astype(jnp.int32),
+        jnp.arange(num_slots + 1, dtype=jnp.int32),
+        side="left", method="sort",
+    ).astype(jnp.int32)
+    occupied = boundaries[1:] > boundaries[:-1]
+    order_ext = jnp.concatenate(
+        [b.order.astype(jnp.int32), jnp.asarray([n], jnp.int32)]
+    )
+    table = jnp.take(
+        order_ext,
+        jnp.where(occupied, boundaries[:-1], b.order.shape[0]),
+        mode="clip",
+    )
     overflow = b.overflow
     if valid is not None:
         # Invalid rows all share the sentinel key; don't count the ones

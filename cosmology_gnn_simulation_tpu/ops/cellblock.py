@@ -800,7 +800,18 @@ def _window_kernel(spec: CellBlockSpec, hb: int, out_dtype):
         for j in range(9):
             cand = wins[j][...]  # [W, hb]
             sj = s_ref[:, j * w : (j + 1) * w].astype(cand.dtype)
-            acc += jnp.dot(sj, cand, preferred_element_type=jnp.float32)
+            # bf16 candidates: MXU products (0/1 x bf16) are exact with f32
+            # accumulation. f32 candidates: force the multi-pass f32 matmul
+            # — the MXU's default single-pass bf16 costs ~1% error, which
+            # the "exact up to summation order" f32 mode must not have.
+            precision = (
+                jax.lax.Precision.HIGHEST
+                if cand.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+            )
+            acc += jnp.dot(
+                sj, cand, preferred_element_type=jnp.float32,
+                precision=precision,
+            )
         out_ref[:] = acc.astype(out_dtype)
 
     return kernel
@@ -830,10 +841,17 @@ def _window_matmul(
     z_pad = _pad_candidates(z_slots, pad_src, carry_dtype)
     qb, w = spec.query_block, spec.window
 
+    # Window starts ride as scalar prefetch in units of 16 rows and the
+    # index map multiplies back: Mosaic must PROVE the Element row offset
+    # divisible by the sublane tiling (8 for f32, 16 for bf16), which it
+    # cannot for a raw runtime scalar — `st * 16` is provable. The build
+    # floors every start to 16 rows, so the division is exact.
+    starts16 = window_starts // 16
+
     def win_spec(j):
         return pl.BlockSpec(
             (pl.Element(w), pl.Element(hb)),
-            lambda hi, t, st, j=j: (st[t, j], hi * hb),
+            lambda hi, t, st, j=j: (st[t, j] * 16, hi * hb),
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -848,7 +866,7 @@ def _window_matmul(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((spec.num_slots, h), out_dtype),
         interpret=interpret,
-    )(window_starts, s_table, *([z_pad] * 9))
+    )(starts16, s_table, *([z_pad] * 9))
 
 
 @functools.partial(
