@@ -145,27 +145,29 @@ def cell_list_knn(
         # Out-of-range key -> the scatter's drop mode discards the row.
         cell_id = jnp.where(valid, cell_id, g**3)
     b = bin_by_key(cell_id, g**3, cap)
-    # Scatter-free table build (round 3): slot -> sorted index via the
-    # boundaries trick + one gather — the .at[slot].set scatter this
-    # replaces is a measurable slice of the kNN at scale (see
-    # ops/pallas_knn._build_table). Under cell overflow the mid-stream
-    # sentinels make the boundaries unreliable — the regime ``overflow``
-    # already flags as inexact.
-    num_slots = g**3 * cap
-    boundaries = jnp.searchsorted(
-        b.slot.astype(jnp.int32),
-        jnp.arange(num_slots + 1, dtype=jnp.int32),
+    # Scatter-free table build (round 3): slot (c, r) holds sorted index
+    # gstart[c] + r iff r < count(c) — pure arithmetic off one cheap
+    # searchsorted over G^3+1 cell boundaries (exact under overflow: the
+    # first `cap` particles of each cell by sort order). Replaces the
+    # .at[slot].set scatter, which scales badly at config-4 N.
+    m = b.order.shape[0]
+    sorted_key = jnp.take(cell_id, b.order)
+    gstart = jnp.searchsorted(
+        sorted_key, jnp.arange(g**3 + 1, dtype=jnp.int32),
         side="left", method="sort",
     ).astype(jnp.int32)
-    occupied = boundaries[1:] > boundaries[:-1]
+    counts = gstart[1:] - gstart[:-1]
+    slot_cell = jnp.arange(g**3 * cap, dtype=jnp.int32) // cap
+    slot_rank = jnp.arange(g**3 * cap, dtype=jnp.int32) % cap
+    p_of_slot = jnp.where(
+        slot_rank < jnp.take(counts, slot_cell),
+        jnp.take(gstart[:-1], slot_cell) + slot_rank,
+        m,
+    )
     order_ext = jnp.concatenate(
         [b.order.astype(jnp.int32), jnp.asarray([n], jnp.int32)]
     )
-    table = jnp.take(
-        order_ext,
-        jnp.where(occupied, boundaries[:-1], b.order.shape[0]),
-        mode="clip",
-    )
+    table = jnp.take(order_ext, p_of_slot, mode="clip")
     overflow = b.overflow
     if valid is not None:
         # Invalid rows all share the sentinel key; don't count the ones

@@ -358,16 +358,18 @@ def build_cellblock(
     slot_of_sorted = jnp.where(q_ok, sorted_col * cc + r, num_slots)
     overflow = jnp.sum(~q_ok).astype(jnp.int32)
     _, slot_of_particle = jax.lax.sort_key_val(order, slot_of_sorted)
-    # NOTE: with overflow > 0 the sentinel entries make the stream
-    # non-monotone and the searchsorted boundaries below are unreliable —
-    # exactly the regime ``overflow`` flags as inexact.
-    boundaries = jnp.searchsorted(
-        slot_of_sorted,
-        jnp.arange(num_slots + 1, dtype=jnp.int32),
-        side="left", method="sort",
-    ).astype(jnp.int32)
-    occupied = boundaries[1:] > boundaries[:-1]
-    particle_of_slot = jnp.where(occupied, boundaries[:-1], n)
+    # slot -> sorted index by ARITHMETIC (column col's particles pack at
+    # [col_start[col], ...), so slot (col, r) holds col_start[col] + r iff
+    # r < count) — no searchsorted over all slots, and exact under column
+    # overflow (the first CC particles of the column by sort order).
+    col_cnt_raw = col_start[1:] - col_start[:-1]
+    slot_col = jnp.arange(num_slots, dtype=jnp.int32) // cc
+    slot_r = jnp.arange(num_slots, dtype=jnp.int32) % cc
+    particle_of_slot = jnp.where(
+        slot_r < jnp.take(col_cnt_raw, slot_col),
+        jnp.take(col_start[:-1], slot_col) + slot_r,
+        n,
+    )
 
     # Per-column z-wrap layout [cP | main | cA], tightly packed.
     m = jnp.minimum(col_cnt, cc)  # used main rows
@@ -845,13 +847,15 @@ def _window_matmul(
     # index map multiplies back: Mosaic must PROVE the Element row offset
     # divisible by the sublane tiling (8 for f32, 16 for bf16), which it
     # cannot for a raw runtime scalar — `st * 16` is provable. The build
-    # floors every start to 16 rows, so the division is exact.
-    starts16 = window_starts // 16
+    # floors every start to 16 rows, so the division is exact. FLATTENED
+    # to 1-D: a [T, 9] SMEM operand pads its minor dim to 128 lanes and
+    # blows the 1 MB SMEM budget at config-4 tile counts.
+    starts16 = (window_starts // 16).reshape(-1)
 
     def win_spec(j):
         return pl.BlockSpec(
             (pl.Element(w), pl.Element(hb)),
-            lambda hi, t, st, j=j: (st[t, j] * 16, hi * hb),
+            lambda hi, t, st, j=j: (st[t * 9 + j] * 16, hi * hb),
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

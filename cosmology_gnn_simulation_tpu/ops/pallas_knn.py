@@ -127,15 +127,27 @@ def _build_table(positions, g: int, cap: int, box):
     cell_id = (coords[:, 0] * g + coords[:, 1]) * g + coords[:, 2]
     b = bin_by_key(cell_id, g**3, cap)
     sorted_pos = positions[b.order]
+    sorted_cell = jnp.take(cell_id, b.order)
 
-    num_slots = g**3 * cap
-    boundaries = jnp.searchsorted(
-        b.slot.astype(jnp.int32),
-        jnp.arange(num_slots + 1, dtype=jnp.int32),
+    # slot -> sorted-particle index by ARITHMETIC: the stable sort packs
+    # cell c's particles at [gstart[c], gstart[c+1]), so slot (c, r) holds
+    # sorted index gstart[c] + r iff r < count(c). One searchsorted over
+    # G^3+1 targets + [G^3 * cap]-sized gathers from [G^3] tables — cheaper
+    # than either the four .at[slot].set scatters (at big N) or a
+    # searchsorted over all slots, and EXACT under cell overflow (the
+    # first `cap` particles of each cell, by sort order).
+    gstart = jnp.searchsorted(
+        sorted_cell, jnp.arange(g**3 + 1, dtype=jnp.int32),
         side="left", method="sort",
     ).astype(jnp.int32)
-    occupied = boundaries[1:] > boundaries[:-1]
-    particle_of_slot = jnp.where(occupied, boundaries[:-1], n)
+    counts = gstart[1:] - gstart[:-1]
+    slot_cell = jnp.arange(g**3 * cap, dtype=jnp.int32) // cap
+    slot_rank = jnp.arange(g**3 * cap, dtype=jnp.int32) % cap
+    particle_of_slot = jnp.where(
+        slot_rank < jnp.take(counts, slot_cell),
+        jnp.take(gstart[:-1], slot_cell) + slot_rank,
+        n,
+    )
 
     def plane(sorted_vals, fill, dtype):
         ext = jnp.concatenate(
