@@ -193,6 +193,7 @@ def main():
         mc_train = default_model_config(
             latent_size=latent, mlp_hidden_size=latent,
             num_message_passing_steps=args.mp, remat=True,
+            carry_dtype="bfloat16",
         )
         tc = TrainConfig(
             num_neighbors=k, batch_size=1, noise_std=3e-4,

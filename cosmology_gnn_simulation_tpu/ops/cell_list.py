@@ -145,29 +145,10 @@ def cell_list_knn(
         # Out-of-range key -> the scatter's drop mode discards the row.
         cell_id = jnp.where(valid, cell_id, g**3)
     b = bin_by_key(cell_id, g**3, cap)
-    # Scatter-free table build (round 3): slot (c, r) holds sorted index
-    # gstart[c] + r iff r < count(c) — pure arithmetic off one cheap
-    # searchsorted over G^3+1 cell boundaries (exact under overflow: the
-    # first `cap` particles of each cell by sort order). Replaces the
-    # .at[slot].set scatter, which scales badly at config-4 N.
-    m = b.order.shape[0]
-    sorted_key = jnp.take(cell_id, b.order)
-    gstart = jnp.searchsorted(
-        sorted_key, jnp.arange(g**3 + 1, dtype=jnp.int32),
-        side="left", method="sort",
-    ).astype(jnp.int32)
-    counts = gstart[1:] - gstart[:-1]
-    slot_cell = jnp.arange(g**3 * cap, dtype=jnp.int32) // cap
-    slot_rank = jnp.arange(g**3 * cap, dtype=jnp.int32) % cap
-    p_of_slot = jnp.where(
-        slot_rank < jnp.take(counts, slot_cell),
-        jnp.take(gstart[:-1], slot_cell) + slot_rank,
-        m,
-    )
-    order_ext = jnp.concatenate(
-        [b.order.astype(jnp.int32), jnp.asarray([n], jnp.int32)]
-    )
-    table = jnp.take(order_ext, p_of_slot, mode="clip")
+    # Deliberately scatter-based (probe-measured faster than the arithmetic
+    # gather form at both flagship and config-4 scale — see
+    # ops/pallas_knn._build_table and benchmarks/probe_tablebuild.py).
+    table = scatter_to_table(b, b.order, g**3, cap, n, jnp.int32).reshape(-1)
     overflow = b.overflow
     if valid is not None:
         # Invalid rows all share the sentinel key; don't count the ones

@@ -475,21 +475,33 @@ def build_cellblock(
         order, axis=0,
     )  # [N(sorted rows), k]
 
-    tile_q = sorted_col * tpc + jnp.clip(r // qb, 0, tpc - 1)
+    # The S build runs DIRECTLY on slot rows (rows = slots; padding rows
+    # read a sentinel line and produce zero S rows): building a compact
+    # [N, 9W] table first and expanding it costs two extra full-table
+    # transients (~4.4 GB at config-4 scale — the round-3 train-step OOM).
+    nbr_aux_slots = jnp.take(
+        jnp.concatenate(
+            [nbr_aux, jnp.full((1, k), num_slots * g, nbr_aux.dtype)]
+        ),
+        particle_of_slot, axis=0, mode="clip",
+    )  # [num_slots, k]
+    occupied = particle_of_slot < n
+    slot_ids = jnp.arange(num_slots, dtype=jnp.int32)
     # Per-(tile, j) constants, one row gather of a packed [num_tiles, 45]
-    # table per query row.
+    # table per slot row (tile of slot row is pure arithmetic: tiles are
+    # slot-aligned).
     const = jnp.stack([w_loc, cp_j, m_j, ca_j, cg1_j], axis=2).astype(
         jnp.int32
     )  # [num_tiles, 9, 5]
     const_rows = jnp.take(
-        const.reshape(num_tiles, 45), tile_q, axis=0
-    )  # [N, 45]
+        const.reshape(num_tiles, 45), slot_ids // qb, axis=0
+    )  # [num_slots, 45]
 
     lo_w = min(_LANE, w_cap)
     hi_w = w_cap // lo_w
 
-    gx_q = sorted_col // g
-    gy_q = sorted_col % g
+    gx_q = (slot_ids // cc) // g
+    gy_q = (slot_ids // cc) % g
 
     def s_tile(args):
         nbr_t, const_t, gxq_t, gyq_t, qok_t = args
@@ -545,9 +557,9 @@ def build_cellblock(
         )
         return s, dropped
 
-    tile = min(_S_BUILD_TILE, n)
-    pad = (-n) % tile
-    arrays = [nbr_aux, const_rows, gx_q, gy_q, q_ok]
+    tile = min(_S_BUILD_TILE, num_slots)
+    pad = (-num_slots) % tile
+    arrays = [nbr_aux_slots, const_rows, gx_q, gy_q, occupied]
     if pad:
         arrays = [
             jnp.pad(
@@ -557,24 +569,19 @@ def build_cellblock(
             )
             for a in arrays
         ]
-    num = (n + pad) // tile
+    num = (num_slots + pad) // tile
     s_chunks, drop_chunks = jax.lax.map(
         s_tile, tuple(a.reshape((num, tile) + a.shape[1:]) for a in arrays)
     )
-    s_compact = s_chunks.reshape(num * tile, spec.s_width)[:n]
+    s_table = s_chunks.reshape(num * tile, spec.s_width)[:num_slots]
     dropped = jnp.sum(drop_chunks).astype(jnp.int32)
-
-    s_ext = jnp.concatenate(
-        [s_compact, jnp.zeros((1, spec.s_width), jnp.int8)]
-    )
-    s_table = jnp.take(s_ext, particle_of_slot, axis=0, mode="clip")
 
     s_rev_table = None
     reverse_mismatch = None
     if with_reverse:
         s_rev_table, rev_total = _build_reverse_table(
-            nbr_aux, particle_of_slot, pad_src, window_starts,
-            c_pre, spec, n,
+            nbr_aux_slots // g, pad_src, window_starts,
+            c_pre, spec,
         )
         fwd_total = (
             jnp.sum(s_table.astype(jnp.int32)).astype(jnp.int32)
@@ -597,7 +604,7 @@ def build_cellblock(
 
 
 def _build_reverse_table(
-    nbr_aux, particle_of_slot, pad_src, window_starts, c_pre, spec, n
+    nbr_slots_tbl, pad_src, window_starts, c_pre, spec
 ):
     """Transpose selection table: ``S_rev[sender slot, (j, off)]`` counts the
     edges whose RECEIVER is the particle at padded-window position
@@ -610,21 +617,14 @@ def _build_reverse_table(
     deduplicated against the window (a particle contributes through its
     main image when that image is inside the window, else through exactly
     one wrap image).
+
+    ``nbr_slots_tbl``: ``[num_slots, k]`` sender slots per receiver SLOT
+    row (padding rows hold the ``num_slots`` sentinel).
     """
     g, cc, qb, w_cap = (spec.grid_size, spec.col_capacity,
                         spec.query_block, spec.window)
     num_slots, num_tiles, ccp = spec.num_slots, spec.num_tiles, spec.padded_col
-
-    # Slot-space neighbor table (sender slots per receiver slot) and its
-    # padded image, plus each padded row's main-image position for dedup.
-    nbr_slot = nbr_aux // g  # [N, k] sender slots, rows in sorted order
-    k = nbr_slot.shape[1]
-    nbr_ext = jnp.concatenate(
-        [nbr_slot, jnp.full((1, k), num_slots, nbr_slot.dtype)]
-    )
-    nbr_slots_tbl = jnp.take(
-        nbr_ext, particle_of_slot, axis=0, mode="clip"
-    )  # [num_slots, k]
+    k = nbr_slots_tbl.shape[1]
     slot_ids = jnp.arange(num_slots, dtype=jnp.int32)
     main_pos_slot = (
         (slot_ids // cc) * ccp

@@ -110,14 +110,12 @@ def _select_kernel(k: int, cells_per_block: int, cap: int, num_cand: int):
 def _build_table(positions, g: int, cap: int, box):
     """XLA-side binning: dense per-cell planes + particle bookkeeping.
 
-    Scatter-free (round 3): the [G^3 * cap] tables are built by the
-    boundaries trick — slot -> sorted-particle index via one searchsorted
-    over the (monotone while no cell overflows) slot stream, then gathers.
-    The four .at[slot].set scatters this replaces measured ~7 ms of the
-    ~15 ms kNN at N=65k (flagship profile, benchmarks/flagship_r3.py);
-    under overflow the boundaries are unreliable, exactly the regime the
-    ``overflow`` diagnostic flags as inexact (same caveat as the original
-    drop-mode scatters).
+    Deliberately SCATTER-based: benchmarks/probe_tablebuild.py measured the
+    drop-mode unique-index .at[slot].set form fastest at BOTH flagship and
+    config-4 scale (35.0 vs 39.7 ms and 104.8 vs 137.0 ms against the
+    arithmetic gstart[cell]+rank gather form) — TPU table scatters of this
+    shape are fine; it is elementwise *gathers* at 1e8+ elements that are
+    pathological (docs/PERFORMANCE.md).
     """
     n = positions.shape[0]
     inv_cell = g / box
@@ -127,45 +125,13 @@ def _build_table(positions, g: int, cap: int, box):
     cell_id = (coords[:, 0] * g + coords[:, 1]) * g + coords[:, 2]
     b = bin_by_key(cell_id, g**3, cap)
     sorted_pos = positions[b.order]
-    sorted_cell = jnp.take(cell_id, b.order)
 
-    # slot -> sorted-particle index by ARITHMETIC: the stable sort packs
-    # cell c's particles at [gstart[c], gstart[c+1]), so slot (c, r) holds
-    # sorted index gstart[c] + r iff r < count(c). One searchsorted over
-    # G^3+1 targets + [G^3 * cap]-sized gathers from [G^3] tables — cheaper
-    # than either the four .at[slot].set scatters (at big N) or a
-    # searchsorted over all slots, and EXACT under cell overflow (the
-    # first `cap` particles of each cell, by sort order).
-    gstart = jnp.searchsorted(
-        sorted_cell, jnp.arange(g**3 + 1, dtype=jnp.int32),
-        side="left", method="sort",
-    ).astype(jnp.int32)
-    counts = gstart[1:] - gstart[:-1]
-    slot_cell = jnp.arange(g**3 * cap, dtype=jnp.int32) // cap
-    slot_rank = jnp.arange(g**3 * cap, dtype=jnp.int32) % cap
-    particle_of_slot = jnp.where(
-        slot_rank < jnp.take(counts, slot_cell),
-        jnp.take(gstart[:-1], slot_cell) + slot_rank,
-        n,
-    )
-
-    def plane(sorted_vals, fill, dtype):
-        ext = jnp.concatenate(
-            [sorted_vals.astype(dtype), jnp.asarray([fill], dtype)]
-        )
-        return jnp.take(ext, particle_of_slot, mode="clip").reshape(
-            g**3, cap
-        )
-
-    plane_x = plane(sorted_pos[:, 0], 0.0, jnp.float32)
-    plane_y = plane(sorted_pos[:, 1], 0.0, jnp.float32)
-    plane_z = plane(sorted_pos[:, 2], 0.0, jnp.float32)
-    ids = plane(b.order, n, jnp.int32)  # n == empty sentinel
-    # Per original particle: its (cell, rank) for result re-ordering —
-    # the inverse permutation via sort_key_val (scatter-free).
-    _, particle_rank = jax.lax.sort_key_val(
-        b.order.astype(jnp.int32), b.rank.astype(jnp.int32)
-    )
+    plane_x = scatter_to_table(b, sorted_pos[:, 0], g**3, cap, 0.0, jnp.float32)
+    plane_y = scatter_to_table(b, sorted_pos[:, 1], g**3, cap, 0.0, jnp.float32)
+    plane_z = scatter_to_table(b, sorted_pos[:, 2], g**3, cap, 0.0, jnp.float32)
+    ids = scatter_to_table(b, b.order, g**3, cap, n, jnp.int32)  # n == empty
+    # Per original particle: its (cell, rank) for result re-ordering.
+    particle_rank = jnp.zeros((n,), jnp.int32).at[b.order].set(b.rank)
     return plane_x, plane_y, plane_z, ids, cell_id, particle_rank, b.overflow
 
 
