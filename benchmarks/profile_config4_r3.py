@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--latent", type=int, default=256)
     ap.add_argument("--mp", type=int, default=15)
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--train_only", action="store_true",
+                    help="skip the rollout measurements (train step only)")
     args = ap.parse_args()
     n, k, latent = args.n, args.k, args.latent
 
@@ -81,6 +83,12 @@ def main():
     positions = pos_seq[-1]
 
     results = {}
+    if args.train_only:
+        try:
+            with open("benchmarks/results/config4_r3.json") as f:
+                results.update(json.load(f))
+        except FileNotFoundError:
+            pass
     spec = choose_cellblock_spec(n, k)
     results["spec"] = (
         f"G={spec.grid_size} CC={spec.col_capacity} QB={spec.query_block} "
@@ -92,62 +100,65 @@ def main():
     print(results["spec"], "padding", results["slot_padding"],
           "S", results["s_table_gb"], "GB", flush=True)
 
-    grid = choose_cell_grid(n, k)
-    nbr = jax.jit(
-        lambda p: pallas_cell_list_knn(p, k, 1.0, grid)
-    )(positions)
-    nbr = jax.block_until_ready(nbr)
+    MEASURE_ROLLOUT = not args.train_only
+    if MEASURE_ROLLOUT:
+        grid = choose_cell_grid(n, k)
+        nbr = jax.jit(
+            lambda p: pallas_cell_list_knn(p, k, 1.0, grid)
+        )(positions)
+        nbr = jax.block_until_ready(nbr)
 
-    # Plan builds (jitted; eps perturbs positions so the tunnel can't memoize)
-    @jax.jit
-    def plan_fwd(p, nb, eps):
-        plan = build_cellblock(
-            jnp.remainder(p + eps, 1.0), nb, 1.0, spec
+        # Plan builds (jitted; eps perturbs positions so the tunnel can't memoize)
+        @jax.jit
+        def plan_fwd(p, nb, eps):
+            plan = build_cellblock(
+                jnp.remainder(p + eps, 1.0), nb, 1.0, spec
+            )
+            return (jnp.sum(plan.s_table[::4097].astype(jnp.int32))
+                    + plan.overflow + plan.dropped_edges).astype(jnp.float32)
+
+        results["plan_fwd_ms"] = timeit(plan_fwd, positions, nbr) * 1e3
+        print(f"plan_fwd: {results['plan_fwd_ms']:.0f} ms", flush=True)
+
+        @jax.jit
+        def plan_rev(p, nb, eps):
+            plan = build_cellblock(
+                jnp.remainder(p + eps, 1.0), nb, 1.0, spec, with_reverse=True
+            )
+            return (jnp.sum(plan.s_rev_table[::4097].astype(jnp.int32))
+                    + plan.reverse_mismatch).astype(jnp.float32)
+
+        results["plan_rev_ms"] = timeit(plan_rev, positions, nbr) * 1e3
+        print(f"plan_with_reverse: {results['plan_rev_ms']:.0f} ms", flush=True)
+
+        plan = jax.block_until_ready(
+            jax.jit(
+                lambda p, nb: build_cellblock(p, nb, 1.0, spec)
+            )(positions, nbr)
         )
-        return (jnp.sum(plan.s_table[::4097].astype(jnp.int32))
-                + plan.overflow + plan.dropped_edges).astype(jnp.float32)
+        print("diagnostics: overflow", int(plan.overflow),
+              "dropped", int(plan.dropped_edges),
+              "window_overflow", int(plan.window_overflow), flush=True)
+        results["overflow"] = int(plan.overflow)
+        results["dropped_edges"] = int(plan.dropped_edges)
 
-    results["plan_fwd_ms"] = timeit(plan_fwd, positions, nbr) * 1e3
-    print(f"plan_fwd: {results['plan_fwd_ms']:.0f} ms", flush=True)
+        z = jnp.asarray(
+            rng.standard_normal((spec.num_slots, latent)).astype(np.float32))
 
-    @jax.jit
-    def plan_rev(p, nb, eps):
-        plan = build_cellblock(
-            jnp.remainder(p + eps, 1.0), nb, 1.0, spec, with_reverse=True
-        )
-        return (jnp.sum(plan.s_rev_table[::4097].astype(jnp.int32))
-                + plan.reverse_mismatch).astype(jnp.float32)
+        MEASURE_ROLLOUT = not args.train_only
+        # Plan passed as an ARGUMENT: closing over it would bake the 2.3 GB
+        # S table into the jaxpr as a constant (the remote compile service
+        # rejects the request body).
+        @jax.jit
+        def agg(zz, pl, eps):
+            out = cellblock_aggregate_slots(zz + eps, pl, spec)
+            return jnp.sum(out[:: 4097]).reshape(())
 
-    results["plan_rev_ms"] = timeit(plan_rev, positions, nbr) * 1e3
-    print(f"plan_with_reverse: {results['plan_rev_ms']:.0f} ms", flush=True)
+        def agg_t(zz, eps):
+            return agg(zz, plan, eps)
 
-    plan = jax.block_until_ready(
-        jax.jit(
-            lambda p, nb: build_cellblock(p, nb, 1.0, spec)
-        )(positions, nbr)
-    )
-    print("diagnostics: overflow", int(plan.overflow),
-          "dropped", int(plan.dropped_edges),
-          "window_overflow", int(plan.window_overflow), flush=True)
-    results["overflow"] = int(plan.overflow)
-    results["dropped_edges"] = int(plan.dropped_edges)
-
-    z = jnp.asarray(
-        rng.standard_normal((spec.num_slots, latent)).astype(np.float32))
-
-    # Plan passed as an ARGUMENT: closing over it would bake the 2.3 GB
-    # S table into the jaxpr as a constant (the remote compile service
-    # rejects the request body).
-    @jax.jit
-    def agg(zz, pl, eps):
-        out = cellblock_aggregate_slots(zz + eps, pl, spec)
-        return jnp.sum(out[:: 4097]).reshape(())
-
-    def agg_t(zz, eps):
-        return agg(zz, plan, eps)
-
-    results["kernel_ms"] = timeit(agg_t, z) * 1e3
-    print(f"aggregate kernel: {results['kernel_ms']:.1f} ms", flush=True)
+        results["kernel_ms"] = timeit(agg_t, z) * 1e3
+        print(f"aggregate kernel: {results['kernel_ms']:.1f} ms", flush=True)
 
     stats = NormalizationStats(
         temp_mean=jnp.asarray(1.0), temp_std=jnp.asarray(0.3),
@@ -162,38 +173,42 @@ def main():
     )
     params = init_encode_process_decode(jax.random.PRNGKey(0), model_config)
 
-    def roll_steps(num_steps, eps):
-        out = rollout(
-            params, model_config,
-            jnp.remainder(pos_seq + eps, 1.0), temp_seq, stats, num_steps,
-            num_neighbors=k, neighbor_method="pallas",
-            aggregation="cellblock", dtype=jnp.bfloat16,
-        )
-        return jnp.sum(out["Coordinates"][-1]).reshape(())
+    if MEASURE_ROLLOUT:
+        def roll_steps(num_steps, eps):
+            out = rollout(
+                params, model_config,
+                jnp.remainder(pos_seq + eps, 1.0), temp_seq, stats, num_steps,
+                num_neighbors=k, neighbor_method="pallas",
+                aggregation="cellblock", dtype=jnp.bfloat16,
+            )
+            return jnp.sum(out["Coordinates"][-1]).reshape(())
 
-    jroll = jax.jit(roll_steps, static_argnums=0)
-    for steps in (1, 3):
-        float(jroll(steps, 0.0))
-        best = float("inf")
-        for rep in range(REPS):
-            t0 = time.perf_counter()
-            float(jroll(steps, (rep + 1) * 1e-6))
-            best = min(best, time.perf_counter() - t0)
-        results[f"rollout_{steps}step_ms"] = best * 1e3
-        print(f"rollout_{steps}step: {best*1e3:.0f} ms", flush=True)
-    marginal = (
-        results["rollout_3step_ms"] - results["rollout_1step_ms"]) / 2
-    results["rollout_marginal_step_ms"] = marginal
-    results["particle_steps_per_s"] = n / (marginal / 1e3)
-    print(f"marginal rollout step: {marginal:.0f} ms "
-          f"({results['particle_steps_per_s']/1e6:.2f}M particle-steps/s)",
-          flush=True)
+        jroll = jax.jit(roll_steps, static_argnums=0)
+        for steps in (1, 3):
+            float(jroll(steps, 0.0))
+            best = float("inf")
+            for rep in range(REPS):
+                t0 = time.perf_counter()
+                float(jroll(steps, (rep + 1) * 1e-6))
+                best = min(best, time.perf_counter() - t0)
+            results[f"rollout_{steps}step_ms"] = best * 1e3
+            print(f"rollout_{steps}step: {best*1e3:.0f} ms", flush=True)
+        marginal = (
+            results["rollout_3step_ms"] - results["rollout_1step_ms"]) / 2
+        results["rollout_marginal_step_ms"] = marginal
+        results["particle_steps_per_s"] = n / (marginal / 1e3)
+        print(f"marginal rollout step: {marginal:.0f} ms "
+              f"({results['particle_steps_per_s']/1e6:.2f}M particle-steps/s)",
+              flush=True)
 
     if not args.skip_train:
+        # Hierarchical remat (remat_chunk): 15 stored [646k, 256] scan
+        # carries (4.9 GB) shrink to 3 outer + 5 inner — the flat per-step
+        # remat still ResourceExhausted'd on the 15.75 GB chip.
         mc_train = default_model_config(
             latent_size=latent, mlp_hidden_size=latent,
             num_message_passing_steps=args.mp, remat=True,
-            carry_dtype="bfloat16",
+            remat_chunk=5, carry_dtype="bfloat16",
         )
         tc = TrainConfig(
             num_neighbors=k, batch_size=1, noise_std=3e-4,

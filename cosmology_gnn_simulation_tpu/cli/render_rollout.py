@@ -55,6 +55,10 @@ def main(argv=None):
                         help="Rebuild the k-NN graph every R steps (R=1 = "
                              "reference semantics; R>1 trades exactness for "
                              "~1.3-1.5x throughput)")
+    parser.add_argument("--no_fused_tail", action="store_true",
+                        help="Disable the fused step-tail Pallas kernel "
+                             "(auto-enabled for pruned bf16 rollouts on "
+                             "real TPU; ops/fused_step.py)")
     parser.add_argument("--spatial_shards", type=int, default=0,
                         help="Run the rollout spatially sharded over this "
                              "many devices with ppermute halo exchange "
@@ -147,6 +151,7 @@ def main(argv=None):
             reneighbor_every=args.reneighbor_every,
             exactness_guard=args.exactness_guard,
             aggregation=args.aggregation,
+            fused_tail=False if args.no_fused_tail else None,
         )
     rollout_data = {k: np.asarray(v) for k, v in rollout_data.items()}
     exactness = rollout_data.pop("neighbor_exactness", None)

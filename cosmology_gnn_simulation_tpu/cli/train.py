@@ -60,6 +60,7 @@ def main(argv=None):
         output_size=args.output_size,
         aggregate=args.aggregate,
         remat=getattr(args, "remat", False),
+        remat_chunk=getattr(args, "remat_chunk", None),
         carry_dtype=getattr(args, "carry_dtype", None),
     )
     train_config = TrainConfig(

@@ -92,6 +92,13 @@ def build_train_parser() -> argparse.ArgumentParser:
                              "the backward pass (O(1) residual memory in "
                              "the step count — required for config-4-scale "
                              "training on one chip)")
+    parser.add_argument("--remat_chunk", type=int, default=None,
+                        help="Hierarchical two-level remat: scan the "
+                             "processor as M/chunk checkpointed chunks of "
+                             "chunk checkpointed steps (must divide "
+                             "num_message_passing_steps); the backward "
+                             "holds M/c + c carries instead of M — what "
+                             "lets config-4 (N=500k) training fit one chip")
     parser.add_argument("--no_strict_neighbors", action="store_true",
                         help="Downgrade a failed kNN exactness certificate "
                              "from an error to a warning")

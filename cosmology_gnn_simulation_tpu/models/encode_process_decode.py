@@ -85,6 +85,23 @@ class EncodeProcessDecodeConfig(NamedTuple):
     # (N=500k x latent 256 x 15 steps would otherwise hold ~30 GB of
     # residuals).
     remat: bool = False
+    # Hierarchical (two-level) rematerialization: scan the processor as
+    # M/remat_chunk checkpointed chunks of remat_chunk checkpointed steps.
+    # The backward then holds M/c outer carries + c inner carries + one
+    # step's transients instead of M carries — at BASELINE config 4
+    # (15 steps x a 331 MB bf16 slot carry) that is the difference between
+    # fitting the 15.75 GB HBM and not. Implies per-step checkpointing;
+    # must divide num_message_passing_steps. Also checkpoints the
+    # encoder/decoder MLPs (recompute two [N, H] matmuls instead of
+    # storing ~4 [N, H] activations each).
+    remat_chunk: Optional[int] = None
+    # Run the step's post-aggregation tail (w_self matmul, hidden/final
+    # Linears, LayerNorm, residual) as ONE fused Pallas row-tile pass
+    # (ops/fused_step.py) instead of ~6 separate XLA fusions that each
+    # round-trip an [N, H] tensor through HBM. Forward-only (the kernel
+    # has no VJP) — enable for rollout/eval, not training. Requires the
+    # pruned sender-latents mode.
+    fused_tail: bool = False
 
 
 def init_encode_process_decode(
@@ -278,10 +295,15 @@ def _pruned_processor_step(
     halo=None,
     cellblock=None,
     cellblock_spec=None,
+    fused_tail: bool = False,
 ) -> jnp.ndarray:
     """Node-stream-only InteractionNetwork step, valid under
     ``sender_latents`` aggregation where the edge stream is provably dead
-    (see module docstring)."""
+    (see module docstring).
+
+    With ``fused_tail`` the return value is the FULL new carry (residual
+    included — one fused Pallas pass, see ``ops/fused_step.py``);
+    otherwise the pre-residual step output, added by the caller."""
     latent = x.shape[-1]
     node_first = step_params["node"]["layers"][0]
     nw = node_first["w"]
@@ -311,7 +333,20 @@ def _pruned_processor_step(
             z = z.astype(dtype)
         agg_h = _gather_sum(
             _maybe_all_gather(z, particle_axis, halo), neighbors, sorted_edges
-        ).astype(jnp.float32)
+        )
+        if not fused_tail:
+            agg_h = agg_h.astype(jnp.float32)
+        # (fused path: the kernel casts agg to f32 on read — materializing
+        # the cast here would cost an extra [N, H] f32 HBM round-trip.)
+    if fused_tail:
+        from cosmology_gnn_simulation_tpu.ops.fused_step import (
+            fused_step_tail,
+        )
+
+        return fused_step_tail(
+            x, agg_h, step_params["node"],
+            dtype=jnp.float32 if dtype is None else dtype,
+        )
     h_n = jax.nn.relu(_split_dense(x, w_self, dtype) + agg_h + node_first["b"])
     return _mlp_tail(step_params["node"], h_n, dtype)
 
@@ -355,6 +390,47 @@ def apply_encode_process_decode(
                 "cellblock aggregation requires the pruned sender_latents "
                 "mode (the edge_messages gather is not a segment sum)"
             )
+    if config.fused_tail and not (
+        config.aggregate == "sender_latents" and config.prune_dead_edge_stream
+    ):
+        raise ValueError(
+            "fused_tail requires the pruned sender_latents mode (the edge "
+            "stream's tail is not fused)"
+        )
+    chunk = config.remat_chunk
+    if chunk is not None and chunk > 1:
+        if config.num_message_passing_steps % chunk:
+            raise ValueError(
+                f"remat_chunk={chunk} must divide "
+                f"num_message_passing_steps="
+                f"{config.num_message_passing_steps}"
+            )
+    mlp_fn = (
+        jax.checkpoint(apply_mlp, static_argnums=(2,))
+        if chunk is not None and chunk > 1
+        else apply_mlp
+    )
+
+    def scan_steps(body, carry):
+        if config.remat or (chunk is not None and chunk > 1):
+            body = jax.checkpoint(body)
+        if chunk is None or chunk <= 1:
+            out, _ = jax.lax.scan(body, carry, params["processor"])
+            return out
+        m = config.num_message_passing_steps
+        chunked = jax.tree.map(
+            lambda p: p.reshape((m // chunk, chunk) + p.shape[1:]),
+            params["processor"],
+        )
+
+        @jax.checkpoint
+        def chunk_body(c, chunk_params):
+            out, _ = jax.lax.scan(body, c, chunk_params)
+            return out, None
+
+        out, _ = jax.lax.scan(chunk_body, carry, chunked)
+        return out
+
     nodes = graph.nodes
     if graph.globals_ is not None:
         # Broadcast globals onto every node before encoding
@@ -363,7 +439,7 @@ def apply_encode_process_decode(
             graph.globals_[None, :], (nodes.shape[0], graph.globals_.shape[-1])
         )
         nodes = jnp.concatenate([nodes, broadcast], axis=-1)
-    x = apply_mlp(params["encoder"]["node"], nodes, dtype)
+    x = mlp_fn(params["encoder"]["node"], nodes, dtype)
     carry_dt = (
         jnp.dtype(config.carry_dtype) if config.carry_dtype else None
     )
@@ -399,16 +475,17 @@ def apply_encode_process_decode(
             x_new = _pruned_processor_step(
                 carry, neighbors, step_params, dtype, particle_axis,
                 graph.sorted_edges, halo, graph.cellblock, cellblock_spec,
+                config.fused_tail,
             )
+            if config.fused_tail:
+                return x_new, None  # residual applied inside the kernel
             return residual_add(carry, x_new), None
 
-        if config.remat:
-            body = jax.checkpoint(body)
-        x, _ = jax.lax.scan(body, x, params["processor"])
+        x = scan_steps(body, x)
         if graph.cellblock is not None:
             x = compact_from_slots(x, graph.cellblock)
     else:
-        e = apply_mlp(params["encoder"]["edge"], graph.edges, dtype)
+        e = mlp_fn(params["encoder"]["edge"], graph.edges, dtype)
         if carry_dt is not None:
             e = e.astype(carry_dt)
 
@@ -420,12 +497,10 @@ def apply_encode_process_decode(
             )
             return (residual_add(x, x_new), residual_add(e, e_new)), None
 
-        if config.remat:
-            body = jax.checkpoint(body)
-        (x, e), _ = jax.lax.scan(body, (x, e), params["processor"])
+        x, e = scan_steps(body, (x, e))
     return {
-        "acceleration": apply_mlp(params["decoder_acc"], x, dtype),
-        "temp_rate": apply_mlp(params["decoder_temp_rate"], x, dtype),
+        "acceleration": mlp_fn(params["decoder_acc"], x, dtype),
+        "temp_rate": mlp_fn(params["decoder_temp_rate"], x, dtype),
     }
 
 

@@ -802,10 +802,13 @@ def _window_kernel(spec: CellBlockSpec, hb: int, out_dtype):
         for j in range(9):
             cand = wins[j][...]  # [W, hb]
             sj = s_ref[:, j * w : (j + 1) * w].astype(cand.dtype)
-            # bf16 candidates: MXU products (0/1 x bf16) are exact with f32
-            # accumulation. f32 candidates: force the multi-pass f32 matmul
-            # — the MXU's default single-pass bf16 costs ~1% error, which
-            # the "exact up to summation order" f32 mode must not have.
+            # bf16 candidates: MXU products (small-int x bf16) are exact
+            # with f32 accumulation. f32 candidates: request the multi-pass
+            # matmul — the MXU's default single-pass bf16 costs ~1% error.
+            # NOTE (probe, round 3): on the real backend Mosaic honors
+            # in-kernel HIGHEST only partially (~1.5e-3 relative) — f32
+            # carry is therefore NOT exact on real TPU (the wrapper warns);
+            # bf16 carry is the production mode and its products are exact.
             precision = (
                 jax.lax.Precision.HIGHEST
                 if cand.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
@@ -836,6 +839,15 @@ def _window_matmul(
 ):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if not interpret and jnp.dtype(carry_dtype) == jnp.float32:
+        import warnings
+
+        warnings.warn(
+            "cellblock carry_dtype=float32 on real TPU is ~1.5e-3 accurate "
+            "(Mosaic honors in-kernel Precision.HIGHEST only partially); "
+            "use carry_dtype=bfloat16 for the exact small-int x bf16 path",
+            stacklevel=3,
+        )
     num_slots, h = z_slots.shape
     hb = min(spec.h_block, h)
     if h % hb != 0:
@@ -932,7 +944,10 @@ def cellblock_aggregate_slots(
 
     ``carry_dtype`` is the precision of the candidate table inside the
     kernel (accumulation is always f32 on the MXU); bf16 halves VMEM and
-    HBM traffic, f32 makes the op exact up to summation order.
+    HBM traffic and its small-int x bf16 products are exact. f32 is exact
+    up to summation order only in interpret mode — on real TPU Mosaic
+    honors in-kernel Precision.HIGHEST only partially (~1.5e-3 relative;
+    a warning is raised).
     ``interpret=None``: auto — compiled on TPU, interpreter elsewhere
     (CPU tests and the virtual multi-device mesh).
 

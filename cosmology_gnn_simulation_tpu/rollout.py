@@ -87,6 +87,7 @@ def integrate_step(
         "exactness_guard",
         "aggregation",
         "cellblock_spec",
+        "fused_tail",
     ),
 )
 def rollout(
@@ -106,6 +107,7 @@ def rollout(
     exactness_guard: str = "flag",
     aggregation: str = "gather",
     cellblock_spec=None,
+    fused_tail: Optional[bool] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Roll the learned simulator forward ``num_steps`` steps.
 
@@ -151,6 +153,27 @@ def rollout(
         raise ValueError(f"unknown exactness_guard: {exactness_guard}")
     if aggregation not in ("gather", "cellblock"):
         raise ValueError(f"unknown aggregation: {aggregation}")
+    pruned = (
+        model_config.aggregate == "sender_latents"
+        and model_config.prune_dead_edge_stream
+    )
+    # Fused step-tail kernel (ops/fused_step.py): one Pallas pass instead of
+    # ~6 XLA fusions per message-passing step. Default: on for real-TPU
+    # pruned bf16 rollouts (the kernel is forward-only, which a rollout is;
+    # bf16-only on real TPU — Mosaic in-kernel f32 matmuls are ~1e-3 even
+    # at Precision.HIGHEST). Interpret-mode execution elsewhere is correct
+    # but slow, so CPU keeps the plain XLA path unless explicitly requested.
+    if fused_tail is None:
+        fused_tail = (
+            pruned
+            and jax.default_backend() == "tpu"
+            and dtype is not None
+            and jnp.dtype(dtype) == jnp.bfloat16
+        )
+    elif fused_tail and not pruned:
+        raise ValueError("fused_tail requires the pruned sender_latents mode")
+    if fused_tail:
+        model_config = model_config._replace(fused_tail=True)
     zero_key = jax.random.PRNGKey(0)
     reuse = reneighbor_every > 1
     guard = exactness_guard != "off"

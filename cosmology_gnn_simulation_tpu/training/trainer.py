@@ -793,6 +793,7 @@ def default_model_config(
     aggregate: str = "sender_latents",
     prune_dead_edge_stream: bool = True,
     remat: bool = False,
+    remat_chunk: Optional[int] = None,
     carry_dtype: Optional[str] = None,
 ) -> EncodeProcessDecodeConfig:
     return EncodeProcessDecodeConfig(
@@ -806,5 +807,6 @@ def default_model_config(
         aggregate=aggregate,
         prune_dead_edge_stream=prune_dead_edge_stream,
         remat=remat,
+        remat_chunk=remat_chunk,
         carry_dtype=carry_dtype,
     )

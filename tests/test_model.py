@@ -293,3 +293,55 @@ def test_remat_gradients_match():
         ),
         g0, g1,
     )
+
+
+def test_remat_chunk_gradients_match():
+    """Hierarchical (two-level) remat changes memory scheduling, not math;
+    covers both the pruned and the unpruned processor scans."""
+    from cosmology_gnn_simulation_tpu.models.encode_process_decode import (
+        apply_encode_process_decode,
+        init_encode_process_decode,
+    )
+    from cosmology_gnn_simulation_tpu.training.trainer import (
+        default_model_config,
+    )
+    from cosmology_gnn_simulation_tpu.featurize import featurize
+    from cosmology_gnn_simulation_tpu.types import NormalizationStats
+    from cosmology_gnn_simulation_tpu.metadata import compute_metadata
+    from cosmology_gnn_simulation_tpu.data.synthetic import (
+        generate_synthetic_simulation,
+    )
+
+    sim = generate_synthetic_simulation(num_snapshots=6, num_particles=64,
+                                        seed=8)
+    stats = NormalizationStats.from_metadata(compute_metadata(sim))
+    graph = featurize(
+        jnp.asarray(sim["Coordinates"][:5]),
+        jnp.asarray(sim["InternalEnergy"][:5]),
+        stats, jax.random.PRNGKey(0), num_neighbors=4,
+    )
+    mc = default_model_config(latent_size=16, mlp_hidden_size=16,
+                              num_message_passing_steps=4)
+
+    def loss(p, cfg):
+        out = apply_encode_process_decode(p, graph, cfg)
+        return jnp.sum(out["acceleration"] ** 2) + jnp.sum(
+            out["temp_rate"] ** 2
+        )
+
+    for base in (mc, mc._replace(prune_dead_edge_stream=False)):
+        params = init_encode_process_decode(jax.random.PRNGKey(1), base)
+        g0 = jax.grad(loss)(params, base)
+        g1 = jax.grad(loss)(params, base._replace(remat_chunk=2))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            ),
+            g0, g1,
+        )
+
+    with pytest.raises(ValueError, match="remat_chunk"):
+        apply_encode_process_decode(
+            init_encode_process_decode(jax.random.PRNGKey(1), mc),
+            graph, mc._replace(remat_chunk=3),
+        )
