@@ -171,6 +171,10 @@ def main():
         def f(eps):
             def body(c, _):
                 out = cellblock_aggregate_slots(c + eps, plan, spec)
+                # Feed the output back into the carry — otherwise XLA
+                # hoists the loop-invariant kernel out of the scan and the
+                # marginal measures zero.
+                c = c + eps * out[:, :1]
                 return c, jnp.sum(out[::4097, 0])
             _, outs = jax.lax.scan(body, zs, None, length=steps)
             return jnp.sum(outs).reshape(())

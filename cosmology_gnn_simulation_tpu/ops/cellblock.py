@@ -275,6 +275,47 @@ _S_BUILD_TILE = 16384
 _REV_BUILD_TILES = 8
 
 
+# Rows per grid step of the Pallas S-build kernel (multiple of 32 — int8
+# sublane tiling).
+_S_KERNEL_ROWS = 256
+
+
+def _s_from_offsets(offsets, spec, interpret):
+    """Build int8 S rows from packed flat lane indices (sentinel = s_width)
+    by one-hot accumulation on the VPU — ~1 ms at flagship scale where the
+    XLA one-hot contract costs ~13 ms (it writes a [rows, 9W] f32 transient
+    per chunk)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    num_slots = spec.num_slots
+    k = offsets.shape[1]
+    width = spec.s_width
+    rows = _S_KERNEL_ROWS
+    pad = (-num_slots) % rows
+    if pad:
+        offsets = jnp.pad(offsets, ((0, pad), (0, 0)),
+                          constant_values=width)
+    tiles = (num_slots + pad) // rows
+
+    def kernel(off_ref, s_ref):
+        offs = off_ref[...]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+        acc = jnp.zeros((rows, width), jnp.int32)
+        for kk in range(k):
+            acc = acc + (lanes == offs[:, kk][:, None]).astype(jnp.int32)
+        s_ref[...] = acc.astype(jnp.int8)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[pl.BlockSpec((rows, k), lambda t: (t, 0))],
+        out_specs=pl.BlockSpec((rows, width), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_slots + pad, width), jnp.int8),
+        interpret=interpret,
+    )(offsets)
+    return out[:num_slots]
+
+
 def _onehot_contract(jh, lo, valid, n_jh, n_lo):
     """``S[row, jh * n_lo + lo] = multiplicity`` via two one-hot factors
     contracted on the MXU (a direct scatter-add over N*k elements is
@@ -295,7 +336,7 @@ def _onehot_contract(jh, lo, valid, n_jh, n_lo):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "with_reverse")
+    jax.jit, static_argnames=("spec", "with_reverse", "s_build", "interpret")
 )
 def build_cellblock(
     positions: jnp.ndarray,
@@ -303,6 +344,8 @@ def build_cellblock(
     box_size,
     spec: CellBlockSpec,
     with_reverse: bool = False,
+    s_build: str = "contract",
+    interpret: Optional[bool] = None,
 ) -> CellBlockGraph:
     """Build the per-graph plan: binning, sort order, windows, S table(s).
 
@@ -314,7 +357,20 @@ def build_cellblock(
     and MXU contractions — elementwise scatters (60+ ms for a [500k] -> [1.4M]
     int table at config 4) are deliberately absent. The only large
     elementwise gather is the unavoidable ``aux[neighbors]`` id mapping.
+
+    ``s_build`` selects how the S table is materialized from the per-edge
+    (j, offset) pairs:
+      * ``"contract"`` — one-hot factors contracted on the MXU via XLA
+        (works everywhere; writes a [rows, 9W] f32 transient per chunk —
+        the dominant plan-build cost at small-N/re-neighbor-every-step
+        scales: ~15 ms of the flagship step);
+      * ``"kernel"`` — a Pallas one-hot-accumulate kernel builds S rows
+        directly as int8 from a packed [num_slots, k] offset table
+        (~1 ms at flagship scale; interpret-mode on CPU).
+    Both produce bit-identical tables (pinned by tests).
     """
+    if s_build not in ("contract", "kernel"):
+        raise ValueError(f"unknown s_build mode: {s_build}")
     spec.validate()
     g = spec.grid_size
     cc, qb, w_cap, wrap = (spec.col_capacity, spec.query_block,
@@ -551,6 +607,13 @@ def build_cellblock(
         dropped = jnp.sum(
             qok_t[:, None] & real & ~(ok_main | ok_pre | ok_app)
         ).astype(jnp.int32)
+        if s_build == "kernel":
+            # Packed flat S-lane index per edge; the Pallas one-hot-
+            # accumulate kernel scatters these into int8 rows.
+            packed = jnp.where(
+                valid, j * w_cap + off, jnp.int32(9 * w_cap)
+            ).astype(jnp.int32)
+            return packed, dropped
         jh = j * hi_w + jnp.clip(off // lo_w, 0, hi_w - 1)
         s = _onehot_contract(
             jnp.where(valid, jh, -1), off % lo_w, valid, 9 * hi_w, lo_w
@@ -573,7 +636,11 @@ def build_cellblock(
     s_chunks, drop_chunks = jax.lax.map(
         s_tile, tuple(a.reshape((num, tile) + a.shape[1:]) for a in arrays)
     )
-    s_table = s_chunks.reshape(num * tile, spec.s_width)[:num_slots]
+    if s_build == "kernel":
+        offsets = s_chunks.reshape(num * tile, k)[:num_slots]
+        s_table = _s_from_offsets(offsets, spec, interpret)
+    else:
+        s_table = s_chunks.reshape(num * tile, spec.s_width)[:num_slots]
     dropped = jnp.sum(drop_chunks).astype(jnp.int32)
 
     s_rev_table = None

@@ -353,12 +353,18 @@ def _cellblock_rollout(
             .transpose(1, 0, 2)
         )
 
+    # S built by the Pallas one-hot kernel on real TPU (~1 ms at flagship
+    # scale vs ~13 ms for the XLA one-hot contract — bit-identical tables,
+    # pinned by tests); the contract path stays for CPU.
+    s_build = "kernel" if jax.default_backend() == "tpu" else "contract"
+
     def research(pos_w, temp_w, inv_ids):
         wrapped = wrap_positions(pos_w[-1], box)
         neighbors, exact = neighbor_search_certified(
             wrapped, k, box, method=method, query_tile=tile
         )
-        plan = build_cellblock(wrapped, neighbors, box, spec)
+        plan = build_cellblock(wrapped, neighbors, box, spec,
+                               s_build=s_build)
         exact = exact & (plan.overflow == 0) & (plan.dropped_edges == 0)
         pos_w = permute_window(pos_w, plan.order)
         temp_w = permute_window(temp_w, plan.order)

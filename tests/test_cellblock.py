@@ -248,3 +248,26 @@ def test_sort_neighbors_roundtrip():
         for s in np.asarray(nbr_sorted)[i]
     }
     assert orig == via
+
+
+@pytest.mark.parametrize("spec", [SPEC, SPEC_TILED])
+def test_s_build_kernel_matches_contract(spec):
+    """The Pallas one-hot S-build (s_build='kernel') produces a table
+    bit-identical to the XLA one-hot contract, including duplicate-edge
+    multiplicities and the dropped-edge count."""
+    pos, nbr, _ = _fixture(n=300, k=5, seed=3)
+    a = build_cellblock(pos, nbr, 1.0, spec)
+    b = build_cellblock(pos, nbr, 1.0, spec, s_build="kernel")
+    np.testing.assert_array_equal(np.asarray(a.s_table), np.asarray(b.s_table))
+    assert int(a.dropped_edges) == int(b.dropped_edges)
+    assert int(a.overflow) == int(b.overflow)
+    assert int(a.window_overflow) == int(b.window_overflow)
+
+
+def test_s_build_kernel_duplicates():
+    pos, nbr, z = _fixture(n=120, k=4, seed=4)
+    nbr = nbr.at[:, 1].set(nbr[:, 0])  # duplicate edges -> multiplicity 2
+    a = build_cellblock(pos, nbr, 1.0, SPEC)
+    b = build_cellblock(pos, nbr, 1.0, SPEC, s_build="kernel")
+    np.testing.assert_array_equal(np.asarray(a.s_table), np.asarray(b.s_table))
+    assert int(np.asarray(b.s_table).max()) >= 2
