@@ -52,6 +52,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from cosmology_gnn_simulation_tpu.ops.binning import bucket_boundaries
+
 
 class SortedEdges(NamedTuple):
     """Edge stream of a regular ``[N, k]`` neighbor table, sorted by sender.
@@ -85,9 +87,7 @@ def build_sorted_edges(neighbors: jnp.ndarray) -> SortedEdges:
     senders = neighbors.reshape(-1).astype(jnp.int32)
     flat = jnp.arange(n * k, dtype=jnp.int32)
     sorted_senders, order = jax.lax.sort_key_val(senders, flat)
-    boundaries = jnp.searchsorted(
-        sorted_senders, jnp.arange(n + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
+    boundaries = bucket_boundaries(sorted_senders, n)
     return SortedEdges(
         order=order, receivers=order // k, boundaries=boundaries
     )

@@ -60,14 +60,18 @@ def _select_kernel(k: int, cells_per_block: int, cap: int, num_cand: int):
 
     def kernel(qx, qy, qz, cx, cy, cz, cids, nref, box_ref, out_ref,
                kth_ref):
-        box = box_ref[0]
         n_sentinel = nref[0]
         for c in range(cells_per_block):
             d2 = jnp.zeros((cap, num_cand), jnp.float32)
             for q_ref, c_ref in ((qx, cx), (qy, cy), (qz, cz)):
-                delta = min_image_displacement(
-                    q_ref[c, :][:, None] - c_ref[c, :][None, :], box
-                )
+                # Candidates arrive PRE-SHIFTED by +-box on wrapped rolls
+                # (gather_cands), so the plain difference IS a valid
+                # periodic representative: it equals the min-image
+                # displacement for any candidate within one cell (the
+                # certified regime) and never underestimates the true
+                # distance otherwise — exactness is unchanged, and the
+                # VPU saves the |d| vs box-|d| compare-selects per dim.
+                delta = q_ref[c, :][:, None] - c_ref[c, :][None, :]
                 d2 = d2 + delta * delta
             ids_row = jnp.broadcast_to(cids[c, :][None, :], (cap, num_cand))
             # Empty slots carry the sentinel id — mask them out directly
@@ -123,12 +127,15 @@ def _build_table(positions, g: int, cap: int, box):
         jnp.floor(positions * inv_cell).astype(jnp.int32), 0, g - 1
     )
     cell_id = (coords[:, 0] * g + coords[:, 1]) * g + coords[:, 2]
-    b = bin_by_key(cell_id, g**3, cap)
-    sorted_pos = positions[b.order]
+    b = bin_by_key(
+        cell_id, g**3, cap,
+        payload=(positions[:, 0], positions[:, 1], positions[:, 2]),
+    )
+    sx, sy, sz = b.payload
 
-    plane_x = scatter_to_table(b, sorted_pos[:, 0], g**3, cap, 0.0, jnp.float32)
-    plane_y = scatter_to_table(b, sorted_pos[:, 1], g**3, cap, 0.0, jnp.float32)
-    plane_z = scatter_to_table(b, sorted_pos[:, 2], g**3, cap, 0.0, jnp.float32)
+    plane_x = scatter_to_table(b, sx, g**3, cap, 0.0, jnp.float32)
+    plane_y = scatter_to_table(b, sy, g**3, cap, 0.0, jnp.float32)
+    plane_z = scatter_to_table(b, sz, g**3, cap, 0.0, jnp.float32)
     ids = scatter_to_table(b, b.order, g**3, cap, n, jnp.int32)  # n == empty
     # Per original particle: its (cell, rank) for result re-ordering.
     particle_rank = jnp.zeros((n,), jnp.int32).at[b.order].set(b.rank)
@@ -165,26 +172,41 @@ def pallas_cell_list_knn(
     (plane_x, plane_y, plane_z, ids, cell_id, particle_rank,
      overflow) = _build_table(positions.astype(jnp.float32), g, cap, box)
 
-    def gather_cands(plane, fill):
+    def gather_cands(plane, fill, shift_dim=None):
         # 27-neighborhood expansion WITHOUT gathers: the neighbor cells of
         # every cell at offset (dx,dy,dz) are a periodic roll of the 3-D
         # cell table — rolls are cheap contiguous memory ops, whereas a
         # [G^3, 27] row gather is pathologically slow to compile/run on the
         # TPU backend.
+        #
+        # With ``shift_dim`` (coordinate planes), rows that wrapped around
+        # the periodic boundary during the roll get their coordinate
+        # pre-shifted by +-box: the roll by -d along axis a puts cell
+        # (i + d) mod g at index i, which wrapped iff i == g-1 (d=+1,
+        # shift +box) or i == 0 (d=-1, shift -box). The kernel then takes
+        # plain differences — no per-element min-image.
         p3 = plane.reshape(g, g, g, cap)
-        shifted = [
-            jnp.roll(p3, (-dx, -dy, -dz), axis=(0, 1, 2))
-            for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
-        ]
+        shifted = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    r = jnp.roll(p3, (-dx, -dy, -dz), axis=(0, 1, 2))
+                    if shift_dim is not None:
+                        d = (dx, dy, dz)[shift_dim]
+                        if d != 0:
+                            idx = [slice(None)] * 3
+                            idx[shift_dim] = g - 1 if d == 1 else 0
+                            r = r.at[tuple(idx)].add(d * box)
+                    shifted.append(r)
         rows = jnp.concatenate(shifted, axis=-1).reshape(g**3, 27 * cap)
         pad = num_cand - 27 * cap
         if pad:
             rows = jnp.pad(rows, ((0, 0), (0, pad)), constant_values=fill)
         return rows
 
-    cand_x = gather_cands(plane_x, 0.0)
-    cand_y = gather_cands(plane_y, 0.0)
-    cand_z = gather_cands(plane_z, 0.0)
+    cand_x = gather_cands(plane_x, 0.0, shift_dim=0)
+    cand_y = gather_cands(plane_y, 0.0, shift_dim=1)
+    cand_z = gather_cands(plane_z, 0.0, shift_dim=2)
     cand_ids = gather_cands(ids, n)
 
     cells_per_block = 8
