@@ -66,6 +66,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cosmology_gnn_simulation_tpu.ops.binning import bucket_boundaries
 from cosmology_gnn_simulation_tpu.ops.cell_list import choose_cell_grid
 
 _LANE = 128
@@ -122,6 +123,15 @@ class CellBlockSpec(NamedTuple):
     @property
     def s_width(self) -> int:
         return 9 * self.window
+
+    @property
+    def rev_lanes(self) -> int:
+        """Lane-padded QB for the reverse table's minor dim: Mosaic's
+        window-params pass rejects Blocked INPUT blocks whose lane size is
+        not a 128-multiple (the same shape is accepted as an output —
+        probed round 3). Padding lanes never match a local sender in the
+        build and contribute zero rows to the backward matmul."""
+        return _round_up(self.query_block, _LANE)
 
     def validate(self) -> None:
         g, cc, qb, w, ec = (self.grid_size, self.col_capacity,
@@ -245,9 +255,15 @@ class CellBlockGraph(NamedTuple):
                       candidate range exceeds ``window`` by (0 when every
                       window fit; the per-edge misses are already in
                       ``dropped_edges`` — this localizes the cause).
-      s_rev_table:    ``[num_slots, 9*W]`` int8 or None — transpose
+      s_rev_table:    ``[num_tiles, 9*W, rev_lanes]`` int8 or None — transpose
                       selection matrices (``with_reverse=True``), consumed
-                      by the custom VJP.
+                      by the custom VJP; entry ``[t, (j, off), q]`` counts
+                      edges whose sender is tile-local slot ``q`` of tile
+                      ``t`` and whose receiver sits at window position
+                      ``(j, off)``. Window dim leads so the backward kernel
+                      contracts it directly against the candidate window
+                      (lane dim = array minor: no tile-alignment constraint
+                      on QB, no transposes).
       reverse_mismatch: scalar int32 or None — (edges in S) − (edges in
                       S_rev); 0 certifies the backward is the exact
                       transpose of the forward.
@@ -344,7 +360,7 @@ def build_cellblock(
     box_size,
     spec: CellBlockSpec,
     with_reverse: bool = False,
-    s_build: str = "contract",
+    s_build: str = "auto",
     interpret: Optional[bool] = None,
 ) -> CellBlockGraph:
     """Build the per-graph plan: binning, sort order, windows, S table(s).
@@ -358,17 +374,21 @@ def build_cellblock(
     int table at config 4) are deliberately absent. The only large
     elementwise gather is the unavoidable ``aux[neighbors]`` id mapping.
 
-    ``s_build`` selects how the S table is materialized from the per-edge
-    (j, offset) pairs:
+    ``s_build`` selects how the S table(s) are materialized from the
+    per-edge (j, offset) pairs:
       * ``"contract"`` — one-hot factors contracted on the MXU via XLA
         (works everywhere; writes a [rows, 9W] f32 transient per chunk —
         the dominant plan-build cost at small-N/re-neighbor-every-step
         scales: ~15 ms of the flagship step);
-      * ``"kernel"`` — a Pallas one-hot-accumulate kernel builds S rows
-        directly as int8 from a packed [num_slots, k] offset table
-        (~1 ms at flagship scale; interpret-mode on CPU).
+      * ``"kernel"`` — Pallas one-hot-accumulate kernels build the S rows
+        (and, with ``with_reverse``, the reverse table) directly as int8
+        (~1 ms at flagship scale; interpret-mode on CPU);
+      * ``"auto"`` (default) — ``"kernel"`` on real TPU, else
+        ``"contract"``.
     Both produce bit-identical tables (pinned by tests).
     """
+    if s_build == "auto":
+        s_build = "kernel" if jax.default_backend() == "tpu" else "contract"
     if s_build not in ("contract", "kernel"):
         raise ValueError(f"unknown s_build mode: {s_build}")
     spec.validate()
@@ -394,16 +414,18 @@ def build_cellblock(
     cz = coords[:, 2]
     cell_id = col_id * g + cz
 
-    order = jnp.argsort(cell_id).astype(jnp.int32)
-    sorted_cell = jnp.take(cell_id, order)
+    # One sort network carries the index payload; a separate
+    # cell_id[order] permutation would be an elementwise gather (slow here).
+    sorted_cell, order = jax.lax.sort(
+        (cell_id, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
     sorted_col = sorted_cell // g
     sorted_cz = sorted_cell % g
 
-    # Per-cell / per-column boundaries of the sorted stream.
-    gstart = jnp.searchsorted(
-        sorted_cell, jnp.arange(g**3 + 1, dtype=jnp.int32),
-        side="left", method="sort",
-    ).astype(jnp.int32)  # [G^3 + 1]
+    # Per-cell / per-column boundaries of the sorted stream (scatter +
+    # suffix-min; searchsorted's binary search / method="sort" are both
+    # slower on this backend — see ops/binning.py:bucket_boundaries).
+    gstart = bucket_boundaries(sorted_cell, g**3)  # [G^3 + 1]
     col_start = gstart[:: g]  # [G^2 + 1] (gstart[c*G] == column start)
     counts = (gstart[1:] - gstart[:-1]).reshape(num_cols, g)
     col_cnt = col_start[1:] - col_start[:-1]
@@ -648,7 +670,7 @@ def build_cellblock(
     if with_reverse:
         s_rev_table, rev_total = _build_reverse_table(
             nbr_aux_slots // g, pad_src, window_starts,
-            c_pre, spec,
+            c_pre, spec, mode=s_build, interpret=interpret,
         )
         fwd_total = (
             jnp.sum(s_table.astype(jnp.int32)).astype(jnp.int32)
@@ -671,19 +693,31 @@ def build_cellblock(
 
 
 def _build_reverse_table(
-    nbr_slots_tbl, pad_src, window_starts, c_pre, spec
+    nbr_slots_tbl, pad_src, window_starts, c_pre, spec,
+    mode="contract", interpret=None,
 ):
-    """Transpose selection table: ``S_rev[sender slot, (j, off)]`` counts the
-    edges whose RECEIVER is the particle at padded-window position
-    ``(j, off)`` of the sender tile's window.
+    """Transpose selection table ``S_rev[tile, (j, off), local sender]``:
+    entry counts the edges whose RECEIVER is the particle at padded-window
+    position ``(j, off)`` of the sender tile's window and whose SENDER is
+    the tile-local slot (layout ``[num_tiles, 9W, rev_lanes]`` int8 — the lane dim
+    is the full array minor, so any ``QB % 32 == 0`` stays tile-aligned).
 
     Enumerates each tile's 9 candidate windows (the receiver side), reads
     each candidate's own neighbor-slot list, and one-hot-matches the
-    senders against the tile's slot range on the MXU — no scatters, no
-    per-sender adjacency table. Wrap-duplicated candidate rows are
-    deduplicated against the window (a particle contributes through its
-    main image when that image is inside the window, else through exactly
-    one wrap image).
+    senders against the tile's slot range — no scatters (a 16M-update 2-D
+    scatter measured 1.6 s at config-4 scale, benchmarks/results/
+    rev_scatter_r3.json), no per-sender adjacency table. Wrap-duplicated
+    candidate rows are deduplicated against the window (a particle
+    contributes through its main image when that image is inside the
+    window, else through exactly one wrap image).
+
+    ``mode="contract"`` does the window reads as one XLA row gather per
+    tile chunk and the match as a factored one-hot MXU contraction;
+    ``mode="kernel"`` fuses window DMAs (``pl.Element`` starts, the same
+    scalar-prefetch machinery as the aggregation kernel) with a VPU
+    one-hot accumulate — the XLA gather alone costs ~360 ms at config-4
+    (the [T*9W, k+1] minor-dim-33 rows pad to 128 lanes;
+    benchmarks/results/cb_parts_r3.json).
 
     ``nbr_slots_tbl``: ``[num_slots, k]`` sender slots per receiver SLOT
     row (padding rows hold the ``num_slots`` sentinel).
@@ -710,6 +744,10 @@ def _build_reverse_table(
     packed_pad = jnp.concatenate(
         [packed_pad, jnp.full((1, k + 1), num_slots, packed.dtype)]
     )
+    if mode == "kernel":
+        return _reverse_table_kernel(
+            packed_pad, window_starts, spec, k, interpret
+        )
 
     # Factor the row one-hot as [f1] x [f2] (f1*f2 == QB) with f2 near 16 —
     # balanced factors keep both one-hot tables small.
@@ -754,7 +792,7 @@ def _build_reverse_table(
             dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
             preferred_element_type=jnp.float32,
         )  # [T, 9W, f1, f2]
-        s = s.reshape(t_chunk, 9 * w_cap, qb).transpose(0, 2, 1)
+        s = s.reshape(t_chunk, 9 * w_cap, qb)
         return s.astype(jnp.int8), jnp.sum(s).astype(jnp.int32)
 
     t_chunk = min(_REV_BUILD_TILES, num_tiles)
@@ -776,10 +814,94 @@ def _build_reverse_table(
             tile_idx.reshape(chunks, t_chunk),
         ),
     )
-    s_rev = s_chunks.reshape((num_tiles + pad_t) * qb, spec.s_width)[
-        : num_slots
-    ]
+    s_rev = s_chunks.reshape(num_tiles + pad_t, spec.s_width, qb)[:num_tiles]
+    s_rev = jnp.pad(s_rev, ((0, 0), (0, 0), (0, spec.rev_lanes - qb)))
     return s_rev, jnp.sum(totals).astype(jnp.int32)
+
+
+def _reverse_table_kernel(packed_pad, window_starts, spec, k, interpret):
+    """Pallas reverse-table build: fuse the per-tile window reads (dynamic
+    ``pl.Element`` starts, scalar-prefetched in 16-row units like the
+    aggregation kernel) with the sender one-hot accumulate on the VPU.
+
+    Layout choices keep every vector in its natural register orientation:
+    the window block ``[W, k+1]`` puts candidates on sublanes, so per-k
+    lane slices ``win[:, kk]`` broadcast along lanes against a
+    ``[W, QB]`` local-sender iota with no relayouts, and the output tile
+    ``[9W, QB]`` (lane dim = array minor) needs no transposes and no
+    128-multiple constraint on QB.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    qb, w, sw = spec.query_block, spec.window, spec.s_width
+    num_tiles = spec.num_tiles
+    # Lane-pad the packed table to one full 128-lane tile: Element-indexed
+    # blocks must be Element on EVERY dim (mixing is rejected at lowering),
+    # and an Element lane dim must prove 128-divisibility — a 33-lane
+    # window cannot. k <= 127 (int8 multiplicity guard), so k+1 <= 128.
+    packed_pad = jnp.pad(packed_pad, ((0, 0), (0, _LANE - (k + 1))))
+
+    qpad = spec.rev_lanes
+
+    def kernel(starts_ref, lane0_ref, *wins_and_out):
+        del lane0_ref  # lane-index divisibility token, see win_spec
+        wins = wins_and_out[:9]
+        out_ref = wins_and_out[9]
+        t = pl.program_id(0)
+        tbase = t * qb
+        q_iota = jax.lax.broadcasted_iota(jnp.int32, (w, qpad), 1)
+        pos_rel = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+        for j in range(9):
+            win = wins[j][...]  # [W, k+1] int32 candidate rows
+            start = starts_ref[t * 9 + j] * 16
+            main = win[:, k : k + 1]  # [W, 1] main-image padded position
+            in_win = (main >= start) & (main < start + w)
+            # A candidate row speaks for its particle iff it IS the main
+            # image or the main image lies outside this window (identical
+            # dedup rule to the contract path / forward build).
+            canonical = (main == start + pos_rel) | ~in_win
+            # int32 accumulator: Mosaic cannot lower int8 vector adds on
+            # this backend (arith.addi on i8 vectors rejected at backend
+            # compile); cast to int8 only at the block write.
+            acc = jnp.zeros((w, qpad), jnp.int32)
+            for kk in range(k):
+                local = win[:, kk : kk + 1] - tbase  # [W, 1] sender slot
+                ok = canonical & (local >= 0) & (local < qb)
+                sel = jnp.where(ok, local, -1)
+                acc = acc + (sel == q_iota).astype(jnp.int32)
+            out_ref[0, j * w : (j + 1) * w, :] = acc.astype(jnp.int8)
+
+    starts16 = (window_starts // 16).reshape(-1)
+
+    def win_spec(j):
+        # The lane index is an opaque prefetched zero times 128: Mosaic's
+        # window-param pass proves Element divisibility only for
+        # mul-by-tile expressions — a literal 0 (or a size-1 grid dim,
+        # which folds to 0) is rejected ("couldn't prove that tiling (128)
+        # divides index", backend compile only).
+        return pl.BlockSpec(
+            (pl.Element(w), pl.Element(_LANE)),
+            lambda t, st, lz, j=j: (st[t * 9 + j] * 16, lz[0] * _LANE),
+        )
+
+    lane0 = jnp.zeros((1,), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[win_spec(j) for j in range(9)],
+        out_specs=pl.BlockSpec((1, sw, qpad), lambda t, st, lz: (t, 0, 0)),
+    )
+    srt = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, sw, qpad), jnp.int8),
+        interpret=interpret,
+    )(starts16, lane0, *([packed_pad] * 9))
+    # Edge total for the reverse_mismatch certificate, summed outside the
+    # kernel (a [T, 128] per-tile totals output would need 1-sublane int32
+    # blocks, below Mosaic's (8, 128) tile floor — rejected at backend
+    # compile).
+    return srt, jnp.sum(srt.astype(jnp.int32)).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -859,7 +981,7 @@ def compact_from_slots(
 # ---------------------------------------------------------------------------
 
 
-def _window_kernel(spec: CellBlockSpec, hb: int, out_dtype):
+def _window_kernel(spec: CellBlockSpec, hb: int, out_dtype, s_rev3: bool):
     qb, w = spec.query_block, spec.window
 
     def kernel(starts_ref, s_ref, *wins_and_out):
@@ -868,7 +990,6 @@ def _window_kernel(spec: CellBlockSpec, hb: int, out_dtype):
         acc = jnp.zeros((qb, hb), jnp.float32)
         for j in range(9):
             cand = wins[j][...]  # [W, hb]
-            sj = s_ref[:, j * w : (j + 1) * w].astype(cand.dtype)
             # bf16 candidates: MXU products (small-int x bf16) are exact
             # with f32 accumulation. f32 candidates: request the multi-pass
             # matmul — the MXU's default single-pass bf16 costs ~1% error.
@@ -880,10 +1001,24 @@ def _window_kernel(spec: CellBlockSpec, hb: int, out_dtype):
                 jax.lax.Precision.HIGHEST
                 if cand.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
             )
-            acc += jnp.dot(
-                sj, cand, preferred_element_type=jnp.float32,
-                precision=precision,
-            )
+            if s_rev3:
+                # Reverse table block [9W, rev_lanes]: contract the window
+                # dim of BOTH operands (an lhs-transposed matmul — no
+                # relayout); the result's padding rows (always-zero
+                # selection lanes) are dropped by a sublane slice.
+                sj = s_ref[j * w : (j + 1) * w, :].astype(cand.dtype)
+                acc += jax.lax.dot_general(
+                    sj, cand,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )[:qb, :]
+            else:
+                sj = s_ref[:, j * w : (j + 1) * w].astype(cand.dtype)
+                acc += jnp.dot(
+                    sj, cand, preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
         out_ref[:] = acc.astype(out_dtype)
 
     return kernel
@@ -902,7 +1037,7 @@ def _pad_candidates(z_slots, pad_src, carry_dtype):
 
 def _window_matmul(
     s_table, z_slots, pad_src, window_starts, spec, out_dtype, carry_dtype,
-    interpret,
+    interpret, s_rev3=False,
 ):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -915,7 +1050,14 @@ def _window_matmul(
             "use carry_dtype=bfloat16 for the exact small-int x bf16 path",
             stacklevel=3,
         )
-    num_slots, h = z_slots.shape
+    num_slots, h_in = z_slots.shape
+    # Lane-pad small latents: the candidate windows are Element-indexed and
+    # their lane offsets are hi * hb, which Mosaic's window-params pass can
+    # prove 128-divisible only when hb is a 128-multiple (backend compile
+    # rejects hb=16 with "couldn't prove that tiling (128) divides index").
+    h = _round_up(h_in, _LANE)
+    if h != h_in:
+        z_slots = jnp.pad(z_slots, ((0, 0), (0, h - h_in)))
     hb = min(spec.h_block, h)
     if h % hb != 0:
         raise ValueError(f"H={h} not a multiple of h_block={hb}")
@@ -937,19 +1079,30 @@ def _window_matmul(
             lambda hi, t, st, j=j: (st[t * 9 + j] * 16, hi * hb),
         )
 
+    if s_rev3:
+        # Flatten [num_tiles, 9W, rev_lanes] -> [num_tiles*9W, rev_lanes]
+        # (free row-major reshape): a 3-D Blocked INPUT block of this shape
+        # is rejected by Mosaic's window-params pass; the 2-D form mirrors
+        # the proven forward s_table pattern.
+        s_table = s_table.reshape(-1, spec.rev_lanes)
+        s_spec = pl.BlockSpec(
+            (spec.s_width, spec.rev_lanes), lambda hi, t, st: (t, 0)
+        )
+    else:
+        s_spec = pl.BlockSpec((qb, spec.s_width), lambda hi, t, st: (t, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(h // hb, spec.num_tiles),
-        in_specs=[pl.BlockSpec((qb, spec.s_width), lambda hi, t, st: (t, 0))]
-        + [win_spec(j) for j in range(9)],
+        in_specs=[s_spec] + [win_spec(j) for j in range(9)],
         out_specs=pl.BlockSpec((qb, hb), lambda hi, t, st: (t, hi)),
     )
-    return pl.pallas_call(
-        _window_kernel(spec, hb, out_dtype),
+    out = pl.pallas_call(
+        _window_kernel(spec, hb, out_dtype, s_rev3),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((spec.num_slots, h), out_dtype),
         interpret=interpret,
     )(starts16, s_table, *([z_pad] * 9))
+    return out[:, :h_in] if h != h_in else out
 
 
 @functools.partial(
@@ -982,7 +1135,7 @@ def _aggregate_slots_bwd(spec, out_dtype, carry_dtype, interpret, res, gr):
         )
     dz = _window_matmul(
         plan.s_rev_table, gr, plan.pad_src, plan.window_starts, spec,
-        z_dtype, carry_dtype, interpret,
+        z_dtype, carry_dtype, interpret, s_rev3=True,
     )
     return dz, None
 

@@ -264,6 +264,22 @@ def test_s_build_kernel_matches_contract(spec):
     assert int(a.window_overflow) == int(b.window_overflow)
 
 
+@pytest.mark.parametrize("spec,n", [(SPEC, 200), (SPEC_TILED, 3000)])
+def test_reverse_build_kernel_matches_contract(spec, n):
+    """The Pallas reverse-table build (s_build='kernel', interpret mode on
+    CPU) is bit-identical to the XLA gather + one-hot contract, including
+    the wrap-image dedup and the edge-total used by reverse_mismatch."""
+    pos, nbr, _ = _fixture(n=n, k=4, seed=7)
+    a = build_cellblock(pos, nbr, 1.0, spec, with_reverse=True)
+    b = build_cellblock(
+        pos, nbr, 1.0, spec, with_reverse=True, s_build="kernel"
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.s_rev_table), np.asarray(b.s_rev_table)
+    )
+    assert int(a.reverse_mismatch) == int(b.reverse_mismatch) == 0
+
+
 def test_s_build_kernel_duplicates():
     pos, nbr, z = _fixture(n=120, k=4, seed=4)
     nbr = nbr.at[:, 1].set(nbr[:, 0])  # duplicate edges -> multiplicity 2
