@@ -59,13 +59,18 @@ def neighbor_search(
     queries: Optional[jnp.ndarray] = None,
     method: str = "auto",
     query_tile: int = 512,
-) -> jnp.ndarray:
+    with_codes: bool = False,
+):
     """Dispatch between the periodic k-NN backends.
 
     ``auto`` picks the fused Pallas cell-list kernel for large self-query
     sets (TPU's fastest path — no top_k, no hot-loop gathers), the XLA cell
     list when separate queries are involved (the sharded path), and exact
     brute force for small N (and when no viable grid exists).
+
+    ``with_codes=True`` returns ``(neighbors, codes, codes_cap)`` — the
+    Pallas backend's candidate codes for the cell-block plan build
+    (``codes``/``codes_cap`` are ``None`` for every other backend).
     """
     n = positions.shape[0]
     self_query = queries is None or queries is positions
@@ -82,24 +87,32 @@ def neighbor_search(
             method = "celllist"
         else:
             from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
+                padded_cell_capacity,
                 pallas_cell_list_knn,
             )
 
+            if with_codes:
+                idx, codes = pallas_cell_list_knn(
+                    positions, k, box_size, grid, with_codes=True
+                )
+                return idx, codes, padded_cell_capacity(grid)
             return pallas_cell_list_knn(positions, k, box_size, grid)
     if method == "celllist":
         grid = choose_cell_grid(n, k)
         if grid.grid_size < 3:
             method = "bruteforce"
         else:
-            return cell_list_knn(
+            idx = cell_list_knn(
                 positions, k, box_size, grid, queries=queries,
                 query_tile=max(query_tile, 4096),
             )
+            return (idx, None, None) if with_codes else idx
     if method != "bruteforce":
         raise ValueError(f"unknown neighbor method: {method}")
-    return knn_periodic(
+    idx = knn_periodic(
         positions, k, box_size, queries=queries, query_tile=query_tile
     )
+    return (idx, None, None) if with_codes else idx
 
 
 def neighbor_search_certified(
@@ -109,6 +122,7 @@ def neighbor_search_certified(
     *,
     method: str = "auto",
     query_tile: int = 512,
+    with_codes: bool = False,
 ):
     """Neighbor search + a traced exactness certificate, usable INSIDE jit
     (e.g. every step of a rollout scan — clustered distributions can break
@@ -119,6 +133,11 @@ def neighbor_search_certified(
     iff this step's result is provably the exact k-NN set (no cell
     overflow and every k-th neighbor within one cell edge; brute force is
     exact by construction). The certificate's cost is O(N*k) vector math.
+
+    ``with_codes=True`` returns ``(neighbors, codes, codes_cap, exact)``
+    where ``codes``/``codes_cap`` are the Pallas backend's candidate codes
+    for the cell-block plan build (``None`` when another backend was
+    picked — callers must handle both).
     """
     n = positions.shape[0]
     self_query = True
@@ -135,15 +154,26 @@ def neighbor_search_certified(
             method = "bruteforce"
     if method == "bruteforce":
         idx = knn_periodic(positions, k, box_size, query_tile=query_tile)
+        if with_codes:
+            return idx, None, None, jnp.asarray(True)
         return idx, jnp.asarray(True)
+    codes = codes_cap = None
     if method == "pallas" and self_query:
         from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
+            padded_cell_capacity,
             pallas_cell_list_knn,
         )
 
-        idx, (overflow, max_d2) = pallas_cell_list_knn(
-            positions, k, box_size, grid, return_diagnostics=True
-        )
+        if with_codes:
+            idx, codes, (overflow, max_d2) = pallas_cell_list_knn(
+                positions, k, box_size, grid,
+                return_diagnostics=True, with_codes=True,
+            )
+            codes_cap = padded_cell_capacity(grid)
+        else:
+            idx, (overflow, max_d2) = pallas_cell_list_knn(
+                positions, k, box_size, grid, return_diagnostics=True
+            )
     else:
         idx, (overflow, max_d2) = cell_list_knn(
             positions, k, box_size, grid,
@@ -151,6 +181,8 @@ def neighbor_search_certified(
         )
     cell_edge_sq = (jnp.asarray(box_size, jnp.float32) / grid.grid_size) ** 2
     exact = (overflow == 0) & (max_d2 <= cell_edge_sq)
+    if with_codes:
+        return idx, codes, codes_cap, exact
     return idx, exact
 
 
@@ -234,8 +266,15 @@ def featurize(
     neighbors: Optional[jnp.ndarray] = None,
     build_edges: bool = True,
     noise_gids: Optional[jnp.ndarray] = None,
+    with_codes: bool = False,
 ) -> ParticleGraph:
     """Build a ``ParticleGraph`` from a trajectory window.
+
+    ``with_codes=True`` changes the return to
+    ``(graph, codes, codes_cap)`` — the Pallas kNN backend's candidate
+    codes computed on the (noised, wrapped) positions, for the cell-block
+    plan build (``None``/``None`` when another backend served the search
+    or ``neighbors`` were precomputed).
 
     Args:
       position_seq: ``[T, N, 3]`` time-major position history (HDF5 layout).
@@ -306,15 +345,27 @@ def featurize(
         )
     else:
         all_positions = recent_position
+    codes = codes_cap = None
     if neighbors is None:
-        neighbors = neighbor_search(
-            all_positions,
-            num_neighbors,
-            box,
-            queries=recent_position,
-            method=neighbor_method,
-            query_tile=neighbor_query_tile,
-        )
+        if with_codes:
+            neighbors, codes, codes_cap = neighbor_search(
+                all_positions,
+                num_neighbors,
+                box,
+                queries=recent_position,
+                method=neighbor_method,
+                query_tile=neighbor_query_tile,
+                with_codes=True,
+            )
+        else:
+            neighbors = neighbor_search(
+                all_positions,
+                num_neighbors,
+                box,
+                queries=recent_position,
+                method=neighbor_method,
+                query_tile=neighbor_query_tile,
+            )
 
     if build_edges:
         # Raw displacement sender - receiver, deliberately NOT minimum-image
@@ -366,7 +417,7 @@ def featurize(
         temp_rate = (shifted_temp - recent_temperature) / dt
         target_temp_rate = (temp_rate - stats.temp_rate_mean) / stats.temp_rate_std
 
-    return ParticleGraph(
+    graph = ParticleGraph(
         nodes=nodes,
         neighbors=neighbors,
         edges=edges,
@@ -375,3 +426,6 @@ def featurize(
         target_temp_rate=target_temp_rate,
         sorted_edges=sorted_edges,
     )
+    if with_codes:
+        return graph, codes, codes_cap
+    return graph

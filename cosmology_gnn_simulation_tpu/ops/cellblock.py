@@ -352,7 +352,10 @@ def _onehot_contract(jh, lo, valid, n_jh, n_lo):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "with_reverse", "s_build", "interpret")
+    jax.jit,
+    static_argnames=(
+        "spec", "with_reverse", "s_build", "codes_cap", "interpret"
+    ),
 )
 def build_cellblock(
     positions: jnp.ndarray,
@@ -361,6 +364,8 @@ def build_cellblock(
     spec: CellBlockSpec,
     with_reverse: bool = False,
     s_build: str = "auto",
+    neighbor_codes: Optional[jnp.ndarray] = None,
+    codes_cap: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> CellBlockGraph:
     """Build the per-graph plan: binning, sort order, windows, S table(s).
@@ -386,11 +391,20 @@ def build_cellblock(
       * ``"auto"`` (default) — ``"kernel"`` on real TPU, else
         ``"contract"``.
     Both produce bit-identical tables (pinned by tests).
+
+    ``neighbor_codes``/``codes_cap``: the Pallas kNN's per-neighbor
+    candidate codes (``pallas_cell_list_knn(..., with_codes=True)``) and
+    the cap they were packed with. MUST come from a kNN run on the SAME
+    grid size as ``spec.grid_size`` (the caller asserts this — codes carry
+    no grid tag); the tables are then bit-identical to the aux path while
+    skipping its 16M-element gather (see the decode comment below).
     """
     if s_build == "auto":
         s_build = "kernel" if jax.default_backend() == "tpu" else "contract"
     if s_build not in ("contract", "kernel"):
         raise ValueError(f"unknown s_build mode: {s_build}")
+    if (neighbor_codes is None) != (codes_cap is None):
+        raise ValueError("neighbor_codes and codes_cap go together")
     spec.validate()
     g = spec.grid_size
     cc, qb, w_cap, wrap = (spec.col_capacity, spec.query_block,
@@ -435,7 +449,10 @@ def build_cellblock(
     q_ok = r < cc
     slot_of_sorted = jnp.where(q_ok, sorted_col * cc + r, num_slots)
     overflow = jnp.sum(~q_ok).astype(jnp.int32)
-    _, slot_of_particle = jax.lax.sort_key_val(order, slot_of_sorted)
+    if neighbor_codes is None:
+        # Only the aux path needs the inverse permutation; the codes path
+        # decodes sender slots arithmetically.
+        _, slot_of_particle = jax.lax.sort_key_val(order, slot_of_sorted)
     # slot -> sorted index by ARITHMETIC (column col's particles pack at
     # [col_start[col], ...), so slot (col, r) holds col_start[col] + r iff
     # r < count) — no searchsorted over all slots, and exact under column
@@ -543,26 +560,115 @@ def build_cellblock(
     window_starts = (col_j * ccp + w_loc).astype(jnp.int32)
 
     # ---- Forward S table --------------------------------------------------
-    # Packed sender aux (slot * G + cz) in original particle order, then the
-    # one unavoidable big elementwise gather through the neighbor table.
-    aux = slot_of_particle * g + jnp.where(
-        slot_of_particle < num_slots, cz, 0
-    )
-    nbr_aux = jnp.take(
-        jnp.take(aux, neighbors.reshape(-1), mode="clip").reshape(n, k),
-        order, axis=0,
-    )  # [N(sorted rows), k]
+    if neighbor_codes is not None:
+        # Arithmetic decode of the Pallas kNN's candidate codes
+        # (j27 * cap + rank): the neighbor's cell is the query's cell plus
+        # the code's (dx,dy,dz) in {-1,0,1}^3, and its per-column slot rank
+        # is (clipped compact cell start) + (its stable-sort rank within
+        # the cell) — the kNN binning sorts by the IDENTICAL key, so ranks
+        # agree. Replaces the aux build's full sort_key_val + the
+        # pathological 16M-element aux[neighbors] gather + the [N, k] row
+        # permutation (143 + 35 + 32 ms at config 4:
+        # benchmarks/results/cb_parts_r3.json).
+        codes_ext = jnp.concatenate(
+            [neighbor_codes.astype(jnp.int32),
+             jnp.full((1, k), 27 * codes_cap, jnp.int32)]
+        )
+        order_ext = jnp.concatenate(
+            [order, jnp.full((1,), n, jnp.int32)]
+        )
+        orig_of_slot = jnp.take(
+            order_ext, particle_of_slot, mode="clip"
+        )
+        codes_slots = jnp.take(
+            codes_ext, orig_of_slot, axis=0, mode="clip"
+        )  # [num_slots, k]
+        # Clipped compact starts of each cell's 27 neighbors (periodic
+        # rolls of the [G, G, G] start table — no gathers).
+        cstart3 = cstart_rel.reshape(g, g, g)
+        cstart27 = jnp.stack(
+            [
+                jnp.roll(cstart3, (-dx, -dy, -dz), axis=(0, 1, 2))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                for dz in (-1, 0, 1)
+            ],
+            axis=-1,
+        ).reshape(g**3, 27)
+        qz_slot = jnp.take(
+            jnp.concatenate([sorted_cz, jnp.zeros((1,), jnp.int32)]),
+            particle_of_slot, mode="clip",
+        )
+        slot_ids0 = jnp.arange(num_slots, dtype=jnp.int32)
+        col_q_slot = slot_ids0 // cc
+        start27_rows = jnp.take(
+            cstart27, col_q_slot * g + qz_slot, axis=0
+        )  # [num_slots, 27]
 
-    # The S build runs DIRECTLY on slot rows (rows = slots; padding rows
-    # read a sentinel line and produce zero S rows): building a compact
-    # [N, 9W] table first and expanding it costs two extra full-table
-    # transients (~4.4 GB at config-4 scale — the round-3 train-step OOM).
-    nbr_aux_slots = jnp.take(
-        jnp.concatenate(
-            [nbr_aux, jnp.full((1, k), num_slots * g, nbr_aux.dtype)]
-        ),
-        particle_of_slot, axis=0, mode="clip",
-    )  # [num_slots, k]
+        def decode_tile(args):
+            codes_t, s27_t, qz_t, col_t = args
+            rows = codes_t.shape[0]
+            j27 = codes_t // codes_cap
+            rank = codes_t % codes_cap
+            valid = j27 < 27
+            j27c = jnp.where(valid, j27, 0)
+            oh = j27c[:, :, None] == jnp.arange(27, dtype=jnp.int32)
+            start = jnp.sum(
+                jnp.where(oh, s27_t.reshape(rows, 1, 27), 0), axis=2
+            )  # exact integer one-hot select (f32 einsum would corrupt)
+            dx = j27c // 9 - 1
+            dy = (j27c // 3) % 3 - 1
+            dz = j27c % 3 - 1
+            gx = col_t // g
+            gy = col_t % g
+            scol = (
+                ((gx[:, None] + dx + g) % g) * g
+                + (gy[:, None] + dy + g) % g
+            )
+            scz = (qz_t[:, None] + dz + g) % g
+            sr = start + rank
+            ok = valid & (sr < cc)
+            slot = jnp.where(ok, scol * cc + sr, num_slots)
+            return slot * g + jnp.where(ok, scz, 0)
+
+        tile0 = min(_S_BUILD_TILE, num_slots)
+        pad0 = (-num_slots) % tile0
+        dec_arrays = [codes_slots, start27_rows, qz_slot, col_q_slot]
+        if pad0:
+            dec_arrays = [
+                jnp.pad(a, ((0, pad0),) + ((0, 0),) * (a.ndim - 1))
+                for a in dec_arrays
+            ]
+        num0 = (num_slots + pad0) // tile0
+        nbr_aux_slots = jax.lax.map(
+            decode_tile,
+            tuple(
+                a.reshape((num0, tile0) + a.shape[1:]) for a in dec_arrays
+            ),
+        ).reshape(num0 * tile0, k)[:num_slots]
+    else:
+        # Packed sender aux (slot * G + cz) in original particle order,
+        # then the one unavoidable big elementwise gather through the
+        # neighbor table.
+        aux = slot_of_particle * g + jnp.where(
+            slot_of_particle < num_slots, cz, 0
+        )
+        nbr_aux = jnp.take(
+            jnp.take(aux, neighbors.reshape(-1), mode="clip").reshape(n, k),
+            order, axis=0,
+        )  # [N(sorted rows), k]
+
+        # The S build runs DIRECTLY on slot rows (rows = slots; padding
+        # rows read a sentinel line and produce zero S rows): building a
+        # compact [N, 9W] table first and expanding it costs two extra
+        # full-table transients (~4.4 GB at config-4 scale — the round-3
+        # train-step OOM).
+        nbr_aux_slots = jnp.take(
+            jnp.concatenate(
+                [nbr_aux, jnp.full((1, k), num_slots * g, nbr_aux.dtype)]
+            ),
+            particle_of_slot, axis=0, mode="clip",
+        )  # [num_slots, k]
     occupied = particle_of_slot < n
     slot_ids = jnp.arange(num_slots, dtype=jnp.int32)
     # Per-(tile, j) constants, one row gather of a packed [num_tiles, 45]

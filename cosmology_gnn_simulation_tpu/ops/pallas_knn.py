@@ -53,13 +53,31 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _select_kernel(k: int, cells_per_block: int, cap: int, num_cand: int):
+def padded_cell_capacity(grid: CellGrid) -> int:
+    """The static per-cell table capacity the kernel actually uses (and the
+    multiplier of the ``with_codes`` lane packing ``j27 * cap + rank``)."""
+    return _round_up(grid.cell_capacity, 8)
+
+
+def _select_kernel(
+    k: int, cells_per_block: int, cap: int, num_cand: int,
+    with_codes: bool = False,
+):
     """Build the kernel body: per cell, exact k-smallest-distance selection
     over its candidate row, emitting the selected **particle ids** directly
-    (id resolution on-chip avoids a [G^3, cap, k] gather afterwards)."""
+    (id resolution on-chip avoids a [G^3, cap, k] gather afterwards).
 
-    def kernel(qx, qy, qz, cx, cy, cz, cids, nref, box_ref, out_ref,
-               kth_ref):
+    ``with_codes`` additionally emits each pick's CANDIDATE LANE index
+    ``j27 * cap + rank`` — the (neighbor-cell offset, in-cell rank) code the
+    cell-block plan build decodes into sender slots arithmetically, instead
+    of the pathological 16M-element ``aux[neighbors]`` gather (143 ms at
+    config 4, benchmarks/results/cb_parts_r3.json). Costs one extra
+    masked-min pass per pick; off for the plain-kNN (flagship) path.
+    """
+
+    def kernel(qx, qy, qz, cx, cy, cz, cids, nref, box_ref, *outs):
+        out_ref, kth_ref = outs[0], outs[1]
+        codes_ref = outs[2] if with_codes else None
         n_sentinel = nref[0]
         for c in range(cells_per_block):
             d2 = jnp.zeros((cap, num_cand), jnp.float32)
@@ -79,6 +97,10 @@ def _select_kernel(k: int, cells_per_block: int, cap: int, num_cand: int):
             d2 = jnp.where(ids_row >= n_sentinel, _BIG, d2)
 
             picked = jnp.zeros((cap, _LANE), jnp.int32)
+            codes = jnp.zeros((cap, _LANE), jnp.int32)
+            cand_lane = jax.lax.broadcasted_iota(
+                jnp.int32, (cap, num_cand), 1
+            )
             out_lane = jax.lax.broadcasted_iota(jnp.int32, (cap, _LANE), 1)
             big_id = jnp.int32(2**30)
             m = jnp.zeros((cap, 1), jnp.float32)
@@ -102,11 +124,23 @@ def _select_kernel(k: int, cells_per_block: int, cap: int, num_cand: int):
                 # no edge gets silently double-counted.
                 pid = jnp.where(m < _BIG * 0.5, pid, n_sentinel)
                 picked = jnp.where(out_lane == j, pid, picked)
+                if with_codes:
+                    # The pick's unique candidate lane (each particle sits in
+                    # exactly one of the 27 distinct cells). Exhausted rows
+                    # emit the num_cand sentinel.
+                    lane = jnp.min(
+                        jnp.where(ids_row == pid, cand_lane, big_id),
+                        axis=1, keepdims=True,
+                    )
+                    lane = jnp.where(m < _BIG * 0.5, lane, num_cand)
+                    codes = jnp.where(out_lane == j, lane, codes)
                 d2 = jnp.where(ids_row == pid, _BIG, d2)
             out_ref[c] = picked
             # m after the last iteration IS the k-th smallest distance —
             # the exactness certificate (d_k <= cell edge) for free.
             kth_ref[c] = m[:, 0]
+            if with_codes:
+                codes_ref[c] = codes
 
     return kernel
 
@@ -143,7 +177,10 @@ def _build_table(positions, g: int, cap: int, box):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "grid", "return_diagnostics", "interpret")
+    jax.jit,
+    static_argnames=(
+        "k", "grid", "return_diagnostics", "with_codes", "interpret"
+    ),
 )
 def pallas_cell_list_knn(
     positions: jnp.ndarray,
@@ -152,12 +189,25 @@ def pallas_cell_list_knn(
     grid: CellGrid,
     *,
     return_diagnostics: bool = False,
+    with_codes: bool = False,
     interpret: bool = False,
 ):
     """Exact periodic k-NN (self-query) via the fused Pallas kernel.
 
     Args / returns match ``cell_list_knn`` (queries == positions). ``k`` must
     be <= 128 (one output lane tile) and <= candidate width.
+
+    ``with_codes``: additionally return ``codes [N, k]`` int32 — each
+    neighbor's candidate coordinates ``j27 * cap + rank`` on this grid
+    (``j27`` indexes the (dx,dy,dz) in {-1,0,1}^3 offset of the NEIGHBOR's
+    cell relative to the query's, lexicographic; ``rank`` is the neighbor's
+    stable-sort rank within its cell; ``cap`` is the STATIC
+    ``padded_cell_capacity(grid)``). The cell-block plan build decodes
+    these into sender slots with pure arithmetic — its cell sort uses the
+    identical key, so ranks agree. Rows match ``neighbors`` positionally;
+    missing picks (exhausted uncertified rows) duplicate the row's first
+    code like ``neighbors`` duplicates its first id. Returns
+    ``(neighbors, codes)`` (plus diagnostics if requested).
     """
     if k > _LANE:
         raise ValueError(f"k={k} exceeds {_LANE}")
@@ -226,35 +276,51 @@ def pallas_cell_list_knn(
     c_spec = pl.BlockSpec(
         (cells_per_block, num_cand), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    picked, kth_d2 = pl.pallas_call(
-        _select_kernel(k, cells_per_block, cap, num_cand),
-        grid=(num_blocks,),
-        in_specs=[q_spec, q_spec, q_spec, c_spec, c_spec, c_spec, c_spec,
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(
+    out_block_specs = [
+        pl.BlockSpec(
+            (cells_per_block, cap, _LANE),
+            lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (cells_per_block, cap),
+            lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct(
+            (num_blocks * cells_per_block, cap, _LANE), jnp.int32
+        ),
+        jax.ShapeDtypeStruct(
+            (num_blocks * cells_per_block, cap), jnp.float32
+        ),
+    ]
+    if with_codes:
+        out_block_specs.append(
             pl.BlockSpec(
                 (cells_per_block, cap, _LANE),
                 lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (cells_per_block, cap),
-                lambda i: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
-        out_shape=(
+            )
+        )
+        out_shapes.append(
             jax.ShapeDtypeStruct(
                 (num_blocks * cells_per_block, cap, _LANE), jnp.int32
-            ),
-            jax.ShapeDtypeStruct(
-                (num_blocks * cells_per_block, cap), jnp.float32
-            ),
-        ),
+            )
+        )
+    results = pl.pallas_call(
+        _select_kernel(k, cells_per_block, cap, num_cand, with_codes),
+        grid=(num_blocks,),
+        in_specs=[q_spec, q_spec, q_spec, c_spec, c_spec, c_spec, c_spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tuple(out_block_specs),
+        out_shape=tuple(out_shapes),
         interpret=interpret,
     )(plane_x, plane_y, plane_z, cand_x, cand_y, cand_z, cand_ids,
       jnp.asarray([n], jnp.int32), jnp.asarray([box], jnp.float32))
+    picked, kth_d2 = results[0], results[1]
 
     neighbor_ids = picked[:num_cells, :, :k]  # [G^3, cap, k] particle ids
 
@@ -264,9 +330,8 @@ def pallas_cell_list_knn(
     # receive a same-cell (spatially adjacent) neighbor list rather than an
     # arbitrary other cell's row. The `overflow` diagnostic reports how many
     # were affected; `verify_neighbor_exactness` makes this loud.
-    out = neighbor_ids.reshape(-1, k)[
-        cell_id * cap + jnp.minimum(particle_rank, cap - 1)
-    ]  # [N, k]
+    table_row = cell_id * cap + jnp.minimum(particle_rank, cap - 1)
+    out = neighbor_ids.reshape(-1, k)[table_row]  # [N, k]
 
     # Rows with fewer than k valid candidates carry the sentinel id n (see
     # _select_kernel); a downstream take would clamp it to particle N-1 — an
@@ -274,7 +339,16 @@ def pallas_cell_list_knn(
     # (self: a benign duplicate edge). Exhausted rows keep k-th distance
     # _BIG in the kernel's kth output, so the exactness certificate still
     # fails loudly.
-    out = jnp.where(out == n, out[:, :1], out)
+    missing = out == n
+    out = jnp.where(missing, out[:, :1], out)
+
+    extras = ()
+    if with_codes:
+        codes = results[2][:num_cells, :, :k].reshape(-1, k)[table_row]
+        # Mirror the id clamping: missing picks duplicate the row's first
+        # code, keeping codes positionally consistent with `neighbors`.
+        codes = jnp.where(missing, codes[:, :1], codes)
+        extras = (codes,)
 
     if return_diagnostics:
         # The kernel emits each query row's k-th smallest distance directly
@@ -284,5 +358,5 @@ def pallas_cell_list_knn(
         valid_slot = ids.reshape(-1) != n
         kth = kth_d2[:num_cells].reshape(-1)
         max_d2 = jnp.max(jnp.where(valid_slot, kth, 0.0))
-        return out, (overflow, max_d2)
-    return out
+        return (out, *extras, (overflow, max_d2))
+    return (out, *extras) if extras else out

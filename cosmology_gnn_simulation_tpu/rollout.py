@@ -358,13 +358,26 @@ def _cellblock_rollout(
     # pinned by tests); the contract path stays for CPU.
     s_build = "kernel" if jax.default_backend() == "tpu" else "contract"
 
+    # The Pallas kNN grid (choose_cell_grid) and the default cell-block
+    # spec share the same grid size, so the kernel's candidate codes decode
+    # directly into sender slots — skipping the plan build's pathological
+    # aux[neighbors] elementwise gather. A custom spec on a different grid
+    # falls back to the aux path.
+    from cosmology_gnn_simulation_tpu.ops.cell_list import choose_cell_grid
+
+    codes_ok = choose_cell_grid(n, k).grid_size == spec.grid_size
+
     def research(pos_w, temp_w, inv_ids):
         wrapped = wrap_positions(pos_w[-1], box)
-        neighbors, exact = neighbor_search_certified(
-            wrapped, k, box, method=method, query_tile=tile
+        neighbors, codes, codes_cap, exact = neighbor_search_certified(
+            wrapped, k, box, method=method, query_tile=tile,
+            with_codes=True,
         )
+        if codes is not None and not codes_ok:
+            codes = codes_cap = None
         plan = build_cellblock(wrapped, neighbors, box, spec,
-                               s_build=s_build)
+                               s_build=s_build,
+                               neighbor_codes=codes, codes_cap=codes_cap)
         exact = exact & (plan.overflow == 0) & (plan.dropped_edges == 0)
         pos_w = permute_window(pos_w, plan.order)
         temp_w = permute_window(temp_w, plan.order)

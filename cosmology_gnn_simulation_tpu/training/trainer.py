@@ -163,7 +163,15 @@ def make_train_step(
             build_reverse=tc.build_reverse and not cellblock,
             build_edges=need_edges,
             noise_gids=noise_gids,
+            with_codes=cellblock,
         )
+        codes = codes_cap = None
+        if cellblock:
+            # Pallas-kNN candidate codes (same grid as the cell-block spec
+            # below — both use choose_cell_grid(n, k)): the plan build
+            # decodes sender slots arithmetically instead of the
+            # pathological aux[neighbors] gather. None on CPU backends.
+            graph, codes, codes_cap = graph
         if not cellblock:
             preds = apply_encode_process_decode(
                 params, graph, model_config, dtype
@@ -185,6 +193,7 @@ def make_train_step(
         plan = build_cellblock(
             graph.positions, graph.neighbors, stats.box_size, spec,
             with_reverse=True,
+            neighbor_codes=codes, codes_cap=codes_cap,
         )
         graph = graph._replace(
             nodes=jnp.take(graph.nodes, plan.order, axis=0),
@@ -274,6 +283,7 @@ def make_eval_step(
             neighbor_query_tile=tc.neighbor_query_tile,
             neighbor_method=tc.neighbor_method,
             build_edges=need_edges,
+            with_codes=tc.aggregation == "cellblock",
         )
         if tc.aggregation == "cellblock":
             from cosmology_gnn_simulation_tpu.ops.cellblock import (
@@ -281,9 +291,11 @@ def make_eval_step(
                 choose_cellblock_spec,
             )
 
+            graph, codes, codes_cap = graph
             spec = choose_cellblock_spec(pos.shape[1], tc.num_neighbors)
             plan = build_cellblock(
                 graph.positions, graph.neighbors, stats.box_size, spec,
+                neighbor_codes=codes, codes_cap=codes_cap,
             )
             graph = graph._replace(
                 nodes=jnp.take(graph.nodes, plan.order, axis=0),

@@ -280,6 +280,40 @@ def test_reverse_build_kernel_matches_contract(spec, n):
     assert int(a.reverse_mismatch) == int(b.reverse_mismatch) == 0
 
 
+@pytest.mark.parametrize("spec,n", [(SPEC, 200), (SPEC_TILED, 3000)])
+def test_neighbor_codes_match_aux_path(spec, n):
+    """Plans built from the Pallas kNN's candidate codes (arithmetic sender
+    decode, no aux[neighbors] gather) are bit-identical to the aux path —
+    forward table, reverse table, and every diagnostic."""
+    from cosmology_gnn_simulation_tpu.ops.cell_list import CellGrid
+    from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
+        padded_cell_capacity,
+        pallas_cell_list_knn,
+    )
+
+    rng = np.random.default_rng(12)
+    pos = jnp.asarray(rng.uniform(0, 1.0, size=(n, 3)), jnp.float32)
+    g = spec.grid_size
+    cap = max(8, int(np.ceil(n / g**3 * 4)))
+    grid = CellGrid(grid_size=g, cell_capacity=cap)
+    nbr, codes = pallas_cell_list_knn(
+        pos, 4, 1.0, grid, with_codes=True, interpret=True
+    )
+    cap_out = padded_cell_capacity(grid)
+    a = build_cellblock(pos, nbr, 1.0, spec, with_reverse=True)
+    b = build_cellblock(
+        pos, nbr, 1.0, spec, with_reverse=True,
+        neighbor_codes=codes, codes_cap=cap_out,
+    )
+    np.testing.assert_array_equal(np.asarray(a.s_table), np.asarray(b.s_table))
+    np.testing.assert_array_equal(
+        np.asarray(a.s_rev_table), np.asarray(b.s_rev_table)
+    )
+    for f in ("overflow", "dropped_edges", "window_overflow",
+              "reverse_mismatch"):
+        assert int(getattr(a, f)) == int(getattr(b, f)), f
+
+
 def test_s_build_kernel_duplicates():
     pos, nbr, z = _fixture(n=120, k=4, seed=4)
     nbr = nbr.at[:, 1].set(nbr[:, 0])  # duplicate edges -> multiplicity 2
