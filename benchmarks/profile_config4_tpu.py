@@ -100,15 +100,14 @@ def main():
         @jax.jit
         def knn_sweep(p, eps, sg=sweep_grid):
             q = jnp.remainder(p + eps, 1.0)
-            idx, (ovf, maxd2) = pallas_cell_list_knn(
+            idx, (ovf, maxd2, excess) = pallas_cell_list_knn(
                 q, k, 1.0, sg, return_diagnostics=True)
             return jnp.sum(idx) + ovf
 
         t = timeit(knn_sweep, positions) * 1e3
-        idx, (ovf, maxd2) = pallas_cell_list_knn(
+        idx, (ovf, maxd2, excess) = pallas_cell_list_knn(
             positions, k, 1.0, sweep_grid, return_diagnostics=True)
-        cert = (int(ovf) == 0
-                and float(maxd2) <= (1.0 / g_) ** 2)
+        cert = int(ovf) == 0 and float(excess) <= 0.0
         results[f"knn_G{g_}C{c_}_ms"] = t
         print(f"knn G={g_} C={c_}: {t:.0f} ms certified={cert}",
               flush=True)

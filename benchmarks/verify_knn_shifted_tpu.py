@@ -62,17 +62,18 @@ def main():
     ):
         p = jnp.asarray(pos)
         grid = choose_cell_grid(N, K, capacity_multiplier=capmul)
-        got, (overflow, max_d2) = pallas_cell_list_knn(
+        got, (overflow, max_d2, max_excess) = pallas_cell_list_knn(
             p, K, box, grid, return_diagnostics=True
         )
         want = knn_periodic(p, K, box)
         ok = neighbor_sets_equal(got, want)
         cell = box / grid.grid_size
-        certified = int(overflow) == 0 and float(max_d2) <= cell * cell
+        certified = int(overflow) == 0 and float(max_excess) <= 0.0
         print(
             f"{name}: grid G={grid.grid_size} C={grid.cell_capacity} "
             f"sets_equal={ok} overflow={int(overflow)} "
             f"max_kth_d={float(max_d2) ** 0.5:.4f} cell={cell:.4f} "
+            f"excess={float(max_excess):.2e} "
             f"certified={certified}",
             flush=True,
         )

@@ -131,7 +131,9 @@ def neighbor_search_certified(
 
     Returns ``(neighbors, exact)`` where ``exact`` is a traced bool: True
     iff this step's result is provably the exact k-NN set (no cell
-    overflow and every k-th neighbor within one cell edge; brute force is
+    overflow and every k-th neighbor within its query's 3x3x3-window
+    margin — the per-query bound of ``ops.cell_list.window_margin_sq``,
+    up to 1.5x looser than the blunt one-cell-edge form; brute force is
     exact by construction). The certificate's cost is O(N*k) vector math.
 
     ``with_codes=True`` returns ``(neighbors, codes, codes_cap, exact)``
@@ -165,22 +167,21 @@ def neighbor_search_certified(
         )
 
         if with_codes:
-            idx, codes, (overflow, max_d2) = pallas_cell_list_knn(
+            idx, codes, (overflow, _, max_excess) = pallas_cell_list_knn(
                 positions, k, box_size, grid,
                 return_diagnostics=True, with_codes=True,
             )
             codes_cap = padded_cell_capacity(grid)
         else:
-            idx, (overflow, max_d2) = pallas_cell_list_knn(
+            idx, (overflow, _, max_excess) = pallas_cell_list_knn(
                 positions, k, box_size, grid, return_diagnostics=True
             )
     else:
-        idx, (overflow, max_d2) = cell_list_knn(
+        idx, (overflow, _, max_excess) = cell_list_knn(
             positions, k, box_size, grid,
             query_tile=max(query_tile, 4096), return_diagnostics=True,
         )
-    cell_edge_sq = (jnp.asarray(box_size, jnp.float32) / grid.grid_size) ** 2
-    exact = (overflow == 0) & (max_d2 <= cell_edge_sq)
+    exact = (overflow == 0) & (max_excess <= 0.0)
     if with_codes:
         return idx, codes, codes_cap, exact
     return idx, exact
@@ -197,8 +198,10 @@ def verify_neighbor_exactness(
     """Runtime exactness check for the cell-list/pallas k-NN backends.
 
     The bucketed backends are provably exact only when (a) no cell overflows
-    its static capacity and (b) every query's k-th neighbor lies within one
-    cell edge. Those hold comfortably for near-uniform boxes with the default
+    its static capacity and (b) every query's k-th neighbor lies within the
+    query's 3x3x3-window margin (1-1.5 cell edges depending on the query's
+    offset in its cell — ``ops.cell_list.window_margin_sq``). Those hold
+    comfortably for near-uniform boxes with the default
     grid sizing, but strongly clustered (real cosmological) data can violate
     them — *silently* degrading the neighbor graphs. Call this outside jit on
     representative positions (Trainer does it on the first batch; the rollout
@@ -219,18 +222,20 @@ def verify_neighbor_exactness(
     grid = choose_cell_grid(n, k)
     if grid.grid_size < 3:
         return {"method": "bruteforce", "exact": True}
-    _, (overflow, max_d2) = cell_list_knn(
+    _, (overflow, max_d2, max_excess) = cell_list_knn(
         positions, k, box_size, grid, return_diagnostics=True
     )
     overflow = int(overflow)
     max_d2 = float(max_d2)
+    max_excess = float(max_excess)
     cell_edge_sq = (float(box_size) / grid.grid_size) ** 2
-    exact = overflow == 0 and max_d2 <= cell_edge_sq
+    exact = overflow == 0 and max_excess <= 0.0
     result = {
         "method": "celllist",
         "grid": grid,
         "overflow": overflow,
         "max_kth_distance_sq": max_d2,
+        "max_excess_sq": max_excess,
         "cell_edge_sq": cell_edge_sq,
         "exact": exact,
     }
@@ -238,8 +243,9 @@ def verify_neighbor_exactness(
         msg = (
             f"Cell-list k-NN exactness certificate FAILED for this particle "
             f"distribution: overflow={overflow} particles dropped from "
-            f"candidate tables, max k-th-neighbor distance^2 {max_d2:.3e} vs "
-            f"cell edge^2 {cell_edge_sq:.3e}. Neighbor graphs may be "
+            f"candidate tables, max k-th-neighbor distance^2 {max_d2:.3e} "
+            f"exceeds its query's window margin^2 by {max_excess:.3e} "
+            f"(cell edge^2 {cell_edge_sq:.3e}). Neighbor graphs may be "
             f"approximate. Remedies: choose_cell_grid(capacity_multiplier=...)"
             f" larger / safety smaller, or neighbor_method='bruteforce'."
         )

@@ -87,6 +87,34 @@ _OFFSETS = np.array(
 )
 
 
+def window_margin_sq(queries: jnp.ndarray, box_size, grid: CellGrid):
+    """Per-query squared exactness radius of the 3x3x3 candidate window.
+
+    A query in cell ``c`` (per dim) sees candidates covering coordinates
+    ``[(c-1)*edge, (c+2)*edge]``; every particle within Euclidean min-image
+    distance ``m(q) = min_d min(frac_d + edge, 2*edge - frac_d)`` of the
+    query (``frac_d`` = offset into its cell) provably lies inside that
+    window, so ``d_k(q)^2 <= m(q)^2`` certifies query ``q`` exactly. This is
+    the *per-query* form of the classic ``d_k <= edge`` bound — tighter by
+    up to 1.5x (cell centers), and the global bound is its worst case
+    (queries exactly on a cell boundary). Round 3: the flagship rollout's
+    mid-trajectory frames reach max-d_k/edge = 1.00002 with provably exact
+    neighbor sets (benchmarks/diag_exactness_r3.py) — the global bound is
+    too blunt in exactly the regime the grid tuner targets.
+
+    Values are in ``[edge^2, (1.5*edge)^2]`` for wrapped queries; out-of-box
+    coordinates shrink the margin (never inflate it), keeping the bound
+    sound for any input.
+    """
+    g = grid.grid_size
+    box = jnp.asarray(box_size, queries.dtype)
+    edge = box / g
+    c = jnp.clip(jnp.floor(queries * (g / box)).astype(jnp.int32), 0, g - 1)
+    frac = queries - c.astype(queries.dtype) * edge
+    m = edge + jnp.min(jnp.minimum(frac, edge - frac), axis=-1)
+    return m * m
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "grid", "query_tile", "return_diagnostics"),
@@ -112,10 +140,14 @@ def cell_list_knn(
         cells under periodic wrap).
       queries: optional ``[Q, 3]`` query points (default: ``positions``).
       query_tile: queries processed per tile (memory = tile * 27C * 4 B).
-      return_diagnostics: also return ``(overflow, max_d2)`` where
-        ``overflow`` counts particles dropped from candidate tables and
-        ``max_d2`` is the largest k-th-neighbor squared distance — exact iff
-        ``overflow == 0`` and ``max_d2 <= (box/G)^2``.
+      return_diagnostics: also return ``(overflow, max_d2, max_excess)``
+        where ``overflow`` counts particles dropped from candidate tables,
+        ``max_d2`` is the largest k-th-neighbor squared distance (reporting
+        only), and ``max_excess = max_q(d_k(q)^2 - window_margin_sq(q))`` —
+        exact iff ``overflow == 0`` and ``max_excess <= 0`` (the per-query
+        certificate; see ``window_margin_sq``). Pad queries with zero valid
+        candidates (halo path) carry +inf — callers masking pad queries
+        must compute their own reduction, as ``featurize_halo`` does.
       valid: optional ``[N]`` bool — False rows are excluded from the
         candidate set entirely (the halo-sharded path's padding slots).
 
@@ -206,5 +238,7 @@ def cell_list_knn(
         d2 = d2.reshape(-1, k)[:nq]
 
     if return_diagnostics:
-        return idx, (overflow, jnp.max(d2))
+        kth = jnp.max(d2, axis=1)  # robust to clamped duplicate picks
+        excess = kth - window_margin_sq(queries, box, grid)
+        return idx, (overflow, jnp.max(d2), jnp.max(excess))
     return idx

@@ -26,8 +26,9 @@ Pipeline (wrapper ``pallas_cell_list_knn``):
      particle's (cell, rank).
 
 Exactness matches the cell list's guarantee: provably exact when no cell
-overflows C and every query's k-th neighbor lies within one cell edge
-(diagnostics returned for both).
+overflows C and every query's k-th neighbor lies within its per-query
+3x3x3-window margin (between 1 and 1.5 cell edges — see
+``cell_list.window_margin_sq``; diagnostics returned for both).
 """
 
 from __future__ import annotations
@@ -358,5 +359,22 @@ def pallas_cell_list_knn(
         valid_slot = ids.reshape(-1) != n
         kth = kth_d2[:num_cells].reshape(-1)
         max_d2 = jnp.max(jnp.where(valid_slot, kth, 0.0))
-        return (out, *extras, (overflow, max_d2))
+        # Per-slot window margin (see cell_list.window_margin_sq): the slot's
+        # cell coords come from its table index, its coordinate from the
+        # planes — exactly the binning the kernel searched, so the per-query
+        # certificate max(d_k^2 - margin^2) <= 0 is sound by construction.
+        edge = box / g
+        cell = jnp.arange(num_cells * cap, dtype=jnp.int32) // cap
+        sx = plane_x[:num_cells].reshape(-1)
+        sy = plane_y[:num_cells].reshape(-1)
+        sz = plane_z[:num_cells].reshape(-1)
+        fx = sx - (cell // (g * g)).astype(jnp.float32) * edge
+        fy = sy - ((cell // g) % g).astype(jnp.float32) * edge
+        fz = sz - (cell % g).astype(jnp.float32) * edge
+        m = edge + jnp.minimum(
+            jnp.minimum(jnp.minimum(fx, edge - fx), jnp.minimum(fy, edge - fy)),
+            jnp.minimum(fz, edge - fz),
+        )
+        max_excess = jnp.max(jnp.where(valid_slot, kth - m * m, -_BIG))
+        return (out, *extras, (overflow, max_d2, max_excess))
     return (out, *extras) if extras else out

@@ -46,6 +46,7 @@ from cosmology_gnn_simulation_tpu.ops.cell_list import (
     CellGrid,
     cell_list_knn,
     choose_cell_grid,
+    window_margin_sq,
 )
 from cosmology_gnn_simulation_tpu.ops.noise import (
     random_walk_position_noise,
@@ -367,7 +368,7 @@ def featurize_halo(
     cand_valid = cand[:, 3] > 0.5
 
     grid = CellGrid(hc.grid_size, hc.cell_capacity)
-    neighbors, (cell_overflow, _) = cell_list_knn(
+    neighbors, (cell_overflow, _, _) = cell_list_knn(
         cand_pos,
         num_neighbors,
         box,
@@ -420,10 +421,18 @@ def featurize_halo(
             axis=-1,
         )
         max_d2 = jnp.max(jnp.where(valid[:, None], d2, 0.0))
+        # Per-query window-margin certificate (ops.cell_list.window_margin_sq):
+        # the halo exchange guarantees the full 27-cell window is candidate-
+        # populated across slab boundaries (halo_layers >= 1), so the same
+        # per-query bound as the single-device path applies shard-locally.
+        kth = jnp.max(d2, axis=1)
+        margin_sq = window_margin_sq(recent, box, grid)
+        max_excess = jnp.max(jnp.where(valid, kth - margin_sq, -jnp.inf))
         diagnostics = {
             "halo_overflow": halo_overflow,
             "cell_overflow": cell_overflow,
             "max_kth_d2": max_d2,
+            "max_excess_sq": max_excess,
             "cell_edge_sq": (box / hc.grid_size) ** 2,
         }
     return graph, halo, diagnostics
@@ -871,11 +880,12 @@ def make_halo_rollout(
             # Per-step exactness certificate, the sharded counterpart of
             # rollout()'s in-scan guard (rollout.py): neighbor graphs are
             # provably exact iff no halo send overflowed, no cell
-            # overflowed, and every k-th neighbor lies within one cell edge.
+            # overflowed, and every k-th neighbor lies within its query's
+            # 3x3x3-window margin (ops.cell_list.window_margin_sq).
             exact_local = (
                 (fdiag["halo_overflow"] == 0)
                 & (fdiag["cell_overflow"] == 0)
-                & (fdiag["max_kth_d2"] <= fdiag["cell_edge_sq"])
+                & (fdiag["max_excess_sq"] <= 0.0)
             )
             preds = apply_encode_process_decode(
                 params, graph, model_config, dtype,

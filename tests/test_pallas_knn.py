@@ -24,11 +24,13 @@ def test_uniform_exact(rng):
     n, k = 2048, 16
     pos = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
     grid = choose_cell_grid(n, k)
-    idx, (overflow, max_d2) = pallas_cell_list_knn(
+    idx, (overflow, max_d2, max_excess) = pallas_cell_list_knn(
         pos, k, 1.0, grid, return_diagnostics=True, interpret=True
     )
     assert int(overflow) == 0
-    assert float(max_d2) <= (1.0 / grid.grid_size) ** 2
+    assert float(max_excess) <= 0.0
+    # The per-query margin is never looser than 1.5 cell edges.
+    assert float(max_d2) <= (1.5 / grid.grid_size) ** 2
     ref = knn_periodic(pos, k, 1.0, query_tile=256)
     assert rowmatch(idx, ref) == 1.0
 
