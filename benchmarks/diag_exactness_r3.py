@@ -105,6 +105,25 @@ def main():
     print(f"max k-th distance: {float(jnp.max(kth)):.5f} vs cell edge "
           f"{1.0 / g:.5f}", flush=True)
 
+    # Per-query margin-certificate decomposition: how many queries exceed
+    # their window margin, and by how much?
+    from cosmology_gnn_simulation_tpu.ops.cell_list import window_margin_sq
+    margin_sq = window_margin_sq(frame, stats.box_size, spec)
+    excess = np.asarray(kth * kth - margin_sq)
+    n_over = int((excess > 0).sum())
+    print(f"queries exceeding their window margin: {n_over} "
+          f"(max excess {float(excess.max()):.3e}, "
+          f"kth/edge at argmax "
+          f"{float(kth[int(np.argmax(excess))]) * g:.4f}, "
+          f"margin/edge at argmax "
+          f"{float(np.sqrt(np.asarray(margin_sq))[int(np.argmax(excess))]) * g:.4f})",
+          flush=True)
+    # Distribution of kth/edge across all queries.
+    ke = np.asarray(kth) * g
+    print("kth/edge percentiles 50/99/99.9/100:",
+          [round(float(np.percentile(ke, p)), 4)
+           for p in (50, 99, 99.9, 100)], flush=True)
+
     # Real neighbor-set error? Compare against brute force.
     brute = knn_periodic(frame, K, stats.box_size, query_tile=512)
     a = np.sort(np.asarray(nbr), axis=1)
@@ -112,6 +131,21 @@ def main():
     bad_rows = int((a != b).any(axis=1).sum())
     print("rows whose neighbor set differs from brute force:", bad_rows,
           flush=True)
+
+    # What grid WOULD certify every step? Offline sweep on the failing
+    # frame: coarser grids until the margin certificate passes.
+    from cosmology_gnn_simulation_tpu.ops.cell_list import (
+        CellGrid, cell_list_knn,
+    )
+    for gg in range(g, max(g - 5, 2), -1):
+        cap = max(K, int(np.ceil(2.5 * N / gg**3)))
+        _, (ovf, maxd2, exc) = cell_list_knn(
+            frame, K, stats.box_size, CellGrid(gg, cap),
+            return_diagnostics=True,
+        )
+        print(f"  G={gg} cap={cap}: overflow={int(ovf)} "
+              f"max_excess={float(exc):.3e} "
+              f"certified={int(ovf) == 0 and float(exc) <= 0}", flush=True)
 
 
 if __name__ == "__main__":

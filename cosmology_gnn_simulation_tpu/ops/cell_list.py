@@ -16,8 +16,9 @@ Everything is static-shape and jit/scan-friendly:
 * candidate gathering is a dense ``[Q, 27*C]`` gather + masked min-image
   distance reduction + ``top_k`` over 27*C (hundreds, not N);
 * exactness is *verifiable per query*: if the k-th neighbor distance is
-  <= cell_size the 27-cell neighborhood provably contains every true
-  neighbor. ``max_d2``/``overflow`` outputs let callers assert this.
+  within the query's 3x3x3-window margin (``window_margin_sq`` — between
+  1 and 1.5 cell edges) the neighborhood provably contains every true
+  neighbor. ``max_excess``/``overflow`` outputs let callers assert this.
 
 Cost at N=65k, k=16, G=25, C=24: ~65k x 648 distances ≈ 0.34 GFLOP (vs
 34 GFLOP brute) and top_k width 648 (vs 65536) — a ~40x step-time win.
@@ -44,24 +45,61 @@ class CellGrid(NamedTuple):
     cell_capacity: int  # C: max particles tabulated per cell
 
 
+def poisson_occupancy_capacity(
+    mean_occupancy: float, num_cells: int, frame_failure_prob: float = 1e-4
+) -> int:
+    """Smallest capacity ``c`` with ``P(any of num_cells Poisson(lam) cells
+    exceeds c) <= frame_failure_prob`` — i.e. the per-cell tail must be
+    below ``frame_failure_prob / num_cells``.
+
+    Near-uniform particle counts per cell are binomial ~ Poisson; a flat
+    capacity multiplier ignores the extreme-value statistics across G^3
+    cells *per frame* and across every frame of a rollout. Round 3: the
+    flagship rollout (65,536 particles, grid 19, mean occupancy 9.55,
+    capacity 2.5x = 24) hits occupancy 25 within ~13 steps — expected,
+    since max occupancy over 6,859 cells concentrates at
+    lam + sqrt(2 lam ln G^3) ~ 22.5 and each step redraws the extreme
+    (benchmarks/diag_exactness_r3.py). The default 1e-4 per-frame budget
+    lands the flagship at C=31; the pallas backend pads capacity to a
+    multiple of 8 (here 32), pushing the realized per-frame risk to
+    ~1.4e-5 — a 1,000-step rollout overflows with probability ~1%, and
+    the in-scan certificate catches the event loudly when it happens.
+    """
+    lam = float(mean_occupancy)
+    tail_target = frame_failure_prob / max(num_cells, 1)
+    # Walk the pmf upward from the mode; survivor = P(X > c).
+    pmf = math.exp(-lam)
+    survivor = 1.0 - pmf
+    c = 0
+    while survivor > tail_target and c < 100_000:
+        c += 1
+        pmf *= lam / c
+        survivor -= pmf
+        survivor = max(survivor, 0.0)  # guard accumulated rounding
+    return c
+
+
 def choose_cell_grid(
     num_particles: int,
     k: int,
     *,
     safety: Optional[float] = None,
-    capacity_multiplier: float = 2.5,
+    capacity_multiplier: Optional[float] = None,
 ) -> CellGrid:
     """Pick (G, C) for a roughly uniform distribution of ``num_particles``
     in a unit-scaled box.
 
     Cell edge is ``safety`` x the uniform k-th-neighbor radius
-    r_k = (3k / (4 pi n))^(1/3); capacity is ``capacity_multiplier`` x the
-    mean occupancy (clustered data needs headroom — check ``overflow``).
+    r_k = (3k / (4 pi n))^(1/3); capacity defaults to the Poisson upper
+    quantile of the cell occupancy (``poisson_occupancy_capacity`` — sized
+    so a whole frame overflows with probability <= 1e-4, durable across
+    long rollouts), with ``capacity_multiplier`` x mean occupancy as an
+    explicit override for clustered data.
 
     The default safety covers the MAX k-th-neighbor radius over all N
     queries, not the mean: exactness requires every query's k-th neighbor
-    within one cell edge, and for Poisson-uniform data the count in a ball
-    fluctuates by ~sqrt(k) with an extreme-value ln(N) term across N
+    within its window margin, and for Poisson-uniform data the count in a
+    ball fluctuates by ~sqrt(k) with an extreme-value ln(N) term across N
     queries, so edge^3 must hold ~(k + 3 sqrt(k) + ln N) expected points:
     ``safety = ((k + 3 sqrt(k) + ln N) / k)^(1/3)``, floored at 1.35 — the
     TPU-tuned value at N=65k/k=16 (grid 19: 47ms vs 82ms at grid 17,
@@ -76,8 +114,11 @@ def choose_cell_grid(
     r_k = (3.0 * k / (4.0 * math.pi * num_particles)) ** (1.0 / 3.0)
     grid_size = max(3, int(1.0 / (safety * r_k)))
     mean_occupancy = num_particles / grid_size**3
-    capacity = max(k, int(math.ceil(capacity_multiplier * mean_occupancy)))
-    return CellGrid(grid_size=grid_size, cell_capacity=capacity)
+    if capacity_multiplier is None:
+        capacity = poisson_occupancy_capacity(mean_occupancy, grid_size**3)
+    else:
+        capacity = int(math.ceil(capacity_multiplier * mean_occupancy))
+    return CellGrid(grid_size=grid_size, cell_capacity=max(k, capacity))
 
 
 # The 27 neighbor-cell offsets, precomputed host-side.
