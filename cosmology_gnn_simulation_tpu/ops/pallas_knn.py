@@ -62,7 +62,7 @@ def padded_cell_capacity(grid: CellGrid) -> int:
 
 def _select_kernel(
     k: int, cells_per_block: int, cap: int, num_cand: int,
-    with_codes: bool = False,
+    with_codes: bool = False, lex_carry: bool = True,
 ):
     """Build the kernel body: per cell, exact k-smallest-distance selection
     over its candidate row, emitting the selected **particle ids** directly
@@ -74,6 +74,12 @@ def _select_kernel(
     of the pathological 16M-element ``aux[neighbors]`` gather (143 ms at
     config 4, benchmarks/results/cb_parts_r3.json). Costs one extra
     masked-min pass per pick; off for the plain-kNN (flagship) path.
+
+    ``lex_carry`` selects the write-free lexicographic-threshold selection
+    (production widths); False falls back to in-place masked re-min, which
+    keeps one fewer [cap, num_cand] tile live — for fat clustered-data
+    capacities that would otherwise blow the 16 MB scoped-VMEM limit.
+    Both enumerate picks in identical exact (d2, id) ascending order.
     """
 
     def kernel(qx, qy, qz, cx, cy, cz, cids, nref, box_ref, *outs):
@@ -104,41 +110,58 @@ def _select_kernel(
             )
             out_lane = jax.lax.broadcasted_iota(jnp.int32, (cap, _LANE), 1)
             big_id = jnp.int32(2**30)
-            m = jnp.zeros((cap, 1), jnp.float32)
+            # Lexicographic-threshold selection: picks enumerate candidates
+            # in exact (d2, id) ascending order — identical pick order to
+            # masked re-min (ids are unique per row: each particle sits in
+            # exactly one of the 27 distinct cells), but the "already
+            # picked" state is the scalar pair (m, pid) per row instead of
+            # a masked d2 copy. Per pick: 2 reduce traversals of the tile
+            # and NO tile-wide write-back (the old form paid a third,
+            # full-tile masked store per pick — ~1/3 of kernel time at
+            # k=16, benchmarks/results/knn_kernel_r3.json). Ties broken by
+            # SMALLEST PARTICLE ID, matching the brute-force backend's
+            # top_k lowest-index tie-break. (The XLA cell list tie-breaks
+            # by lane order instead; the backends can differ on EXACT
+            # distance ties — measure-zero for continuous data, possible
+            # for lattice initial conditions.)
+            m = jnp.full((cap, 1), -1.0, jnp.float32)
+            pid = jnp.full((cap, 1), -1, jnp.int32)
             for j in range(k):
-                # Ties broken by SMALLEST PARTICLE ID (unique per row — each
-                # particle appears in exactly one of the 27 distinct cells),
-                # matching the brute-force backend's top_k lowest-index
-                # tie-break (candidate index == particle id there) and
-                # needing one fewer pass than lane-argmin + id resolution.
-                # (The XLA cell list tie-breaks by lane order instead; the
-                # backends can differ on EXACT distance ties — measure-zero
-                # for continuous data, possible for lattice initial
-                # conditions.)
-                m = jnp.min(d2, axis=1, keepdims=True)  # [cap, 1]
-                pid = jnp.min(
-                    jnp.where(d2 <= m, ids_row, big_id), axis=1, keepdims=True
+                if lex_carry:
+                    # Strictly-after-(m, pid) candidates in lex order.
+                    avail = jnp.where(
+                        (d2 > m) | ((d2 == m) & (ids_row > pid)), d2, _BIG
+                    )
+                else:
+                    # In-place masked re-min: drop the previous pick from
+                    # d2 itself (ids are unique per row).
+                    d2 = jnp.where(ids_row == pid, _BIG, d2)
+                    avail = d2
+                m = jnp.min(avail, axis=1, keepdims=True)  # [cap, 1]
+                new_pid = jnp.min(
+                    jnp.where(avail <= m, ids_row, big_id),
+                    axis=1, keepdims=True,
                 )  # [cap, 1] — min id among the minima
                 # Exhausted row (fewer than k valid candidates — only in the
                 # uncertified regime): emit the sentinel instead of repeating
                 # an already-picked real id, so the failure is detectable and
-                # no edge gets silently double-counted.
-                pid = jnp.where(m < _BIG * 0.5, pid, n_sentinel)
+                # no edge gets silently double-counted. (Sentinel-id lanes
+                # carry d2 == _BIG and id == n, so they stay excluded on
+                # every later pick.)
+                pid = jnp.where(m < _BIG * 0.5, new_pid, n_sentinel)
                 picked = jnp.where(out_lane == j, pid, picked)
                 if with_codes:
-                    # The pick's unique candidate lane (each particle sits in
-                    # exactly one of the 27 distinct cells). Exhausted rows
-                    # emit the num_cand sentinel.
+                    # The pick's unique candidate lane. Exhausted rows emit
+                    # the num_cand sentinel.
                     lane = jnp.min(
                         jnp.where(ids_row == pid, cand_lane, big_id),
                         axis=1, keepdims=True,
                     )
                     lane = jnp.where(m < _BIG * 0.5, lane, num_cand)
                     codes = jnp.where(out_lane == j, lane, codes)
-                d2 = jnp.where(ids_row == pid, _BIG, d2)
             out_ref[c] = picked
             # m after the last iteration IS the k-th smallest distance —
-            # the exactness certificate (d_k <= cell edge) for free.
+            # the exactness certificate for free.
             kth_ref[c] = m[:, 0]
             if with_codes:
                 codes_ref[c] = codes
@@ -180,7 +203,8 @@ def _build_table(positions, g: int, cap: int, box):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "grid", "return_diagnostics", "with_codes", "interpret"
+        "k", "grid", "return_diagnostics", "with_codes", "interpret",
+        "cells_per_block", "lex_carry",
     ),
 )
 def pallas_cell_list_knn(
@@ -192,11 +216,15 @@ def pallas_cell_list_knn(
     return_diagnostics: bool = False,
     with_codes: bool = False,
     interpret: bool = False,
+    cells_per_block: Optional[int] = None,
+    lex_carry: Optional[bool] = None,
 ):
     """Exact periodic k-NN (self-query) via the fused Pallas kernel.
 
     Args / returns match ``cell_list_knn`` (queries == positions). ``k`` must
     be <= 128 (one output lane tile) and <= candidate width.
+    ``cells_per_block``/``lex_carry`` override the measured-default kernel
+    shape (see the inline notes) — exposed for hardware probes only.
 
     ``with_codes``: additionally return ``codes [N, k]`` int32 — each
     neighbor's candidate coordinates ``j27 * cap + rank`` on this grid
@@ -260,7 +288,25 @@ def pallas_cell_list_knn(
     cand_z = gather_cands(plane_z, 0.0, shift_dim=2)
     cand_ids = gather_cands(ids, n)
 
-    cells_per_block = 8
+    # Round-3 A/B sweeps (benchmarks/results/knn_ab_r3.json,
+    # knn_kernel_r3.json) pinned both defaults:
+    # * cells_per_block = 8: SMALL blocks win (masked selection measured
+    #   10.2 / 15.3 / 23.5 ms at 8 / 16 / 32 cells per block at the
+    #   flagship spec) — pipeline overlap of the per-block candidate DMAs
+    #   beats per-block fixed overhead. 8 is also the sublane floor for
+    #   the [cpb, cap] query blocks, and keeps fat clustered-data
+    #   capacities inside the 16 MB scoped-VMEM limit (a [120, 3328] spec
+    #   with one extra live tile per unrolled cell allocates 16.78 MB and
+    #   is rejected — Mosaic's stack allocator does not share the
+    #   selection temporaries across unrolled cells).
+    # * lex_carry = False: in-place masked re-min beats the write-free
+    #   lexicographic-threshold carry (per-pick 0.40 vs 1.38 ms — the
+    #   threshold predicate's broadcast compares cost more than the masked
+    #   store). Both knobs stay exposed for future hardware probes.
+    if lex_carry is None:
+        lex_carry = False
+    if cells_per_block is None:
+        cells_per_block = 8
     num_cells = g**3
     pad_cells = (-num_cells) % cells_per_block
     if pad_cells:
@@ -311,7 +357,8 @@ def pallas_cell_list_knn(
             )
         )
     results = pl.pallas_call(
-        _select_kernel(k, cells_per_block, cap, num_cand, with_codes),
+        _select_kernel(k, cells_per_block, cap, num_cand, with_codes,
+                       lex_carry=lex_carry),
         grid=(num_blocks,),
         in_specs=[q_spec, q_spec, q_spec, c_spec, c_spec, c_spec, c_spec,
                   pl.BlockSpec(memory_space=pltpu.SMEM),

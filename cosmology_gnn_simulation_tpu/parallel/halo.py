@@ -46,6 +46,7 @@ from cosmology_gnn_simulation_tpu.ops.cell_list import (
     CellGrid,
     cell_list_knn,
     choose_cell_grid,
+    poisson_occupancy_capacity,
     window_margin_sq,
 )
 from cosmology_gnn_simulation_tpu.ops.noise import (
@@ -128,14 +129,16 @@ def choose_halo_config(
         )
     grid_size = slab_layers * num_shards
     # Cells got larger (G <= base G): size capacity from the new mean
-    # occupancy with a Poisson-tail floor (mean + 6 sigma) — a pure
-    # multiplicative margin is too tight at small occupancies, silently
-    # dropping candidates from full cells.
+    # occupancy with a Poisson-quantile floor (the extreme over G^3 cells
+    # is redrawn every rollout step — see
+    # cell_list.poisson_occupancy_capacity) — a pure multiplicative margin
+    # is too tight at small occupancies, silently dropping candidates from
+    # full cells.
     occupancy = num_particles / grid_size**3
     cell_capacity = int(max(
         k,
         np.ceil(capacity_multiplier * occupancy),
-        np.ceil(occupancy + 6.0 * np.sqrt(occupancy)),
+        poisson_occupancy_capacity(occupancy, grid_size**3),
     ))
     per_layer = num_particles / grid_size  # expected particles per layer
     local_capacity = _round_up(
