@@ -102,9 +102,9 @@ def main():
     )
     results["partition_s"] = round(time.perf_counter() - t0, 1)
     fn = make_halo_rollout(model_config, stats, mesh, args.steps, hc,
-                           num_neighbors=k)
+                           num_neighbors=k, with_certificate_components=True)
     t0 = time.perf_counter()
-    outs, diag, exactness = fn(
+    outs, diag, exactness, certs = fn(
         params,
         jnp.asarray(part["positions"]),
         jnp.asarray(part["temperatures"]),
@@ -120,6 +120,12 @@ def main():
     results["neighbor_exactness_all_steps"] = bool(
         np.asarray(exactness).all()
     )
+    results["certificate_components"] = {
+        key: np.asarray(val).tolist() for key, val in certs.items()
+    }
+    print("per-step certificate components:", flush=True)
+    for key, val in results["certificate_components"].items():
+        print(f"  {key}: {val}", flush=True)
     print(
         f"rollout: {args.steps} steps in {results['rollout_total_s']}s, "
         f"preserved={results['particles_preserved']}, diag="

@@ -12,18 +12,24 @@ argmin-and-mask loop — no sort, no top_k, no scatter/gather in the hot loop.
 Pipeline (wrapper ``pallas_cell_list_knn``):
   1. [XLA] bin particles into a G^3 grid, sort by cell id, build dense
      per-cell planes ``x/y/z/valid`` of shape [G^3, C] plus the particle ids
-     per slot (C = static cell capacity; overflow counted).
+     per slot. C is sized for the COMMON case (lam + 4.5 sigma); the rare
+     particles beyond C land in a static global SPILL block that rides the
+     candidate rows' lane padding (round 3 — durability without paying the
+     Poisson-extreme capacity in every cell's candidate width; overflow
+     then counts only spill exhaustion).
   2. [XLA] expand each cell's 27-neighborhood into candidate rows
      [G^3, 27*C] via 27 periodic **rolls** of the 3-D cell table —
      contiguous memory ops; a [G^3, 27] row gather is pathologically slow
      to compile/run on this backend.
   3. [Pallas] grid over cell blocks: per cell, d2 = sum_d min_image(q - c)^2
-     over the [C, 27C] query-x-candidate tile; select k smallest by k
-     iterations of (min, min-id-among-minima, mask-by-id) — exact,
-     deterministic (smallest particle id wins exact-distance ties) —
-     resolving the winners' particle ids on-chip.
+     over the [C, 27C] query-x-candidate tile (spill lanes min-imaged);
+     select k smallest by k iterations of (min, min-id-among-minima,
+     mask-by-id) — exact, deterministic (smallest particle id wins
+     exact-distance ties) — resolving the winners' particle ids on-chip.
   4. [XLA] reorder results to the original particle indexing via each
-     particle's (cell, rank).
+     particle's (cell, rank); spilled queries' rows are solved exactly
+     against their own cell's candidate row (tiny static shapes) and
+     scattered in.
 
 Exactness matches the cell list's guarantee: provably exact when no cell
 overflows C and every query's k-th neighbor lies within its per-query
@@ -43,7 +49,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cosmology_gnn_simulation_tpu.ops.binning import bin_by_key, scatter_to_table
-from cosmology_gnn_simulation_tpu.ops.cell_list import CellGrid, choose_cell_grid
+from cosmology_gnn_simulation_tpu.ops.cell_list import (
+    CellGrid,
+    choose_cell_grid,
+    poisson_occupancy_capacity,
+    window_margin_sq,
+)
 from cosmology_gnn_simulation_tpu.ops.periodic import min_image_displacement
 
 _BIG = 1e30
@@ -62,7 +73,7 @@ def padded_cell_capacity(grid: CellGrid) -> int:
 
 def _select_kernel(
     k: int, cells_per_block: int, cap: int, num_cand: int,
-    with_codes: bool = False, lex_carry: bool = True,
+    with_codes: bool = False, lex_carry: bool = True, mi_lanes: int = 0,
 ):
     """Build the kernel body: per cell, exact k-smallest-distance selection
     over its candidate row, emitting the selected **particle ids** directly
@@ -86,6 +97,7 @@ def _select_kernel(
         out_ref, kth_ref = outs[0], outs[1]
         codes_ref = outs[2] if with_codes else None
         n_sentinel = nref[0]
+        box = box_ref[0]
         for c in range(cells_per_block):
             d2 = jnp.zeros((cap, num_cand), jnp.float32)
             for q_ref, c_ref in ((qx, cx), (qy, cy), (qz, cz)):
@@ -97,6 +109,19 @@ def _select_kernel(
                 # distance otherwise — exactness is unchanged, and the
                 # VPU saves the |d| vs box-|d| compare-selects per dim.
                 delta = q_ref[c, :][:, None] - c_ref[c, :][None, :]
+                if mi_lanes:
+                    # The trailing lane tiles carry the GLOBAL spill block
+                    # (absolute coordinates from anywhere in the box) —
+                    # min-image those lanes. A few real candidate lanes in
+                    # the shared tile get min-imaged too, which is exact:
+                    # min-image of a +-box pre-shifted displacement is the
+                    # true periodic displacement.
+                    tail = delta[:, num_cand - mi_lanes:]
+                    tail = jnp.where(tail > 0.5 * box, tail - box, tail)
+                    tail = jnp.where(tail < -0.5 * box, tail + box, tail)
+                    delta = jnp.concatenate(
+                        [delta[:, : num_cand - mi_lanes], tail], axis=1
+                    )
                 d2 = d2 + delta * delta
             ids_row = jnp.broadcast_to(cids[c, :][None, :], (cap, num_cand))
             # Empty slots carry the sentinel id — mask them out directly
@@ -245,13 +270,66 @@ def pallas_cell_list_knn(
         raise ValueError("grid_size must be >= 3")
     n = positions.shape[0]
     box = jnp.asarray(box_size, jnp.float32)
-    cap = _round_up(grid.cell_capacity, 8)
-    num_cand = _round_up(27 * cap, _LANE)
+
+    # Spill bucket (round 3): durability-grade capacities (the Poisson
+    # quantile over G^3 cells x every rollout frame) pay for the worst
+    # cell in EVERY cell's candidate width — at the flagship spec the
+    # padded capacity grows 24 -> 32 and the select kernel 8.6 -> 10.2 ms.
+    # Instead, size the table for the common case (lam + 4.5 sigma) and
+    # park the rare overflowing particles in a static global SPILL block
+    # that rides the otherwise-dead lane padding of the candidate rows:
+    # every query scans it (min-imaged in-kernel), and the spilled
+    # queries themselves are solved exactly on the XLA side against their
+    # own cell's candidate row. Exactness is unchanged; `overflow` then
+    # counts only spill-block exhaustion. Disabled under ``with_codes``
+    # (spill lanes carry no (cell-offset, rank) meaning for the
+    # cell-block plan build) and when the caller raised capacities above
+    # the uniform default (clustered-data overrides).
+    lam = n / g**3
+    use_spill = (not with_codes) and grid.cell_capacity <= max(
+        k, poisson_occupancy_capacity(lam, g**3)
+    )
+    if use_spill:
+        cap = _round_up(
+            min(grid.cell_capacity,
+                max(8, int(np.ceil(lam + 4.5 * np.sqrt(lam))))), 8
+        )
+        num_cand = _round_up(27 * cap, _LANE)
+        spill_cap = num_cand - 27 * cap
+        if spill_cap < 32:
+            num_cand += _LANE
+            spill_cap += _LANE
+    else:
+        cap = _round_up(grid.cell_capacity, 8)
+        num_cand = _round_up(27 * cap, _LANE)
+        spill_cap = 0
 
     (plane_x, plane_y, plane_z, ids, cell_id, particle_rank,
      overflow) = _build_table(positions.astype(jnp.float32), g, cap, box)
 
-    def gather_cands(plane, fill, shift_dim=None):
+    spill_planes = {}
+    if spill_cap:
+        spilled = particle_rank >= cap
+        spill_slot = jnp.where(
+            spilled, jnp.cumsum(spilled.astype(jnp.int32)) - 1, spill_cap
+        )
+
+        def to_spill(v, fill, dtype):
+            return jnp.full((spill_cap,), fill, dtype).at[spill_slot].set(
+                v.astype(dtype), mode="drop"
+            )
+
+        pos_f32 = positions.astype(jnp.float32)
+        spill_planes = {
+            "x": to_spill(pos_f32[:, 0], 0.0, jnp.float32),
+            "y": to_spill(pos_f32[:, 1], 0.0, jnp.float32),
+            "z": to_spill(pos_f32[:, 2], 0.0, jnp.float32),
+            "ids": to_spill(jnp.arange(n, dtype=jnp.int32), n, jnp.int32),
+        }
+        # Only spill-block exhaustion drops candidates now.
+        overflow = jnp.maximum(overflow - spill_cap, 0)
+
+    def gather_cands(plane, fill, shift_dim=None, spill=None):
         # 27-neighborhood expansion WITHOUT gathers: the neighbor cells of
         # every cell at offset (dx,dy,dz) are a periodic roll of the 3-D
         # cell table — rolls are cheap contiguous memory ops, whereas a
@@ -280,13 +358,24 @@ def pallas_cell_list_knn(
         rows = jnp.concatenate(shifted, axis=-1).reshape(g**3, 27 * cap)
         pad = num_cand - 27 * cap
         if pad:
-            rows = jnp.pad(rows, ((0, 0), (0, pad)), constant_values=fill)
+            if spill is not None:
+                # The lane padding IS the spill block: every cell's row
+                # carries the same global spill candidates (absolute
+                # coordinates; the kernel min-images these lanes).
+                rows = jnp.concatenate(
+                    [rows, jnp.broadcast_to(spill[None, :], (g**3, pad))],
+                    axis=-1,
+                )
+            else:
+                rows = jnp.pad(
+                    rows, ((0, 0), (0, pad)), constant_values=fill
+                )
         return rows
 
-    cand_x = gather_cands(plane_x, 0.0, shift_dim=0)
-    cand_y = gather_cands(plane_y, 0.0, shift_dim=1)
-    cand_z = gather_cands(plane_z, 0.0, shift_dim=2)
-    cand_ids = gather_cands(ids, n)
+    cand_x = gather_cands(plane_x, 0.0, shift_dim=0, spill=spill_planes.get("x"))
+    cand_y = gather_cands(plane_y, 0.0, shift_dim=1, spill=spill_planes.get("y"))
+    cand_z = gather_cands(plane_z, 0.0, shift_dim=2, spill=spill_planes.get("z"))
+    cand_ids = gather_cands(ids, n, spill=spill_planes.get("ids"))
 
     # Round-3 A/B sweeps (benchmarks/results/knn_ab_r3.json,
     # knn_kernel_r3.json) pinned both defaults:
@@ -356,9 +445,13 @@ def pallas_cell_list_knn(
                 (num_blocks * cells_per_block, cap, _LANE), jnp.int32
             )
         )
+    # Min-image region: the trailing lane tiles that contain spill lanes
+    # (128-aligned; may include a few real candidate lanes — exact either
+    # way, see the kernel note).
+    mi_lanes = num_cand - (27 * cap) // _LANE * _LANE if spill_cap else 0
     results = pl.pallas_call(
         _select_kernel(k, cells_per_block, cap, num_cand, with_codes,
-                       lex_carry=lex_carry),
+                       lex_carry=lex_carry, mi_lanes=mi_lanes),
         grid=(num_blocks,),
         in_specs=[q_spec, q_spec, q_spec, c_spec, c_spec, c_spec, c_spec,
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -374,10 +467,10 @@ def pallas_cell_list_knn(
 
     # Back to original particle order via (cell, rank). Overflowed particles
     # (rank >= cap: cell held more than `cap` particles) have no query slot
-    # of their own — clamp them to the last slot of their OWN cell so they
-    # receive a same-cell (spatially adjacent) neighbor list rather than an
-    # arbitrary other cell's row. The `overflow` diagnostic reports how many
-    # were affected; `verify_neighbor_exactness` makes this loud.
+    # of their own — clamp them to the last slot of their OWN cell (under
+    # the spill design their rows are then OVERWRITTEN with the exact
+    # XLA-side solve below; without spill the `overflow` diagnostic makes
+    # the approximation loud).
     table_row = cell_id * cap + jnp.minimum(particle_rank, cap - 1)
     out = neighbor_ids.reshape(-1, k)[table_row]  # [N, k]
 
@@ -389,6 +482,45 @@ def pallas_cell_list_knn(
     # fails loudly.
     missing = out == n
     out = jnp.where(missing, out[:, :1], out)
+
+    spill_kth = spill_valid = None
+    if spill_cap:
+        # Exact kNN for the spilled queries: their candidate set is their
+        # OWN cell's already-materialized candidate row (the full 27-ring
+        # plus the spill block — the identical set a table slot in that
+        # cell scans), so the window-margin certificate applies unchanged.
+        # Tiny static shapes: [spill_cap, num_cand].
+        sp_pos = jnp.stack(
+            [spill_planes["x"], spill_planes["y"], spill_planes["z"]],
+            axis=1,
+        )
+        spc = jnp.clip(
+            jnp.floor(sp_pos * (g / box)).astype(jnp.int32), 0, g - 1
+        )
+        sp_cell = (spc[:, 0] * g + spc[:, 1]) * g + spc[:, 2]
+        d2s = jnp.zeros((spill_cap, num_cand), jnp.float32)
+        for dim, cand in enumerate((cand_x, cand_y, cand_z)):
+            rows = cand[sp_cell]
+            # Min-image ALL lanes: min-image of a +-box pre-shifted
+            # displacement is the true periodic displacement, so this is
+            # exact for ring lanes and required for spill lanes.
+            dd = min_image_displacement(sp_pos[:, dim:dim + 1] - rows, box)
+            d2s = d2s + dd * dd
+        sp_ids = cand_ids[sp_cell]
+        d2s = jnp.where(sp_ids >= n, _BIG, d2s)
+        # Exact (d2, id)-lexicographic ascending selection — the same
+        # min-id tie-break as the kernel.
+        d2_sorted, ids_sorted = jax.lax.sort(
+            (d2s, sp_ids), dimension=1, num_keys=2
+        )
+        picks = ids_sorted[:, :k]
+        spill_kth = d2_sorted[:, k - 1]
+        spill_valid = spill_planes["ids"] != n
+        picks = jnp.where(picks == n, picks[:, :1], picks)
+        picks = jnp.where(picks == n, 0, picks)
+        out = out.at[
+            jnp.where(spill_valid, spill_planes["ids"], n)
+        ].set(picks, mode="drop")
 
     extras = ()
     if with_codes:
@@ -423,5 +555,18 @@ def pallas_cell_list_knn(
             jnp.minimum(fz, edge - fz),
         )
         max_excess = jnp.max(jnp.where(valid_slot, kth - m * m, -_BIG))
+        if spill_cap:
+            # Fold the spilled queries into both certificate reductions
+            # (their kth comes from the exact XLA-side solve; margins from
+            # their own positions).
+            sp_margin = window_margin_sq(sp_pos, box, grid)
+            sp_excess = jnp.where(
+                spill_valid, spill_kth - sp_margin, -_BIG
+            )
+            max_d2 = jnp.maximum(
+                max_d2,
+                jnp.max(jnp.where(spill_valid, spill_kth, 0.0)),
+            )
+            max_excess = jnp.maximum(max_excess, jnp.max(sp_excess))
         return (out, *extras, (overflow, max_d2, max_excess))
     return (out, *extras) if extras else out

@@ -822,6 +822,7 @@ def make_halo_rollout(
     min_image_velocity: bool = False,
     dtype=None,
     query_tile: int = 2048,
+    with_certificate_components: bool = False,
 ):
     """Halo-sharded multi-step rollout (BASELINE config 5's execution plan).
 
@@ -832,7 +833,11 @@ def make_halo_rollout(
     ``reassemble_trajectory``), ``diag`` the max-over-steps migration/halo
     overflow diagnostics, and ``exactness`` a per-step ``[num_steps]`` bool
     certificate (parity with ``rollout()``'s in-scan guard: halo sends,
-    cell capacity, k-th-distance bound and migration all within limits).
+    cell capacity, the per-query window-margin bound and migration all
+    within limits). ``with_certificate_components=True`` appends a fourth
+    return: a dict of per-step global certificate components
+    (halo/cell/migration overflow counts, max margin excess) so a failing
+    step is attributable without a rerun.
 
     Use ``run_halo_rollout`` for the partition -> rollout -> reassemble
     round trip with the single-device ``rollout()`` interface.
@@ -866,6 +871,13 @@ def make_halo_rollout(
             },
             P(),
             P(),
+            {
+                "halo_overflow": P(),
+                "cell_overflow": P(),
+                "max_excess_sq": P(),
+                "migration_overflow": P(),
+                "migration_stranded": P(),
+            },
         ),
     )
     def rollout_fn(params, init_pos, init_temp, valid, gid):
@@ -915,13 +927,33 @@ def make_halo_rollout(
             exact = jax.lax.psum(
                 jnp.where(exact_local, 0, 1), PARTICLE_AXIS
             ) == 0
+            # Per-step GLOBAL certificate components, so a failing step is
+            # attributable without a rerun (config-5 runs cost ~35 min on
+            # the virtual mesh).
+            cert = {
+                "halo_overflow": jax.lax.psum(
+                    fdiag["halo_overflow"], PARTICLE_AXIS
+                ),
+                "cell_overflow": jax.lax.psum(
+                    fdiag["cell_overflow"], PARTICLE_AXIS
+                ),
+                "max_excess_sq": jax.lax.pmax(
+                    fdiag["max_excess_sq"], PARTICLE_AXIS
+                ),
+                "migration_overflow": jax.lax.psum(
+                    diag["overflow"], PARTICLE_AXIS
+                ),
+                "migration_stranded": jax.lax.psum(
+                    diag["stranded"], PARTICLE_AXIS
+                ),
+            }
             out = {
                 "positions": pos_w[-1],
                 "temperatures": temp_w[-1],
                 "valid": valid,
                 "gid": gid,
             }
-            return (pos_w, temp_w, valid, gid), (out, diag, exact)
+            return (pos_w, temp_w, valid, gid), (out, diag, exact, cert)
 
         init = (
             init_pos.astype(jnp.float32),
@@ -929,15 +961,23 @@ def make_halo_rollout(
             valid,
             gid,
         )
-        _, (outs, diags, exactness) = jax.lax.scan(
+        _, (outs, diags, exactness, certs) = jax.lax.scan(
             body, init, None, length=num_steps
         )
         diag_max = jax.lax.psum(
             jax.tree.map(jnp.max, diags), PARTICLE_AXIS
         )
+        return outs, diag_max, exactness, certs
+
+    def run(params, init_pos, init_temp, valid, gid):
+        outs, diag_max, exactness, certs = rollout_fn(
+            params, init_pos, init_temp, valid, gid
+        )
+        if with_certificate_components:
+            return outs, diag_max, exactness, certs
         return outs, diag_max, exactness
 
-    return jax.jit(rollout_fn)
+    return jax.jit(run)
 
 
 def reassemble_trajectory(

@@ -77,3 +77,46 @@ def test_k_too_large_rejected():
             jnp.zeros((10, 3)), 200, 1.0,
             CellGrid(grid_size=3, cell_capacity=8), interpret=True,
         )
+
+
+def test_spill_absorbs_cell_overflow_exactly(rng):
+    """Round-3 spill bucket: a cell holding more particles than the table
+    capacity no longer degrades the neighbor sets — the overflowing
+    particles ride the spill block as candidates for everyone, and their
+    own rows are solved exactly on the XLA side. Round-2 semantics (clamp +
+    failed certificate) would be inexact here."""
+    n_bg, n_cram, k = 2048, 40, 8
+    bg = rng.uniform(0, 1, (n_bg, 3))
+    cram = 0.44 + 0.04 * rng.uniform(0, 1, (n_cram, 3))  # one dense cell
+    pos = jnp.asarray(np.concatenate([bg, cram]), jnp.float32)
+    grid = CellGrid(grid_size=8, cell_capacity=16)  # cram cell overflows 16
+    from cosmology_gnn_simulation_tpu.ops.cell_list import cell_list_knn
+
+    # The fixture genuinely over-fills a cell: the spill-less XLA cell list
+    # reports table overflow on the same grid.
+    _, (xla_overflow, _, _) = cell_list_knn(
+        pos, k, 1.0, grid, return_diagnostics=True
+    )
+    assert int(xla_overflow) > 0
+
+    idx, (overflow, _, max_excess) = pallas_cell_list_knn(
+        pos, k, 1.0, grid, return_diagnostics=True, interpret=True
+    )
+    assert int(overflow) == 0  # the spill block absorbed the tail
+    assert float(max_excess) <= 0.0  # certificate PASSES despite the cram
+    ref = knn_periodic(pos, k, 1.0, query_tile=256)
+    assert rowmatch(idx, ref) == 1.0
+
+
+def test_spill_exhaustion_fails_loudly(rng):
+    """Cramming more particles than table + spill capacity must surface in
+    the overflow diagnostic (never silent)."""
+    n, k = 2048, 8
+    pos = jnp.asarray(
+        np.remainder(0.5 + rng.normal(0, 0.004, (n, 3)), 1.0), jnp.float32
+    )
+    grid = CellGrid(grid_size=8, cell_capacity=16)
+    _, (overflow, _, _) = pallas_cell_list_knn(
+        pos, k, 1.0, grid, return_diagnostics=True, interpret=True
+    )
+    assert int(overflow) > 0
