@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--latent", type=int, default=128)
     ap.add_argument("--mp", type=int, default=10)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--slab_layers", type=int, default=None,
+                    help="cells per slab; default 5 at full size (coarser "
+                         "than the uniform-tuned grid for margin), auto "
+                         "below 1M particles (small-N smoke runs)")
     ap.add_argument("--skip_train", action="store_true")
     args = ap.parse_args()
     n, k = args.n, args.k
@@ -84,7 +88,32 @@ def main():
     )
     params = init_encode_process_decode(jax.random.PRNGKey(0), model_config)
 
-    hc = choose_halo_config(n, k, 8, noise=True)
+    # Zero the decoder heads: a RANDOM-init model predicts a spatially
+    # correlated random force field whose convergent regions compress
+    # particles exponentially — by rollout step 7-9 cells overflow their
+    # 3x-mean capacity and the exactness certificate (correctly, loudly)
+    # fails (measured round 3: cell_overflow 0,0,0,0,0,0,0,2,8,80; the
+    # per-query window-margin component held ALL steps). No capacity
+    # planner should absorb unphysical collapse; a TRAINED model predicts
+    # near-zero denoising residuals. Zeroed heads give the physically
+    # plausible analog — ballistic drift from the seed velocities — while
+    # executing the IDENTICAL compute/comms path (full encoder + 10 MP
+    # steps + decoders + migration every step), which is what this
+    # artifact evidences at N=2M.
+    for head in ("decoder_acc", "decoder_temp_rate"):
+        last = params[head]["layers"][-1]
+        last["w"] = jnp.zeros_like(last["w"])
+        last["b"] = jnp.zeros_like(last["b"])
+
+    # Coarser slabs (grid 40 vs the uniform-tuned 56) + extra cell
+    # capacity: the fixture's attractor clustering plus 10 steps of
+    # ballistic infall need more margin than the frame-0-calibrated
+    # uniform grid provides.
+    slab_layers = args.slab_layers
+    if slab_layers is None and n >= 1_000_000:
+        slab_layers = 5
+    hc = choose_halo_config(n, k, 8, noise=True, slab_layers=slab_layers,
+                            capacity_multiplier=3.0)
     results["halo_config"] = {
         "grid": hc.grid_size, "local_capacity": hc.local_capacity,
         "halo_capacity": hc.halo_capacity, "halo_layers": hc.halo_layers,
@@ -133,6 +162,12 @@ def main():
         f"{results['migration_stranded']}}}, exact="
         f"{results['neighbor_exactness_all_steps']}", flush=True,
     )
+    def _flush():
+        os.makedirs("benchmarks/results", exist_ok=True)
+        with open("benchmarks/results/config5_virtual.json", "w") as f:
+            json.dump(results, f, indent=2)
+
+    _flush()  # artifact survives a failed assertion below
     assert results["particles_preserved"]
     assert results["migration_overflow"] == 0
     assert results["migration_stranded"] == 0
@@ -140,6 +175,10 @@ def main():
 
     # ---- Config-5-shaped train step (noised, remat).
     if not args.skip_train:
+        # Fresh random init: the zeroed-head surgery above is rollout-only.
+        params = init_encode_process_decode(
+            jax.random.PRNGKey(0), model_config
+        )
         tc = TrainConfig(num_neighbors=k, batch_size=1, noise_std=3e-4,
                          augment_prob=0.0, momentum_loss_weight=1.0)
         optimizer = make_optimizer(tc, steps_per_epoch=1)

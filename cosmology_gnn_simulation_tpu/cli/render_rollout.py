@@ -55,6 +55,12 @@ def main(argv=None):
                         help="Rebuild the k-NN graph every R steps (R=1 = "
                              "reference semantics; R>1 trades exactness for "
                              "~1.3-1.5x throughput)")
+    parser.add_argument("--sorted_state", type=str, default="auto",
+                        choices=("auto", "on", "off"),
+                        help="carry the rollout scan state in cell-sorted "
+                             "order (quasi-monotone aggregation-gather ids; "
+                             "identical numerics). auto = on for TPU at "
+                             "N >= 8192")
     parser.add_argument("--no_fused_tail", action="store_true",
                         help="Disable the fused step-tail Pallas kernel "
                              "(auto-enabled for pruned bf16 rollouts on "
@@ -152,6 +158,7 @@ def main(argv=None):
             exactness_guard=args.exactness_guard,
             aggregation=args.aggregation,
             fused_tail=False if args.no_fused_tail else None,
+            sorted_state=args.sorted_state,
         )
     rollout_data = {k: np.asarray(v) for k, v in rollout_data.items()}
     exactness = rollout_data.pop("neighbor_exactness", None)

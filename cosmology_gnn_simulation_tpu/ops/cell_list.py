@@ -156,6 +156,29 @@ def window_margin_sq(queries: jnp.ndarray, box_size, grid: CellGrid):
     return m * m
 
 
+def cell_sort_order(positions: jnp.ndarray, k: int, box_size) -> jnp.ndarray:
+    """Stable cell-sort permutation of ``positions`` on the exactness grid.
+
+    The rollout engines keep their scan state in this order so the
+    per-message-passing-step aggregation gather reads quasi-local rows —
+    measured 2.82 -> 2.34 ms per step at the flagship spec (N=65k, H=128
+    bf16; benchmarks/results/gather_probe_r3.json). Any deterministic
+    permutation preserves numerics exactly (aggregation sums keep their
+    lane order); cell order matches the kNN table layout. Identity when no
+    viable grid exists (tiny N).
+    """
+    n = positions.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    grid = choose_cell_grid(n, k)
+    g = grid.grid_size
+    if g < 3:
+        return iota
+    box = jnp.asarray(box_size, positions.dtype)
+    c = jnp.clip(jnp.floor(positions * (g / box)).astype(jnp.int32), 0, g - 1)
+    cell_id = (c[:, 0] * g + c[:, 1]) * g + c[:, 2]
+    return jax.lax.sort((cell_id, iota), num_keys=1, is_stable=True)[1]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "grid", "query_tile", "return_diagnostics"),

@@ -95,6 +95,7 @@ def choose_halo_config(
     capacity_multiplier: float = 2.5,
     positions: Optional[np.ndarray] = None,
     box: float = 1.0,
+    slab_layers: Optional[int] = None,
 ) -> HaloConfig:
     """Pick a halo decomposition for data in a unit-scaled box.
 
@@ -109,6 +110,12 @@ def choose_halo_config(
     Extremely clustered data still fails loudly — at partition time or via
     the exactness certificates — rather than silently dropping particles.
 
+    ``slab_layers`` overrides the cells-per-slab choice with a COARSER
+    grid (bigger cells, bigger per-query exactness margins) — the knob for
+    clustered or drifting data whose k-th-neighbor distances exceed the
+    uniform-calibrated grid's window margin mid-rollout (the config-5
+    driver uses it; see benchmarks/config5_virtual.py).
+
     Raises if the box does not support ``num_shards`` slabs of at least
     ``2 * halo_layers`` cell layers at an exactness-preserving cell size
     (the remedy is fewer shards or the all-gather path in
@@ -119,7 +126,15 @@ def choose_halo_config(
     base = choose_cell_grid(num_particles, k,
                             capacity_multiplier=capacity_multiplier)
     halo_layers = 2 if noise else 1
-    slab_layers = base.grid_size // num_shards
+    if slab_layers is None:
+        slab_layers = base.grid_size // num_shards
+    elif slab_layers > max(base.grid_size // num_shards, 2 * halo_layers):
+        raise ValueError(
+            f"slab_layers={slab_layers} is FINER than the exactness grid "
+            f"allows ({base.grid_size // num_shards}); coarser (smaller) "
+            f"values trade throughput for certificate margin on clustered "
+            f"or drifting data."
+        )
     if slab_layers < 2 * halo_layers:
         raise ValueError(
             f"N={num_particles}, k={k} supports a grid of only "
@@ -875,6 +890,7 @@ def make_halo_rollout(
                 "halo_overflow": P(),
                 "cell_overflow": P(),
                 "max_excess_sq": P(),
+                "max_kth_d2": P(),
                 "migration_overflow": P(),
                 "migration_stranded": P(),
             },
@@ -939,6 +955,9 @@ def make_halo_rollout(
                 ),
                 "max_excess_sq": jax.lax.pmax(
                     fdiag["max_excess_sq"], PARTICLE_AXIS
+                ),
+                "max_kth_d2": jax.lax.pmax(
+                    fdiag["max_kth_d2"], PARTICLE_AXIS
                 ),
                 "migration_overflow": jax.lax.psum(
                     diag["overflow"], PARTICLE_AXIS

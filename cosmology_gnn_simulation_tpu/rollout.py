@@ -40,6 +40,19 @@ from cosmology_gnn_simulation_tpu.ops.periodic import (
 from cosmology_gnn_simulation_tpu.types import NormalizationStats
 
 
+def _permute_window(win, order):
+    """Permute a ``[W, N, D]`` window along N as ONE row gather on a
+    ``[N, W*D]`` flattening — ``take(axis=1)`` would issue W x N tiny-slice
+    gathers (latency-bound on TPU); the transposes are contiguous copies."""
+    w, n_, d = win.shape
+    flat = win.transpose(1, 0, 2).reshape(n_, w * d)
+    return (
+        jnp.take(flat, order, axis=0)
+        .reshape(n_, w, d)
+        .transpose(1, 0, 2)
+    )
+
+
 def _predict_physical(params, graph, model_config, stats, dtype,
                       cellblock_spec=None):
     """Forward pass + un-normalization to physical units."""
@@ -88,6 +101,7 @@ def integrate_step(
         "aggregation",
         "cellblock_spec",
         "fused_tail",
+        "sorted_state",
     ),
 )
 def rollout(
@@ -108,6 +122,7 @@ def rollout(
     aggregation: str = "gather",
     cellblock_spec=None,
     fused_tail: Optional[bool] = None,
+    sorted_state: str = "auto",
 ) -> Dict[str, jnp.ndarray]:
     """Roll the learned simulator forward ``num_steps`` steps.
 
@@ -144,6 +159,15 @@ def rollout(
     trajectory outputs are in original particle order as always. The
     in-scan exactness flag additionally covers the cell-block certificate
     (no cell overflow, every neighbor within one cell).
+
+    ``sorted_state`` applies the same cell-sorted state carriage to the
+    default gather path: neighbor ids of cell-sorted queries are
+    quasi-monotone, which the TPU gather engine rewards (~2.82 -> 2.34 ms
+    per MP-step aggregation gather at the flagship spec —
+    benchmarks/results/gather_probe_r3.json). ``"auto"`` (default) enables
+    it on real TPU at N >= 8192; ``"on"``/``"off"`` force it. Numerics are
+    identical: each query's neighbor list keeps its distance order, so
+    every aggregation sum is the same sequence of adds (pinned by tests).
     """
     if reneighbor_every < 1:
         raise ValueError(
@@ -191,6 +215,23 @@ def rollout(
             stats, num_steps, num_neighbors, min_image_velocity, dtype,
             neighbor_query_tile, neighbor_method, reneighbor_every, guard,
             cellblock_spec, zero_key,
+        )
+
+    if sorted_state not in ("auto", "on", "off"):
+        raise ValueError(f"unknown sorted_state: {sorted_state}")
+    use_sorted = sorted_state == "on" or (
+        sorted_state == "auto"
+        and jax.default_backend() == "tpu"
+        and initial_positions.shape[1] >= 8192
+    )
+    if use_sorted:
+        return _sorted_gather_rollout(
+            params, model_config,
+            initial_positions.astype(jnp.float32),
+            initial_temperatures.astype(jnp.float32),
+            stats, num_steps, num_neighbors, min_image_velocity, dtype,
+            neighbor_query_tile, neighbor_method, reneighbor_every,
+            exactness_guard, zero_key,
         )
 
     def searched(pos_window):
@@ -316,6 +357,143 @@ def rollout(
     return result
 
 
+def _sorted_gather_rollout(
+    params, model_config, init_pos, init_temp, stats, num_steps, k,
+    min_image_velocity, dtype, tile, method, reneighbor_every,
+    exactness_guard, zero_key,
+):
+    """Gather-aggregation rollout with cell-sorted scan state.
+
+    Carrying the state in cell order makes the neighbor ids that the
+    per-MP-step fused aggregation gather reads quasi-monotone (a query's
+    neighbors live in its own and adjacent cells), which the TPU gather
+    engine rewards: 2.82 -> 2.34 ms per step at the flagship spec
+    (benchmarks/results/gather_probe_r3.json) — ~4.8 ms across the 10 MP
+    steps, against ~0.5 ms of re-sort overhead per re-neighboring (one
+    [N]-key stable sort + flat window row-gathers).
+
+    The search runs on the already-sorted positions, so its neighbor table
+    is directly in sorted ids (no post-hoc remap). Each query's neighbor
+    list keeps its distance order (min-id tie-breaks may differ across
+    permutations only at exact distance ties), so every aggregation sum is
+    the same sequence of adds — sorted and unsorted rollouts are
+    bit-identical on tie-free data (pinned by tests/test_rollout.py).
+    ``inv_ids`` maps original particle index -> current row; trajectory
+    outputs are emitted in original order every step.
+    """
+    from cosmology_gnn_simulation_tpu.ops.cell_list import cell_sort_order
+
+    n = init_pos.shape[1]
+    box = stats.box_size
+    guard = exactness_guard != "off"
+    iota = jnp.arange(n, dtype=jnp.int32)
+    need_edges = not (
+        model_config.aggregate == "sender_latents"
+        and model_config.prune_dead_edge_stream
+    )
+
+    def research(pos_w, temp_w, inv_ids):
+        wrapped = wrap_positions(pos_w[-1], box)
+        order = cell_sort_order(wrapped, k, box)
+        invp = jnp.zeros((n,), jnp.int32).at[order].set(iota)
+        inv_ids = jnp.take(invp, inv_ids, axis=0)
+        pos_w = _permute_window(pos_w, order)
+        temp_w = _permute_window(temp_w, order)
+        wrapped = jnp.take(wrapped, order, axis=0)
+        neighbors, exact = neighbor_search_certified(
+            wrapped, k, box, method=method, query_tile=tile
+        )
+        if exactness_guard == "fallback":
+            neighbors = jax.lax.cond(
+                exact,
+                lambda w: neighbors,
+                lambda w: knn_periodic(w, k, box, query_tile=tile),
+                wrapped,
+            )
+        return pos_w, temp_w, inv_ids, neighbors, exact
+
+    def step(pos_w, temp_w, neighbors):
+        graph = featurize(
+            pos_w,
+            temp_w,
+            stats,
+            zero_key,
+            noise_std=0.0,
+            num_neighbors=k,
+            neighbor_query_tile=tile,
+            neighbor_method=method,
+            neighbors=neighbors,
+            build_edges=need_edges,
+        )
+        acceleration, temp_rate = _predict_physical(
+            params, graph, model_config, stats, dtype
+        )
+        new_pos, new_temp = integrate_step(
+            pos_w[-1],
+            pos_w[-2],
+            temp_w[-1],
+            acceleration,
+            temp_rate,
+            stats,
+            min_image_velocity=min_image_velocity,
+        )
+        return (
+            jnp.concatenate([pos_w[1:], new_pos[None]], axis=0),
+            jnp.concatenate([temp_w[1:], new_temp[None]], axis=0),
+            (new_pos, new_temp),
+        )
+
+    if reneighbor_every == 1:
+        def body(carry, _):
+            pos_w, temp_w, inv_ids = carry
+            pos_w, temp_w, inv_ids, neighbors, exact = research(
+                pos_w, temp_w, inv_ids
+            )
+            pos_w, temp_w, (new_pos, new_temp) = step(
+                pos_w, temp_w, neighbors
+            )
+            out = (
+                jnp.take(new_pos, inv_ids, axis=0),
+                jnp.take(new_temp, inv_ids, axis=0),
+            )
+            return (pos_w, temp_w, inv_ids), (out, exact)
+
+        _, ((positions, temperatures), exactness) = jax.lax.scan(
+            body, (init_pos, init_temp, iota), None, length=num_steps
+        )
+    else:
+        def body(carry, step_index):
+            pos_w, temp_w, inv_ids, neighbors, exact = carry
+            pos_w, temp_w, inv_ids, neighbors, exact = jax.lax.cond(
+                (step_index % reneighbor_every == 0) & (step_index > 0),
+                lambda pw, tw, ii, nb, ex: research(pw, tw, ii),
+                lambda pw, tw, ii, nb, ex: (pw, tw, ii, nb, ex),
+                pos_w, temp_w, inv_ids, neighbors, exact,
+            )
+            pos_w, temp_w, (new_pos, new_temp) = step(
+                pos_w, temp_w, neighbors
+            )
+            out = (
+                jnp.take(new_pos, inv_ids, axis=0),
+                jnp.take(new_temp, inv_ids, axis=0),
+            )
+            carry = (pos_w, temp_w, inv_ids, neighbors, exact)
+            return carry, (out, exact)
+
+        init = research(init_pos, init_temp, iota)
+        _, ((positions, temperatures), exactness) = jax.lax.scan(
+            body, init, jnp.arange(num_steps)
+        )
+
+    result = {
+        "Coordinates": jnp.concatenate([init_pos, positions], axis=0),
+        "InternalEnergy": jnp.concatenate([init_temp, temperatures], axis=0),
+    }
+    if guard:
+        result["neighbor_exactness"] = exactness
+    return result
+
+
 def _cellblock_rollout(
     params, model_config, init_pos, init_temp, stats, num_steps, k,
     min_image_velocity, dtype, tile, method, reneighbor_every, guard,
@@ -341,17 +519,7 @@ def _cellblock_rollout(
         spec = choose_cellblock_spec(n, k)
     box = stats.box_size
 
-    def permute_window(win, order):
-        # [W, N, D] permuted along N as ONE row gather on a [N, W*D]
-        # flattening — take(axis=1) would issue W x N tiny-slice gathers
-        # (latency-bound on TPU); the transposes are contiguous copies.
-        w, n_, d = win.shape
-        flat = win.transpose(1, 0, 2).reshape(n_, w * d)
-        return (
-            jnp.take(flat, order, axis=0)
-            .reshape(n_, w, d)
-            .transpose(1, 0, 2)
-        )
+    permute_window = _permute_window
 
     # S built by the Pallas one-hot kernel on real TPU (~1 ms at flagship
     # scale vs ~13 ms for the XLA one-hot contract — bit-identical tables,

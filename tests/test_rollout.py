@@ -192,3 +192,63 @@ def test_reneighbor_every_matches_exact_when_static():
         np.asarray(exact["Coordinates"][-1]) - np.asarray(reused["Coordinates"][-1])
     ).max()
     assert drift < 0.05 * stats.box_size
+
+
+def test_cell_sort_order_is_permutation():
+    from cosmology_gnn_simulation_tpu.ops.cell_list import cell_sort_order
+
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(rng.random((512, 3), np.float32))
+    order = np.asarray(cell_sort_order(pos, 4, 1.0))
+    assert sorted(order.tolist()) == list(range(512))
+    # Non-trivial at this scale (grid 5): actually reorders particles.
+    assert (order != np.arange(512)).any()
+
+
+def test_sorted_state_rollout_matches_unsorted():
+    """Cell-sorted scan-state carriage is a pure layout optimization: the
+    trajectories must be bit-identical to the unsorted gather path (each
+    query's neighbor list keeps its distance order, so every aggregation
+    sum is the same sequence of adds). Brute-force search keeps the
+    min-index tie-break permutation-independent on tie-free data."""
+    sim, stats, config, params = _setup(n=512, t=8, seed=5)
+    args = (
+        params, config,
+        jnp.asarray(sim["Coordinates"][:5]),
+        jnp.asarray(sim["InternalEnergy"][:5]),
+        stats, 3,
+    )
+    kw = dict(num_neighbors=4, neighbor_query_tile=64,
+              neighbor_method="bruteforce")
+    plain = rollout(*args, sorted_state="off", **kw)
+    srt = rollout(*args, sorted_state="on", **kw)
+    np.testing.assert_array_equal(
+        np.asarray(plain["Coordinates"]), np.asarray(srt["Coordinates"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain["InternalEnergy"]),
+        np.asarray(srt["InternalEnergy"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain["neighbor_exactness"]),
+        np.asarray(srt["neighbor_exactness"]),
+    )
+
+
+def test_sorted_state_rollout_reneighbor_every():
+    """The sorted path's R>1 variant re-sorts only at re-neighboring steps;
+    it must match the unsorted R>1 path exactly."""
+    sim, stats, config, params = _setup(n=512, t=8, seed=5)
+    args = (
+        params, config,
+        jnp.asarray(sim["Coordinates"][:5]),
+        jnp.asarray(sim["InternalEnergy"][:5]),
+        stats, 4,
+    )
+    kw = dict(num_neighbors=4, neighbor_query_tile=64,
+              neighbor_method="bruteforce", reneighbor_every=2)
+    plain = rollout(*args, sorted_state="off", **kw)
+    srt = rollout(*args, sorted_state="on", **kw)
+    np.testing.assert_array_equal(
+        np.asarray(plain["Coordinates"]), np.asarray(srt["Coordinates"])
+    )
