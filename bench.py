@@ -4,7 +4,9 @@
 Measures the fully-jitted rollout `lax.scan` — on-device cell-list periodic
 k-NN re-neighboring + Encode-Process-Decode forward + un-normalize + Euler
 integrate + wrap, every step — on the flagship config (reference defaults,
-``/root/reference/config.py:16-23``).
+``/root/reference/config.py:16-23``), on the hybrid cell-block path (MXU
+selection-matrix aggregation, codes-only kNN payload; exactness certificate
+asserted — see benchmarks/results/flagship_codesonly_r3.json).
 
 Timing methodology (the TPU tunnel memoizes identical RPCs and its
 block_until_ready is unreliable, so):
@@ -81,6 +83,14 @@ def main():
         )
 
     def run(steps, eps):
+        # aggregation="cellblock_hybrid": the round-3 headline path — the
+        # message-passing aggregation runs as selection-matrix MXU matmuls
+        # (ops/cellblock.py) with the carry on particle rows, and the kNN
+        # kernel emits candidate CODES as its only selection payload
+        # (ops/pallas_knn.py codes_only). Exact reference semantics:
+        # re-neighbor every step, per-step exactness certificate ON and
+        # asserted below. 29.3 ms/step vs the gather path's 38.3
+        # (benchmarks/results/flagship_codesonly_r3.json).
         out = rollout(
             params,
             model_config,
@@ -90,6 +100,25 @@ def main():
             steps,
             num_neighbors=K_NEIGHBORS,
             dtype=jnp.bfloat16,
+            aggregation="cellblock_hybrid",
+        )
+        exact = out["neighbor_exactness"]
+        return float(checksum(out)) + 0.0 * float(exact.all())
+
+    def run_and_check(steps, eps):
+        out = rollout(
+            params,
+            model_config,
+            jnp.remainder(positions + eps, 1.0),
+            temperatures,
+            stats,
+            steps,
+            num_neighbors=K_NEIGHBORS,
+            dtype=jnp.bfloat16,
+            aggregation="cellblock_hybrid",
+        )
+        assert bool(out["neighbor_exactness"].all()), (
+            "kNN/cell-block exactness certificate failed mid-rollout"
         )
         return float(checksum(out))  # host fetch forces full execution
 
@@ -107,6 +136,10 @@ def main():
     t_long = measure(STEPS_LONG)
     per_step = (t_long - t_short) / (STEPS_LONG - STEPS_SHORT)
     particle_steps_per_sec = N_PARTICLES / per_step
+    # One certificate-asserted run: the measured configuration must be
+    # provably exact (no cell overflow, every k-th neighbor within its
+    # per-query window margin) on every step.
+    run_and_check(STEPS_SHORT, 7e-7)
 
     print(
         json.dumps(

@@ -47,10 +47,13 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=None,
                         help="Steps to simulate (default: full trajectory)")
     parser.add_argument("--aggregation", type=str, default="gather",
-                        choices=["gather", "cellblock"],
+                        choices=["gather", "cellblock", "cellblock_hybrid"],
                         help="message-passing aggregation: 'gather' "
-                             "(default) or 'cellblock' (selection-matrix "
-                             "MXU kernel — the fast path at N >= ~250k)")
+                             "(default), 'cellblock' (selection-matrix "
+                             "MXU kernel, slot-space carry — the fast "
+                             "path at N >= ~250k) or 'cellblock_hybrid' "
+                             "(same kernel, particle-space carry — the "
+                             "flagship-scale winner)")
     parser.add_argument("--reneighbor_every", type=int, default=1,
                         help="Rebuild the k-NN graph every R steps (R=1 = "
                              "reference semantics; R>1 trades exactness for "
@@ -58,9 +61,9 @@ def main(argv=None):
     parser.add_argument("--sorted_state", type=str, default="auto",
                         choices=("auto", "on", "off"),
                         help="carry the rollout scan state in cell-sorted "
-                             "order (quasi-monotone aggregation-gather ids; "
-                             "identical numerics). auto = on for TPU at "
-                             "N >= 8192")
+                             "order (identical numerics). Measured slower "
+                             "at the flagship spec on this TPU, so "
+                             "auto = off; 'on' forces it")
     parser.add_argument("--no_fused_tail", action="store_true",
                         help="Disable the fused step-tail Pallas kernel "
                              "(auto-enabled for pruned bf16 rollouts on "
@@ -71,7 +74,7 @@ def main(argv=None):
                              "(0/1 = single device)")
     add_model_flags(parser)
     args = parser.parse_args(argv)
-    if args.aggregation == "cellblock" and args.exactness_guard == "fallback":
+    if args.aggregation.startswith("cellblock") and args.exactness_guard == "fallback":
         parser.error(
             "--aggregation cellblock supports --exactness_guard flag/off "
             "only: brute-force fallback neighbors can exceed the one-cell "
@@ -169,7 +172,7 @@ def main(argv=None):
                 print(f"NOTE: {inexact}/{len(exactness)} steps failed the "
                       "bucketed-kNN certificate and were rerun with exact "
                       "brute force")
-            elif args.aggregation == "cellblock":
+            elif args.aggregation.startswith("cellblock"):
                 print(f"WARNING: {inexact}/{len(exactness)} rollout steps "
                       "failed the exactness certificate (kNN overflow/"
                       "cell-edge bound, cell-block slot overflow, or dropped "
@@ -186,7 +189,7 @@ def main(argv=None):
         else:
             certificate = (
                 "kNN + cell-block exactness certificates"
-                if args.aggregation == "cellblock"
+                if args.aggregation.startswith("cellblock")
                 else "kNN exactness certificate"
             )
             print(f"{certificate} held for every rollout step")

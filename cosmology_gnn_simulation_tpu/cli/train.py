@@ -84,7 +84,7 @@ def main(argv=None):
         strict_neighbor_check=not args.no_strict_neighbors,
         aggregation=getattr(args, "aggregation", "gather"),
     )
-    if train_config.aggregation == "cellblock" and (
+    if train_config.aggregation.startswith("cellblock") and (
         getattr(args, "spatial_shards", 0) > 1
         or getattr(args, "data_parallel", False)
         or getattr(args, "distributed", False)

@@ -77,11 +77,13 @@ def build_train_parser() -> argparse.ArgumentParser:
                         choices=["auto", "bruteforce", "celllist", "pallas"],
                         help="Periodic k-NN backend")
     parser.add_argument("--aggregation", type=str, default="gather",
-                        choices=["gather", "cellblock"],
+                        choices=["gather", "cellblock", "cellblock_hybrid"],
                         help="Message-passing aggregation backend: 'gather' "
-                             "(fused gather+sum, sorted-edge VJP) or "
-                             "'cellblock' (selection-matrix MXU kernel — "
-                             "the big-N training path)")
+                             "(fused gather+sum, sorted-edge VJP), "
+                             "'cellblock' (selection-matrix MXU kernel, "
+                             "slot-space carry — the big-N training path) "
+                             "or 'cellblock_hybrid' (same kernel, "
+                             "particle-space carry)")
     parser.add_argument("--carry_dtype", type=str, default=None,
                         choices=[None, "bfloat16", "float32"],
                         help="Residual-stream carry dtype (bfloat16 halves "

@@ -123,6 +123,7 @@ def neighbor_search_certified(
     method: str = "auto",
     query_tile: int = 512,
     with_codes: bool = False,
+    codes_only: bool = False,
 ):
     """Neighbor search + a traced exactness certificate, usable INSIDE jit
     (e.g. every step of a rollout scan — clustered distributions can break
@@ -167,9 +168,15 @@ def neighbor_search_certified(
         )
 
         if with_codes:
+            # codes_only: the kernel carries the candidate lane as its only
+            # selection payload and returns idx=None — same cost as the
+            # plain ids kernel, vs +10 ms in-scan for carrying both
+            # (plan_parts_r3.json). The cell-block pipeline never reads
+            # neighbor ids, so its rollout path requests this.
             idx, codes, (overflow, _, max_excess) = pallas_cell_list_knn(
                 positions, k, box_size, grid,
                 return_diagnostics=True, with_codes=True,
+                codes_only=codes_only,
             )
             codes_cap = padded_cell_capacity(grid)
         else:

@@ -296,6 +296,7 @@ def _pruned_processor_step(
     cellblock=None,
     cellblock_spec=None,
     fused_tail: bool = False,
+    cellblock_mode: str = "slots",
 ) -> jnp.ndarray:
     """Node-stream-only InteractionNetwork step, valid under
     ``sender_latents`` aggregation where the edge stream is provably dead
@@ -309,7 +310,22 @@ def _pruned_processor_step(
     nw = node_first["w"]
     w_self, w_agg = nw[:latent], nw[latent:]
     z = _split_dense(x, w_agg, dtype)
-    if cellblock is not None:
+    if cellblock is not None and cellblock_mode == "hybrid":
+        # Hybrid cell-block aggregation: the carry `x` lives on the N
+        # cell-sorted particle rows; expand the PROJECTED latents to slot
+        # space, run the S@window kernel, compact back — two quasi-monotone
+        # row gathers per step instead of the slot-row padding tax on every
+        # LN/MLP pass (probe-measured the better trade at flagship scale;
+        # cb_hybrid_r3.json).
+        from cosmology_gnn_simulation_tpu.ops.cellblock import (
+            cellblock_aggregate,
+        )
+
+        agg_h = cellblock_aggregate(
+            z, cellblock, cellblock_spec,
+            carry_dtype=jnp.float32 if dtype is None else dtype,
+        )
+    elif cellblock is not None:
         # Selection-matrix aggregation on the MXU (ops/cellblock.py). The
         # carry `x` is already in SLOT space here (see the slot-space
         # expansion in apply_encode_process_decode), so the kernel consumes
@@ -359,6 +375,7 @@ def apply_encode_process_decode(
     particle_axis: Optional[str] = None,
     halo=None,
     cellblock_spec=None,
+    cellblock_mode: str = "slots",
 ) -> Dict[str, jnp.ndarray]:
     """Forward pass. Returns ``{'acceleration': [N, 3], 'temp_rate': [N, 1]}``.
 
@@ -372,8 +389,22 @@ def apply_encode_process_decode(
     When ``graph.cellblock`` is set (rows cell-sorted; requires the matching
     static ``cellblock_spec``), the pruned-path aggregation runs as
     selection-matrix matmuls (``ops/cellblock.py``). Incompatible with
-    ``particle_axis``/``halo`` sharding.
+    ``particle_axis``/``halo`` sharding. ``cellblock_mode`` picks where the
+    residual carry lives:
+
+    * ``"slots"`` — expand to the padded slot table once after the encoder,
+      run every step on slot rows, compact once before the decoders. Wins
+      when the expand/compact row gathers dominate (config-4 scale, where
+      the per-step gathers are latency-bound).
+    * ``"hybrid"`` — carry stays on the N cell-sorted particle rows; each
+      step pays expand(projected z) -> S@window kernel -> compact. Wins
+      when the slot padding's rowwise LN/MLP tax dominates (flagship
+      scale: the padding taxes every pass 0.51 vs 0.20 ms while the
+      quasi-monotone expand/compact gathers are nearly free —
+      benchmarks/results/cb_flagship_parts_r3.json, cb_hybrid_r3.json).
     """
+    if cellblock_mode not in ("slots", "hybrid"):
+        raise ValueError(f"unknown cellblock_mode: {cellblock_mode}")
     if graph.cellblock is not None:
         if cellblock_spec is None:
             raise ValueError(
@@ -457,13 +488,15 @@ def apply_encode_process_decode(
     )
 
     if prune:
-        if graph.cellblock is not None:
+        slots_mode = graph.cellblock is not None and cellblock_mode == "slots"
+        if slots_mode:
             # Slot-space forward: expand latents to the padded slot table
             # ONCE (monotone gather), run every message-passing step on slot
             # rows (empty-slot rows carry harmless garbage — the selection
             # matrices never reference them), and compact ONCE before the
             # decoders. Saves the ~2x-per-step expand/compact gathers at the
-            # cost of C/mean-occupancy extra MLP rows.
+            # cost of C/mean-occupancy extra MLP rows. (The hybrid mode
+            # makes the opposite trade — see the docstring.)
             from cosmology_gnn_simulation_tpu.ops.cellblock import (
                 compact_from_slots,
                 expand_to_slots,
@@ -475,14 +508,14 @@ def apply_encode_process_decode(
             x_new = _pruned_processor_step(
                 carry, neighbors, step_params, dtype, particle_axis,
                 graph.sorted_edges, halo, graph.cellblock, cellblock_spec,
-                config.fused_tail,
+                config.fused_tail, cellblock_mode,
             )
             if config.fused_tail:
                 return x_new, None  # residual applied inside the kernel
             return residual_add(carry, x_new), None
 
         x = scan_steps(body, x)
-        if graph.cellblock is not None:
+        if slots_mode:
             x = compact_from_slots(x, graph.cellblock)
     else:
         e = mlp_fn(params["encoder"]["edge"], graph.edges, dtype)

@@ -159,10 +159,11 @@ def window_margin_sq(queries: jnp.ndarray, box_size, grid: CellGrid):
 def cell_sort_order(positions: jnp.ndarray, k: int, box_size) -> jnp.ndarray:
     """Stable cell-sort permutation of ``positions`` on the exactness grid.
 
-    The rollout engines keep their scan state in this order so the
-    per-message-passing-step aggregation gather reads quasi-local rows —
-    measured 2.82 -> 2.34 ms per step at the flagship spec (N=65k, H=128
-    bf16; benchmarks/results/gather_probe_r3.json). Any deterministic
+    The opt-in ``sorted_state`` rollout keeps its scan state in this order
+    so the per-message-passing-step aggregation gather reads quasi-local
+    rows. Standalone that gather measured 2.82 -> 2.34 ms at the flagship
+    spec (gather_probe_r3.json), but in-scan the win did not reproduce
+    (flagship_sorted_r3.json) — hence opt-in. Any deterministic
     permutation preserves numerics exactly (aggregation sums keep their
     lane order); cell order matches the kNN table layout. Identity when no
     viable grid exists (tiny N).

@@ -398,6 +398,9 @@ def build_cellblock(
     grid size as ``spec.grid_size`` (the caller asserts this — codes carry
     no grid tag); the tables are then bit-identical to the aux path while
     skipping its 16M-element gather (see the decode comment below).
+    ``neighbors`` may be ``None`` when codes are given (the kernel's
+    ``codes_only`` mode — the plan never reads neighbor ids on the codes
+    path).
     """
     if s_build == "auto":
         s_build = "kernel" if jax.default_backend() == "tpu" else "contract"
@@ -405,6 +408,8 @@ def build_cellblock(
         raise ValueError(f"unknown s_build mode: {s_build}")
     if (neighbor_codes is None) != (codes_cap is None):
         raise ValueError("neighbor_codes and codes_cap go together")
+    if neighbors is None and neighbor_codes is None:
+        raise ValueError("neighbors=None requires neighbor_codes")
     spec.validate()
     g = spec.grid_size
     cc, qb, w_cap, wrap = (spec.col_capacity, spec.query_block,
@@ -413,7 +418,7 @@ def build_cellblock(
     num_cols, num_slots = spec.num_columns, spec.num_slots
     num_tiles = spec.num_tiles
     n = positions.shape[0]
-    k = neighbors.shape[1]
+    k = (neighbors if neighbors is not None else neighbor_codes).shape[1]
     if k > 127:
         raise ValueError(
             f"k={k} exceeds 127 — S-table entries are int8 multiplicity "

@@ -74,6 +74,7 @@ def padded_cell_capacity(grid: CellGrid) -> int:
 def _select_kernel(
     k: int, cells_per_block: int, cap: int, num_cand: int,
     with_codes: bool = False, lex_carry: bool = True, mi_lanes: int = 0,
+    codes_only: bool = False,
 ):
     """Build the kernel body: per cell, exact k-smallest-distance selection
     over its candidate row, emitting the selected **particle ids** directly
@@ -84,7 +85,17 @@ def _select_kernel(
     cell-block plan build decodes into sender slots arithmetically, instead
     of the pathological 16M-element ``aux[neighbors]`` gather (143 ms at
     config 4, benchmarks/results/cb_parts_r3.json). Costs one extra
-    masked-min pass per pick; off for the plain-kNN (flagship) path.
+    masked-min pass per pick (in-scan +10 ms at the flagship spec —
+    benchmarks/results/plan_parts_r3.json); off for the plain-kNN path.
+
+    ``codes_only`` emits ONLY the codes: the selection tracks the pick's
+    candidate LANE as its single payload — the same two reduce passes per
+    pick as the ids-only form, none of ``with_codes``'s extra pass — and
+    the particle-id output (never read by the cell-block pipeline) is
+    dropped entirely. Tie-break becomes smallest LANE among equal
+    distances, i.e. lexicographic (neighbor-cell offset, in-cell rank) —
+    a different but equally-exact pick than the min-id rule on
+    exact-distance ties (measure-zero for continuous data).
 
     ``lex_carry`` selects the write-free lexicographic-threshold selection
     (production widths); False falls back to in-place masked re-min, which
@@ -92,6 +103,52 @@ def _select_kernel(
     capacities that would otherwise blow the 16 MB scoped-VMEM limit.
     Both enumerate picks in identical exact (d2, id) ascending order.
     """
+
+    def codes_kernel(qx, qy, qz, cx, cy, cz, cids, nref, box_ref, *outs):
+        codes_ref, kth_ref = outs[0], outs[1]
+        n_sentinel = nref[0]
+        box = box_ref[0]
+        for c in range(cells_per_block):
+            d2 = jnp.zeros((cap, num_cand), jnp.float32)
+            for q_ref, c_ref in ((qx, cx), (qy, cy), (qz, cz)):
+                delta = q_ref[c, :][:, None] - c_ref[c, :][None, :]
+                if mi_lanes:
+                    tail = delta[:, num_cand - mi_lanes:]
+                    tail = jnp.where(tail > 0.5 * box, tail - box, tail)
+                    tail = jnp.where(tail < -0.5 * box, tail + box, tail)
+                    delta = jnp.concatenate(
+                        [delta[:, : num_cand - mi_lanes], tail], axis=1
+                    )
+                d2 = d2 + delta * delta
+            ids_row = jnp.broadcast_to(cids[c, :][None, :], (cap, num_cand))
+            d2 = jnp.where(ids_row >= n_sentinel, _BIG, d2)
+
+            codes = jnp.zeros((cap, _LANE), jnp.int32)
+            cand_lane = jax.lax.broadcasted_iota(
+                jnp.int32, (cap, num_cand), 1
+            )
+            out_lane = jax.lax.broadcasted_iota(jnp.int32, (cap, _LANE), 1)
+            big_lane = jnp.int32(2**30)
+            m = jnp.full((cap, 1), -1.0, jnp.float32)
+            lane_pick = jnp.full((cap, 1), -1, jnp.int32)
+            for j in range(k):
+                # In-place masked re-min keyed by the previous pick's LANE
+                # (lanes are unique per row by construction).
+                d2 = jnp.where(cand_lane == lane_pick, _BIG, d2)
+                m = jnp.min(d2, axis=1, keepdims=True)
+                new_lane = jnp.min(
+                    jnp.where(d2 <= m, cand_lane, big_lane),
+                    axis=1, keepdims=True,
+                )
+                # Exhausted row: emit the num_cand sentinel (stays excluded
+                # on later picks — no lane equals num_cand).
+                lane_pick = jnp.where(m < _BIG * 0.5, new_lane, num_cand)
+                codes = jnp.where(out_lane == j, lane_pick, codes)
+            codes_ref[c] = codes
+            kth_ref[c] = m[:, 0]
+
+    if codes_only:
+        return codes_kernel
 
     def kernel(qx, qy, qz, cx, cy, cz, cids, nref, box_ref, *outs):
         out_ref, kth_ref = outs[0], outs[1]
@@ -229,7 +286,7 @@ def _build_table(positions, g: int, cap: int, box):
     jax.jit,
     static_argnames=(
         "k", "grid", "return_diagnostics", "with_codes", "interpret",
-        "cells_per_block", "lex_carry",
+        "cells_per_block", "lex_carry", "codes_only",
     ),
 )
 def pallas_cell_list_knn(
@@ -243,6 +300,7 @@ def pallas_cell_list_knn(
     interpret: bool = False,
     cells_per_block: Optional[int] = None,
     lex_carry: Optional[bool] = None,
+    codes_only: bool = False,
 ):
     """Exact periodic k-NN (self-query) via the fused Pallas kernel.
 
@@ -262,7 +320,18 @@ def pallas_cell_list_knn(
     missing picks (exhausted uncertified rows) duplicate the row's first
     code like ``neighbors`` duplicates its first id. Returns
     ``(neighbors, codes)`` (plus diagnostics if requested).
+
+    ``codes_only=True`` (implies ``with_codes``): the kernel tracks the
+    candidate lane as its ONLY selection payload and the particle-id
+    output is skipped — the same per-pick cost as the plain ids kernel
+    (the dual id+code carriage costs +10 ms in-scan at the flagship spec,
+    plan_parts_r3.json). The cell-block pipeline never reads neighbor
+    ids, so its rollout path uses this mode. ``neighbors`` is returned as
+    ``None``; exact-distance ties break by smallest lane (lexicographic
+    neighbor-cell offset, then in-cell rank) instead of smallest id.
     """
+    if codes_only:
+        with_codes = True
     if k > _LANE:
         raise ValueError(f"k={k} exceeds {_LANE}")
     g = grid.grid_size
@@ -412,46 +481,40 @@ def pallas_cell_list_knn(
     c_spec = pl.BlockSpec(
         (cells_per_block, num_cand), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    out_block_specs = [
-        pl.BlockSpec(
-            (cells_per_block, cap, _LANE),
-            lambda i: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (cells_per_block, cap),
-            lambda i: (i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    ]
-    out_shapes = [
-        jax.ShapeDtypeStruct(
-            (num_blocks * cells_per_block, cap, _LANE), jnp.int32
-        ),
-        jax.ShapeDtypeStruct(
-            (num_blocks * cells_per_block, cap), jnp.float32
-        ),
-    ]
-    if with_codes:
-        out_block_specs.append(
-            pl.BlockSpec(
-                (cells_per_block, cap, _LANE),
-                lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        )
-        out_shapes.append(
-            jax.ShapeDtypeStruct(
-                (num_blocks * cells_per_block, cap, _LANE), jnp.int32
-            )
-        )
+    lane_spec = pl.BlockSpec(
+        (cells_per_block, cap, _LANE),
+        lambda i: (i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kth_spec = pl.BlockSpec(
+        (cells_per_block, cap),
+        lambda i: (i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    lane_shape = jax.ShapeDtypeStruct(
+        (num_blocks * cells_per_block, cap, _LANE), jnp.int32
+    )
+    kth_shape = jax.ShapeDtypeStruct(
+        (num_blocks * cells_per_block, cap), jnp.float32
+    )
+    if codes_only:
+        # [codes, kth] — no particle-id output at all.
+        out_block_specs = [lane_spec, kth_spec]
+        out_shapes = [lane_shape, kth_shape]
+    else:
+        out_block_specs = [lane_spec, kth_spec]
+        out_shapes = [lane_shape, kth_shape]
+        if with_codes:
+            out_block_specs.append(lane_spec)
+            out_shapes.append(lane_shape)
     # Min-image region: the trailing lane tiles that contain spill lanes
     # (128-aligned; may include a few real candidate lanes — exact either
     # way, see the kernel note).
     mi_lanes = num_cand - (27 * cap) // _LANE * _LANE if spill_cap else 0
     results = pl.pallas_call(
         _select_kernel(k, cells_per_block, cap, num_cand, with_codes,
-                       lex_carry=lex_carry, mi_lanes=mi_lanes),
+                       lex_carry=lex_carry, mi_lanes=mi_lanes,
+                       codes_only=codes_only),
         grid=(num_blocks,),
         in_specs=[q_spec, q_spec, q_spec, c_spec, c_spec, c_spec, c_spec,
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -461,9 +524,6 @@ def pallas_cell_list_knn(
         interpret=interpret,
     )(plane_x, plane_y, plane_z, cand_x, cand_y, cand_z, cand_ids,
       jnp.asarray([n], jnp.int32), jnp.asarray([box], jnp.float32))
-    picked, kth_d2 = results[0], results[1]
-
-    neighbor_ids = picked[:num_cells, :, :k]  # [G^3, cap, k] particle ids
 
     # Back to original particle order via (cell, rank). Overflowed particles
     # (rank >= cap: cell held more than `cap` particles) have no query slot
@@ -472,16 +532,31 @@ def pallas_cell_list_knn(
     # XLA-side solve below; without spill the `overflow` diagnostic makes
     # the approximation loud).
     table_row = cell_id * cap + jnp.minimum(particle_rank, cap - 1)
-    out = neighbor_ids.reshape(-1, k)[table_row]  # [N, k]
 
-    # Rows with fewer than k valid candidates carry the sentinel id n (see
-    # _select_kernel); a downstream take would clamp it to particle N-1 — an
-    # arbitrary far particle. Clamp to the row's own nearest pick instead
-    # (self: a benign duplicate edge). Exhausted rows keep k-th distance
-    # _BIG in the kernel's kth output, so the exactness certificate still
-    # fails loudly.
-    missing = out == n
-    out = jnp.where(missing, out[:, :1], out)
+    if codes_only:
+        codes_tbl, kth_d2 = results[0], results[1]
+        codes = codes_tbl[:num_cells, :, :k].reshape(-1, k)[table_row]
+        # Exhausted picks carry the num_cand lane sentinel (>= 27*cap);
+        # duplicate the row's first code like the ids path duplicates its
+        # first id. The kth output keeps _BIG, so the certificate still
+        # fails loudly on such rows.
+        missing = codes >= 27 * cap
+        codes = jnp.where(missing, codes[:, :1], codes)
+        out = None
+        extras = (codes,)
+    else:
+        picked, kth_d2 = results[0], results[1]
+        neighbor_ids = picked[:num_cells, :, :k]  # [G^3, cap, k]
+        out = neighbor_ids.reshape(-1, k)[table_row]  # [N, k]
+
+        # Rows with fewer than k valid candidates carry the sentinel id n
+        # (see _select_kernel); a downstream take would clamp it to particle
+        # N-1 — an arbitrary far particle. Clamp to the row's own nearest
+        # pick instead (self: a benign duplicate edge). Exhausted rows keep
+        # k-th distance _BIG in the kernel's kth output, so the exactness
+        # certificate still fails loudly.
+        missing = out == n
+        out = jnp.where(missing, out[:, :1], out)
 
     spill_kth = spill_valid = None
     if spill_cap:
@@ -522,13 +597,15 @@ def pallas_cell_list_knn(
             jnp.where(spill_valid, spill_planes["ids"], n)
         ].set(picks, mode="drop")
 
-    extras = ()
-    if with_codes:
-        codes = results[2][:num_cells, :, :k].reshape(-1, k)[table_row]
-        # Mirror the id clamping: missing picks duplicate the row's first
-        # code, keeping codes positionally consistent with `neighbors`.
-        codes = jnp.where(missing, codes[:, :1], codes)
-        extras = (codes,)
+    if not codes_only:
+        extras = ()
+        if with_codes:
+            codes = results[2][:num_cells, :, :k].reshape(-1, k)[table_row]
+            # Mirror the id clamping: missing picks duplicate the row's
+            # first code, keeping codes positionally consistent with
+            # `neighbors`.
+            codes = jnp.where(missing, codes[:, :1], codes)
+            extras = (codes,)
 
     if return_diagnostics:
         # The kernel emits each query row's k-th smallest distance directly

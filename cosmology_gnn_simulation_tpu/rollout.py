@@ -54,10 +54,11 @@ def _permute_window(win, order):
 
 
 def _predict_physical(params, graph, model_config, stats, dtype,
-                      cellblock_spec=None):
+                      cellblock_spec=None, cellblock_mode="slots"):
     """Forward pass + un-normalization to physical units."""
     preds = apply_encode_process_decode(
-        params, graph, model_config, dtype, cellblock_spec=cellblock_spec
+        params, graph, model_config, dtype, cellblock_spec=cellblock_spec,
+        cellblock_mode=cellblock_mode,
     )
     acceleration = preds["acceleration"] * stats.acc_std + stats.acc_mean
     temp_rate = preds["temp_rate"] * stats.temp_rate_std + stats.temp_rate_mean
@@ -159,15 +160,20 @@ def rollout(
     trajectory outputs are in original particle order as always. The
     in-scan exactness flag additionally covers the cell-block certificate
     (no cell overflow, every neighbor within one cell).
+    ``aggregation="cellblock_hybrid"`` runs the same kernel but keeps the
+    model carry on the N particle rows, paying per-step expand/compact
+    gathers instead of the slot-padding row tax — the flagship-scale
+    winner (see ``apply_encode_process_decode``).
 
     ``sorted_state`` applies the same cell-sorted state carriage to the
-    default gather path: neighbor ids of cell-sorted queries are
-    quasi-monotone, which the TPU gather engine rewards (~2.82 -> 2.34 ms
-    per MP-step aggregation gather at the flagship spec —
-    benchmarks/results/gather_probe_r3.json). ``"auto"`` (default) enables
-    it on real TPU at N >= 8192; ``"on"``/``"off"`` force it. Numerics are
-    identical: each query's neighbor list keeps its distance order, so
-    every aggregation sum is the same sequence of adds (pinned by tests).
+    default gather path. MEASURED NEGATIVE on real TPU at the flagship
+    spec (benchmarks/results/flagship_sorted_r3.json: 40.2 vs 38.8
+    ms/step): the standalone-probe gather win from quasi-monotone ids
+    (gather_probe_r3.json, 2.82 -> 2.34 ms) does NOT survive inside the
+    fused in-scan MP step, leaving the ~1.4 ms/step re-sort overhead as
+    pure loss — so ``"auto"`` (default) resolves to off. ``"on"`` keeps
+    the path available (bit-identical trajectories, max coord diff 0.0 on
+    TPU; pinned by tests) for data layouts where the balance differs.
     """
     if reneighbor_every < 1:
         raise ValueError(
@@ -175,7 +181,7 @@ def rollout(
         )
     if exactness_guard not in ("off", "flag", "fallback"):
         raise ValueError(f"unknown exactness_guard: {exactness_guard}")
-    if aggregation not in ("gather", "cellblock"):
+    if aggregation not in ("gather", "cellblock", "cellblock_hybrid"):
         raise ValueError(f"unknown aggregation: {aggregation}")
     pruned = (
         model_config.aggregate == "sender_latents"
@@ -201,10 +207,10 @@ def rollout(
     zero_key = jax.random.PRNGKey(0)
     reuse = reneighbor_every > 1
     guard = exactness_guard != "off"
-    if aggregation == "cellblock":
+    if aggregation in ("cellblock", "cellblock_hybrid"):
         if exactness_guard == "fallback":
             raise ValueError(
-                "aggregation='cellblock' supports exactness_guard "
+                "cellblock aggregation supports exactness_guard "
                 "'flag'/'off' (brute-force fallback neighbors can exceed "
                 "the one-cell window the selection matrices cover)"
             )
@@ -215,15 +221,12 @@ def rollout(
             stats, num_steps, num_neighbors, min_image_velocity, dtype,
             neighbor_query_tile, neighbor_method, reneighbor_every, guard,
             cellblock_spec, zero_key,
+            "hybrid" if aggregation == "cellblock_hybrid" else "slots",
         )
 
     if sorted_state not in ("auto", "on", "off"):
         raise ValueError(f"unknown sorted_state: {sorted_state}")
-    use_sorted = sorted_state == "on" or (
-        sorted_state == "auto"
-        and jax.default_backend() == "tpu"
-        and initial_positions.shape[1] >= 8192
-    )
+    use_sorted = sorted_state == "on"
     if use_sorted:
         return _sorted_gather_rollout(
             params, model_config,
@@ -366,11 +369,12 @@ def _sorted_gather_rollout(
 
     Carrying the state in cell order makes the neighbor ids that the
     per-MP-step fused aggregation gather reads quasi-monotone (a query's
-    neighbors live in its own and adjacent cells), which the TPU gather
-    engine rewards: 2.82 -> 2.34 ms per step at the flagship spec
-    (benchmarks/results/gather_probe_r3.json) — ~4.8 ms across the 10 MP
-    steps, against ~0.5 ms of re-sort overhead per re-neighboring (one
-    [N]-key stable sort + flat window row-gathers).
+    neighbors live in its own and adjacent cells). A standalone fused
+    gather+sum rewards that (2.82 -> 2.34 ms at the flagship spec,
+    benchmarks/results/gather_probe_r3.json) but the win does NOT
+    reproduce inside the in-scan MP step — the full rollout measured
+    SLOWER (40.2 vs 38.8 ms/step, flagship_sorted_r3.json), the ~1.4
+    ms/step re-sort overhead uncompensated. Kept opt-in (default off).
 
     The search runs on the already-sorted positions, so its neighbor table
     is directly in sorted ids (no post-hoc remap). Each query's neighbor
@@ -497,14 +501,15 @@ def _sorted_gather_rollout(
 def _cellblock_rollout(
     params, model_config, init_pos, init_temp, stats, num_steps, k,
     min_image_velocity, dtype, tile, method, reneighbor_every, guard,
-    spec, zero_key,
+    spec, zero_key, cellblock_mode="slots",
 ):
     """Rollout with selection-matrix (cell-block) aggregation.
 
     Scan state rides in cell-sorted order; ``inv_ids`` maps original
     particle index -> current row so trajectory outputs stay in original
     order. Re-sorting happens only at re-neighboring steps (the plan and
-    the window order must agree between them).
+    the window order must agree between them). ``cellblock_mode`` picks the
+    slot-space vs hybrid forward (see ``apply_encode_process_decode``).
     """
     from cosmology_gnn_simulation_tpu.ops.cellblock import (
         build_cellblock,
@@ -537,9 +542,15 @@ def _cellblock_rollout(
 
     def research(pos_w, temp_w, inv_ids):
         wrapped = wrap_positions(pos_w[-1], box)
+        # codes_only (grid-matched pallas backend): the kernel's single
+        # selection payload is the candidate lane — neighbor ids are never
+        # materialized (the cell-block forward doesn't read them), saving
+        # the dual-payload pass (+10 ms in-scan at the flagship spec,
+        # plan_parts_r3.json). Other backends ignore the flag and return
+        # real ids with codes=None (aux plan path).
         neighbors, codes, codes_cap, exact = neighbor_search_certified(
             wrapped, k, box, method=method, query_tile=tile,
-            with_codes=True,
+            with_codes=True, codes_only=codes_ok,
         )
         if codes is not None and not codes_ok:
             codes = codes_cap = None
@@ -549,7 +560,12 @@ def _cellblock_rollout(
         exact = exact & (plan.overflow == 0) & (plan.dropped_edges == 0)
         pos_w = permute_window(pos_w, plan.order)
         temp_w = permute_window(temp_w, plan.order)
-        nbr_sorted = sort_neighbors(neighbors, plan.order)
+        if neighbors is None:
+            # Decorative: the cellblock forward never reads graph.neighbors
+            # (featurize only attaches them; build_edges is False here).
+            nbr_sorted = jnp.zeros((n, k), jnp.int32)
+        else:
+            nbr_sorted = sort_neighbors(neighbors, plan.order)
         invp = (
             jnp.zeros((n,), jnp.int32)
             .at[plan.order]
@@ -573,7 +589,8 @@ def _cellblock_rollout(
         )
         graph = graph._replace(cellblock=plan)
         acceleration, temp_rate = _predict_physical(
-            params, graph, model_config, stats, dtype, cellblock_spec=spec
+            params, graph, model_config, stats, dtype, cellblock_spec=spec,
+            cellblock_mode=cellblock_mode,
         )
         new_pos, new_temp = integrate_step(
             pos_w[-1],

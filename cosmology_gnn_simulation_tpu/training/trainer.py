@@ -83,11 +83,14 @@ class TrainConfig:
     # scatter-add (ops/aggregation.py). Exact for any neighbor table.
     build_reverse: bool = True
     # Message-passing aggregation backend: "gather" (fused gather+sum with
-    # the sorted-edge VJP) or "cellblock" (selection-matrix MXU kernel,
-    # ops/cellblock.py — the big-N path; BASELINE config 4 training at
-    # N=500k/H=256 is bandwidth-bound on the gather). Cellblock training
-    # builds the reverse selection table once per graph so the backward is
-    # the same kernel transposed; exactness is certified per batch
+    # the sorted-edge VJP), "cellblock" (selection-matrix MXU kernel,
+    # ops/cellblock.py, slot-space carry — the big-N path; BASELINE
+    # config 4 training at N=500k/H=256 is bandwidth-bound on the gather)
+    # or "cellblock_hybrid" (same kernel, particle-space carry — trades
+    # per-step expand/compact gathers for the slot-padding row tax; the
+    # flagship-scale winner). Cellblock training builds the reverse
+    # selection table once per graph so the backward is the same kernel
+    # transposed; exactness is certified per batch
     # (``cellblock_violations`` metric, checked at epoch end).
     aggregation: str = "gather"
     # Key training noise per GLOBAL particle id instead of per row stream
@@ -125,9 +128,9 @@ def make_train_step(
     ``target_temperatures [B,N,1]``."""
     tc = train_config
     dtype = jnp.dtype(tc.compute_dtype) if tc.compute_dtype else None
-    if tc.aggregation not in ("gather", "cellblock"):
+    if tc.aggregation not in ("gather", "cellblock", "cellblock_hybrid"):
         raise ValueError(f"unknown aggregation: {tc.aggregation}")
-    if tc.aggregation == "cellblock" and not (
+    if tc.aggregation.startswith("cellblock") and not (
         model_config.aggregate == "sender_latents"
         and model_config.prune_dead_edge_stream
     ):
@@ -148,7 +151,7 @@ def make_train_step(
             jnp.arange(pos.shape[1], dtype=jnp.int32)
             if tc.partition_invariant_noise else None
         )
-        cellblock = tc.aggregation == "cellblock"
+        cellblock = tc.aggregation.startswith("cellblock")
         graph = featurize(
             pos,
             temp,
@@ -200,7 +203,10 @@ def make_train_step(
             cellblock=plan,
         )
         preds = apply_encode_process_decode(
-            params, graph, model_config, dtype, cellblock_spec=spec
+            params, graph, model_config, dtype, cellblock_spec=spec,
+            cellblock_mode=(
+                "hybrid" if tc.aggregation == "cellblock_hybrid" else "slots"
+            ),
         )
         violations = (
             plan.overflow
@@ -235,7 +241,7 @@ def make_train_step(
             temp_rate_weight=tc.temp_rate_loss_weight,
             momentum_weight=tc.momentum_loss_weight,
         )
-        if tc.aggregation == "cellblock":
+        if tc.aggregation.startswith("cellblock"):
             components = dict(components)
             components["cellblock_violations"] = jnp.max(violations).astype(
                 jnp.float32
@@ -283,9 +289,9 @@ def make_eval_step(
             neighbor_query_tile=tc.neighbor_query_tile,
             neighbor_method=tc.neighbor_method,
             build_edges=need_edges,
-            with_codes=tc.aggregation == "cellblock",
+            with_codes=tc.aggregation.startswith("cellblock"),
         )
-        if tc.aggregation == "cellblock":
+        if tc.aggregation.startswith("cellblock"):
             from cosmology_gnn_simulation_tpu.ops.cellblock import (
                 build_cellblock,
                 choose_cellblock_spec,
@@ -302,7 +308,11 @@ def make_eval_step(
                 cellblock=plan,
             )
             preds = apply_encode_process_decode(
-                params, graph, model_config, dtype, cellblock_spec=spec
+                params, graph, model_config, dtype, cellblock_spec=spec,
+                cellblock_mode=(
+                    "hybrid" if tc.aggregation == "cellblock_hybrid"
+                    else "slots"
+                ),
             )
             return (
                 preds,

@@ -91,3 +91,43 @@ def test_cellblock_rejects_fallback_guard():
     with pytest.raises(ValueError, match="fallback"):
         rollout(params, mc, pos, temp, stats, 2, num_neighbors=8,
                 aggregation="cellblock", exactness_guard="fallback")
+
+def test_cellblock_hybrid_rollout_matches_gather():
+    """Hybrid mode: same S@window kernel, carry on particle rows."""
+    params, mc, pos, temp, stats = _setup()
+    base = rollout(params, mc, pos, temp, stats, 3, num_neighbors=8)
+    cb = rollout(
+        params, mc, pos, temp, stats, 3, num_neighbors=8,
+        aggregation="cellblock_hybrid", cellblock_spec=SPEC,
+    )
+    assert bool(cb["neighbor_exactness"].all())
+    np.testing.assert_allclose(
+        np.asarray(cb["Coordinates"]), np.asarray(base["Coordinates"]),
+        rtol=0, atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cb["InternalEnergy"]), np.asarray(base["InternalEnergy"]),
+        rtol=0, atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cb["Coordinates"][5]), np.asarray(base["Coordinates"][5]),
+        rtol=0, atol=1e-5,
+    )
+
+
+def test_cellblock_hybrid_matches_slots_mode():
+    """Slot-space and hybrid forwards compute the same sums (modulo
+    f32 summation order inside LN/MLP row layouts — tight tolerance)."""
+    params, mc, pos, temp, stats = _setup()
+    slots = rollout(
+        params, mc, pos, temp, stats, 3, num_neighbors=8,
+        aggregation="cellblock", cellblock_spec=SPEC,
+    )
+    hybrid = rollout(
+        params, mc, pos, temp, stats, 3, num_neighbors=8,
+        aggregation="cellblock_hybrid", cellblock_spec=SPEC,
+    )
+    np.testing.assert_allclose(
+        np.asarray(hybrid["Coordinates"]), np.asarray(slots["Coordinates"]),
+        rtol=0, atol=1e-5,
+    )

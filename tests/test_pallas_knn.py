@@ -120,3 +120,55 @@ def test_spill_exhaustion_fails_loudly(rng):
         pos, k, 1.0, grid, return_diagnostics=True, interpret=True
     )
     assert int(overflow) > 0
+
+
+def test_codes_only_matches_with_codes(rng):
+    """codes_only: single-payload (lane) selection must emit the same codes
+    as the dual id+code carriage on tie-free data, with identical
+    diagnostics, and the plan built from them must be identical."""
+    n, k = 600, 6
+    pos = jnp.asarray(rng.random((n, 3), np.float32))
+    grid = choose_cell_grid(n, k)
+    ids, codes, (ovf, maxd, exc) = pallas_cell_list_knn(
+        pos, k, 1.0, grid, return_diagnostics=True, with_codes=True,
+        interpret=True,
+    )
+    ids2, codes2, (ovf2, maxd2, exc2) = pallas_cell_list_knn(
+        pos, k, 1.0, grid, return_diagnostics=True, codes_only=True,
+        interpret=True,
+    )
+    assert ids2 is None
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(codes2))
+    assert float(maxd) == float(maxd2)
+    assert float(exc) == float(exc2)
+    assert int(ovf) == int(ovf2)
+
+
+def test_codes_only_plan_matches_ids_plan(rng):
+    """build_cellblock(neighbors=None, codes) == build_cellblock(ids, codes)."""
+    from cosmology_gnn_simulation_tpu.ops.cellblock import (
+        build_cellblock,
+        choose_cellblock_spec,
+    )
+    from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
+        padded_cell_capacity,
+    )
+
+    n, k = 600, 6
+    pos = jnp.asarray(rng.random((n, 3), np.float32))
+    grid = choose_cell_grid(n, k)
+    spec = choose_cellblock_spec(n, k)
+    assert spec.grid_size == grid.grid_size
+    ids, codes = pallas_cell_list_knn(
+        pos, k, 1.0, grid, with_codes=True, interpret=True
+    )
+    cap = padded_cell_capacity(grid)
+    a = build_cellblock(pos, ids, 1.0, spec, neighbor_codes=codes,
+                        codes_cap=cap)
+    b = build_cellblock(pos, None, 1.0, spec, neighbor_codes=codes,
+                        codes_cap=cap)
+    np.testing.assert_array_equal(np.asarray(a.s_table), np.asarray(b.s_table))
+    np.testing.assert_array_equal(
+        np.asarray(a.window_starts), np.asarray(b.window_starts)
+    )
+    assert int(a.dropped_edges) == int(b.dropped_edges) == 0

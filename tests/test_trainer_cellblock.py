@@ -114,3 +114,32 @@ def test_cellblock_training_reduces_loss():
         )
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_cellblock_hybrid_train_step_matches_gather():
+    """Hybrid mode trains: the VJP chain is compact^T -> S^T kernel ->
+    expand^T around the particle-space tail."""
+    stats, mc, params, batch = _setup()
+    key = jax.random.PRNGKey(7)
+
+    tc_g = _common_tc()
+    opt = make_optimizer(tc_g, steps_per_epoch=1)
+    p_g, _, m_g = make_train_step(mc, stats, tc_g, opt)(
+        params, opt.init(params), batch, key
+    )
+
+    tc_h = _common_tc(aggregation="cellblock_hybrid")
+    p_h, _, m_h = make_train_step(mc, stats, tc_h, opt)(
+        params, opt.init(params), batch, key
+    )
+    assert float(m_h["cellblock_violations"]) == 0.0
+    for k in ("loss", "acceleration", "temp_rate", "momentum"):
+        np.testing.assert_allclose(
+            float(m_h[k]), float(m_g[k]), rtol=2e-4, err_msg=k
+        )
+    flat_g, _ = jax.tree.flatten(p_g)
+    flat_h, _ = jax.tree.flatten(p_h)
+    for a, b in zip(flat_h, flat_g):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-6
+        )
