@@ -565,6 +565,13 @@ def build_cellblock(
     window_starts = (col_j * ccp + w_loc).astype(jnp.int32)
 
     # ---- Forward S table --------------------------------------------------
+    # The codes path fuses the sender-slot decode into the S tile sweep
+    # when the reverse table is not needed (rollout): one lax.map pass,
+    # no [num_slots, k] decoded-aux or [num_slots, 27] start-row
+    # intermediates. Training (with_reverse) still materializes the
+    # decoded sender slots because the reverse build consumes them.
+    fuse_codes = neighbor_codes is not None and not with_reverse
+    nbr_aux_slots = None
     if neighbor_codes is not None:
         # Arithmetic decode of the Pallas kNN's candidate codes
         # (j27 * cap + rank): the neighbor's cell is the query's cell plus
@@ -606,6 +613,7 @@ def build_cellblock(
         )
         slot_ids0 = jnp.arange(num_slots, dtype=jnp.int32)
         col_q_slot = slot_ids0 // cc
+    if neighbor_codes is not None and not fuse_codes:
         start27_rows = jnp.take(
             cstart27, col_q_slot * g + qz_slot, axis=0
         )  # [num_slots, 27]
@@ -651,7 +659,7 @@ def build_cellblock(
                 a.reshape((num0, tile0) + a.shape[1:]) for a in dec_arrays
             ),
         ).reshape(num0 * tile0, k)[:num_slots]
-    else:
+    elif neighbor_codes is None:
         # Packed sender aux (slot * G + cz) in original particle order,
         # then the one unavoidable big elementwise gather through the
         # neighbor table.
@@ -753,9 +761,83 @@ def build_cellblock(
         )
         return s, dropped
 
+    if fuse_codes:
+        # Fused decode + S-build tile for the codes path (rollout): the
+        # 27-way code decode and the 9-way constants select run in one
+        # pass, with the per-slot neighbor-cell start rows gathered
+        # in-tile from the small closured [G^3, 27] table. The sender's
+        # 3x3 ring index j comes directly from the code's (dx, dy) —
+        # identical to the generic tile's modular reconstruction because
+        # (sender_gx - query_gx + 1) mod G == dx + 1 for dx in {-1,0,1}.
+        def s_tile_fused(args):
+            codes_t, qz_t, col_t, const_t, qok_t = args
+            rows = codes_t.shape[0]
+            j27 = codes_t // codes_cap
+            rank = codes_t % codes_cap
+            valid27 = j27 < 27
+            j27c = jnp.where(valid27, j27, 0)
+            s27_t = jnp.take(cstart27, col_t * g + qz_t, axis=0)
+            oh27 = j27c[:, :, None] == jnp.arange(27, dtype=jnp.int32)
+            start = jnp.sum(
+                jnp.where(oh27, s27_t.reshape(rows, 1, 27), 0), axis=2
+            )  # exact integer one-hot select (f32 einsum would corrupt)
+            r_s = start + rank  # sender's per-column compact rank
+            # real slot iff within column capacity (column-overflow
+            # senders fall to the sentinel, exactly like the aux path)
+            ok = valid27 & (r_s < cc)
+            s_cz = (qz_t[:, None] + j27c % 3 - 1 + g) % g
+            j = jnp.where(ok, (j27c // 9) * 3 + (j27c // 3) % 3, 9)
+            oh_j = j[:, :, None] == jnp.arange(9, dtype=jnp.int32)
+            sel = jnp.sum(
+                jnp.where(
+                    oh_j[:, :, :, None],
+                    const_t.astype(jnp.int32).reshape(rows, 1, 9, 5), 0,
+                ),
+                axis=2,
+            )  # [rows, k, 5] int32 (exact — see s_tile note on the MXU)
+            w_s, cp_s, m_s, ca_s, cg1_s = (
+                sel[..., 0], sel[..., 1], sel[..., 2], sel[..., 3],
+                sel[..., 4],
+            )
+            rel_main = cp_s + r_s - w_s
+            ok_main = ok & (rel_main >= 0) & (rel_main < w_cap)
+            rank_pre = r_s - cg1_s
+            rel_pre = rank_pre - w_s
+            ok_pre = (
+                ok & (s_cz == g - 1) & (rank_pre < cp_s)
+                & (rel_pre >= 0) & (rel_pre < w_cap)
+            )
+            rel_app = cp_s + m_s + r_s - w_s
+            ok_app = (
+                ok & (s_cz == 0) & (r_s < ca_s)
+                & (rel_app >= 0) & (rel_app < w_cap)
+            )
+            use_pre = ok_pre & ~ok_main
+            off = jnp.where(
+                ok_main, rel_main, jnp.where(use_pre, rel_pre, rel_app)
+            )
+            valid = qok_t[:, None] & (ok_main | ok_pre | ok_app)
+            dropped = jnp.sum(
+                qok_t[:, None] & ok & ~(ok_main | ok_pre | ok_app)
+            ).astype(jnp.int32)
+            if s_build == "kernel":
+                packed = jnp.where(
+                    valid, j * w_cap + off, jnp.int32(9 * w_cap)
+                ).astype(jnp.int32)
+                return packed, dropped
+            jh = j * hi_w + jnp.clip(off // lo_w, 0, hi_w - 1)
+            s = _onehot_contract(
+                jnp.where(valid, jh, -1), off % lo_w, valid, 9 * hi_w, lo_w
+            )
+            return s, dropped
+
+        tile_fn = s_tile_fused
+        arrays = [codes_slots, qz_slot, col_q_slot, const_rows, occupied]
+    else:
+        tile_fn = s_tile
+        arrays = [nbr_aux_slots, const_rows, gx_q, gy_q, occupied]
     tile = min(_S_BUILD_TILE, num_slots)
     pad = (-num_slots) % tile
-    arrays = [nbr_aux_slots, const_rows, gx_q, gy_q, occupied]
     if pad:
         arrays = [
             jnp.pad(
@@ -767,7 +849,7 @@ def build_cellblock(
         ]
     num = (num_slots + pad) // tile
     s_chunks, drop_chunks = jax.lax.map(
-        s_tile, tuple(a.reshape((num, tile) + a.shape[1:]) for a in arrays)
+        tile_fn, tuple(a.reshape((num, tile) + a.shape[1:]) for a in arrays)
     )
     if s_build == "kernel":
         offsets = s_chunks.reshape(num * tile, k)[:num_slots]

@@ -314,6 +314,43 @@ def test_neighbor_codes_match_aux_path(spec, n):
         assert int(getattr(a, f)) == int(getattr(b, f)), f
 
 
+@pytest.mark.parametrize("spec,n", [(SPEC, 200), (SPEC_TILED, 3000)])
+def test_neighbor_codes_fused_forward(spec, n):
+    """``with_reverse=False`` + codes takes the FUSED decode+S tile (one
+    lax.map sweep, no decoded-aux intermediate — the rollout path). Its
+    forward table and diagnostics must be bit-identical to both the aux
+    path and the two-sweep codes path (with_reverse=True)."""
+    from cosmology_gnn_simulation_tpu.ops.cell_list import CellGrid
+    from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
+        padded_cell_capacity,
+        pallas_cell_list_knn,
+    )
+
+    rng = np.random.default_rng(21)
+    pos = jnp.asarray(rng.uniform(0, 1.0, size=(n, 3)), jnp.float32)
+    g = spec.grid_size
+    cap = max(8, int(np.ceil(n / g**3 * 4)))
+    grid = CellGrid(grid_size=g, cell_capacity=cap)
+    nbr, codes = pallas_cell_list_knn(
+        pos, 4, 1.0, grid, with_codes=True, interpret=True
+    )
+    cap_out = padded_cell_capacity(grid)
+    a = build_cellblock(pos, nbr, 1.0, spec)
+    b = build_cellblock(
+        pos, None, 1.0, spec, neighbor_codes=codes, codes_cap=cap_out
+    )
+    c = build_cellblock(
+        pos, nbr, 1.0, spec, with_reverse=True,
+        neighbor_codes=codes, codes_cap=cap_out,
+    )
+    np.testing.assert_array_equal(np.asarray(a.s_table), np.asarray(b.s_table))
+    np.testing.assert_array_equal(np.asarray(b.s_table), np.asarray(c.s_table))
+    for f in ("overflow", "dropped_edges", "window_overflow"):
+        assert int(getattr(a, f)) == int(getattr(b, f)) == int(
+            getattr(c, f)
+        ), f
+
+
 def test_s_build_kernel_duplicates():
     pos, nbr, z = _fixture(n=120, k=4, seed=4)
     nbr = nbr.at[:, 1].set(nbr[:, 0])  # duplicate edges -> multiplicity 2
