@@ -47,6 +47,13 @@ def main():
                     help="cells per slab; default 5 at full size (coarser "
                          "than the uniform-tuned grid for margin), auto "
                          "below 1M particles (small-N smoke runs)")
+    ap.add_argument("--capacity_multiplier", type=float, default=5.0,
+                    help="cell-capacity headroom over mean occupancy. 5.0: "
+                         "even with zeroed heads the fixture's convergent "
+                         "seed velocities compress cells ballistically — "
+                         "3x overflowed by 2/30 particles at steps 9/10 of "
+                         "the 2M run (window-margin component held all "
+                         "steps); 5x absorbs the 10-step infall")
     ap.add_argument("--skip_train", action="store_true")
     args = ap.parse_args()
     n, k = args.n, args.k
@@ -113,7 +120,7 @@ def main():
     if slab_layers is None and n >= 1_000_000:
         slab_layers = 5
     hc = choose_halo_config(n, k, 8, noise=True, slab_layers=slab_layers,
-                            capacity_multiplier=3.0)
+                            capacity_multiplier=args.capacity_multiplier)
     results["halo_config"] = {
         "grid": hc.grid_size, "local_capacity": hc.local_capacity,
         "halo_capacity": hc.halo_capacity, "halo_layers": hc.halo_layers,
