@@ -47,10 +47,10 @@ def main():
     pos0 = jnp.asarray(rng.random((N, 3), np.float32))
 
     # ---- 1. Real-execution equality.
-    idx, codes_a, cap, exact_a = neighbor_search_certified(
+    idx, codes_a, cap, spill_a, exact_a = neighbor_search_certified(
         pos0, K, 1.0, method="pallas", with_codes=True
     )
-    none_idx, codes_b, cap_b, exact_b = neighbor_search_certified(
+    none_idx, codes_b, cap_b, spill_b, exact_b = neighbor_search_certified(
         pos0, K, 1.0, method="pallas", with_codes=True, codes_only=True
     )
     assert none_idx is None
@@ -92,7 +92,7 @@ def main():
         return jnp.sum(idx[:1].astype(jnp.float32))
 
     def s_codes_only(pos):
-        _, codes, _, exact = neighbor_search_certified(
+        _, codes, _, _, exact = neighbor_search_certified(
             pos, K, 1.0, method="pallas", with_codes=True, codes_only=True
         )
         return jnp.sum(codes[:1].astype(jnp.float32))

@@ -48,11 +48,11 @@ def main():
           f"QB={spec.query_block} W={spec.window} wrap={spec.wrap_cap} "
           f"slots={spec.num_slots} pad={spec.num_slots / N:.2f}x", flush=True)
 
-    nbr, codes, codes_cap, exact = neighbor_search_certified(
+    nbr, codes, codes_cap, spill, exact = neighbor_search_certified(
         pos0, K, box, method="pallas", with_codes=True
     )
     plan = build_cellblock(pos0, nbr, box, spec, neighbor_codes=codes,
-                           codes_cap=codes_cap)
+                           codes_cap=codes_cap, codes_spill=spill)
     z0 = jnp.asarray(rng.normal(0, 1, (spec.num_slots, H)), jnp.bfloat16)
 
     def scan_over(body, iters):

@@ -51,11 +51,11 @@ def main():
           f"QB={spec.query_block} W={spec.window} "
           f"pad={spec.num_slots / N:.2f}x", flush=True)
 
-    nbr, codes, codes_cap, exact = neighbor_search_certified(
+    nbr, codes, codes_cap, spill, exact = neighbor_search_certified(
         pos0, K, box, method="pallas", with_codes=True
     )
     plan = build_cellblock(pos0, nbr, box, spec, neighbor_codes=codes,
-                           codes_cap=codes_cap)
+                           codes_cap=codes_cap, codes_spill=spill)
     nbr_sorted = sort_neighbors(nbr, plan.order)
     z0 = jnp.asarray(rng.normal(0, 1, (N, H)), jnp.bfloat16)
 

@@ -87,18 +87,19 @@ def main():
         return jnp.sum(idx[:1].astype(jnp.float32))
 
     def search_codes(pos):
-        idx, codes, cap, exact = neighbor_search_certified(
+        idx, codes, cap, spill, exact = neighbor_search_certified(
             pos, K, box, method="pallas", with_codes=True
         )
         return (jnp.sum(idx[:1].astype(jnp.float32))
                 + jnp.sum(codes[:1].astype(jnp.float32)))
 
     def plan_full(pos):
-        idx, codes, cap, exact = neighbor_search_certified(
+        idx, codes, cap, spill, exact = neighbor_search_certified(
             pos, K, box, method="pallas", with_codes=True
         )
         plan = cb.build_cellblock(pos, idx, box, spec, s_build="kernel",
-                                  neighbor_codes=codes, codes_cap=cap)
+                                  neighbor_codes=codes, codes_cap=cap,
+                                  codes_spill=spill)
         return chk_plan(plan)
 
     def plan_aux(pos):
@@ -107,11 +108,12 @@ def main():
         return chk_plan(plan)
 
     def plan_contract(pos):
-        idx, codes, cap, exact = neighbor_search_certified(
+        idx, codes, cap, spill, exact = neighbor_search_certified(
             pos, K, box, method="pallas", with_codes=True
         )
         plan = cb.build_cellblock(pos, idx, box, spec, s_build="contract",
-                                  neighbor_codes=codes, codes_cap=cap)
+                                  neighbor_codes=codes, codes_cap=cap,
+                                  codes_spill=spill)
         return chk_plan(plan)
 
     results = {"spec": f"G={spec.grid_size} CC={spec.col_capacity} "

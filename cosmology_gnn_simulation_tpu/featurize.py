@@ -68,9 +68,10 @@ def neighbor_search(
     list when separate queries are involved (the sharded path), and exact
     brute force for small N (and when no viable grid exists).
 
-    ``with_codes=True`` returns ``(neighbors, codes, codes_cap)`` — the
-    Pallas backend's candidate codes for the cell-block plan build
-    (``codes``/``codes_cap`` are ``None`` for every other backend).
+    ``with_codes=True`` returns ``(neighbors, codes, codes_cap, spill)``
+    — the Pallas backend's candidate codes (and its spill-block
+    resolution tables, see ``pallas_cell_list_knn``) for the cell-block
+    plan build (all ``None`` for every other backend).
     """
     n = positions.shape[0]
     self_query = queries is None or queries is positions
@@ -87,15 +88,15 @@ def neighbor_search(
             method = "celllist"
         else:
             from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
-                padded_cell_capacity,
+                codes_packing_cap,
                 pallas_cell_list_knn,
             )
 
             if with_codes:
-                idx, codes = pallas_cell_list_knn(
+                idx, codes, spill = pallas_cell_list_knn(
                     positions, k, box_size, grid, with_codes=True
                 )
-                return idx, codes, padded_cell_capacity(grid)
+                return idx, codes, codes_packing_cap(n, k, grid), spill
             return pallas_cell_list_knn(positions, k, box_size, grid)
     if method == "celllist":
         grid = choose_cell_grid(n, k)
@@ -106,13 +107,13 @@ def neighbor_search(
                 positions, k, box_size, grid, queries=queries,
                 query_tile=max(query_tile, 4096),
             )
-            return (idx, None, None) if with_codes else idx
+            return (idx, None, None, None) if with_codes else idx
     if method != "bruteforce":
         raise ValueError(f"unknown neighbor method: {method}")
     idx = knn_periodic(
         positions, k, box_size, queries=queries, query_tile=query_tile
     )
-    return (idx, None, None) if with_codes else idx
+    return (idx, None, None, None) if with_codes else idx
 
 
 def neighbor_search_certified(
@@ -137,10 +138,11 @@ def neighbor_search_certified(
     up to 1.5x looser than the blunt one-cell-edge form; brute force is
     exact by construction). The certificate's cost is O(N*k) vector math.
 
-    ``with_codes=True`` returns ``(neighbors, codes, codes_cap, exact)``
-    where ``codes``/``codes_cap`` are the Pallas backend's candidate codes
-    for the cell-block plan build (``None`` when another backend was
-    picked — callers must handle both).
+    ``with_codes=True`` returns ``(neighbors, codes, codes_cap, spill,
+    exact)`` where ``codes``/``codes_cap``/``spill`` are the Pallas
+    backend's candidate codes and spill-block resolution tables for the
+    cell-block plan build (``None`` when another backend was picked —
+    callers must handle both).
     """
     n = positions.shape[0]
     self_query = True
@@ -158,12 +160,12 @@ def neighbor_search_certified(
     if method == "bruteforce":
         idx = knn_periodic(positions, k, box_size, query_tile=query_tile)
         if with_codes:
-            return idx, None, None, jnp.asarray(True)
+            return idx, None, None, None, jnp.asarray(True)
         return idx, jnp.asarray(True)
-    codes = codes_cap = None
+    codes = codes_cap = spill = None
     if method == "pallas" and self_query:
         from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
-            padded_cell_capacity,
+            codes_packing_cap,
             pallas_cell_list_knn,
         )
 
@@ -173,12 +175,14 @@ def neighbor_search_certified(
             # plain ids kernel, vs +10 ms in-scan for carrying both
             # (plan_parts_r3.json). The cell-block pipeline never reads
             # neighbor ids, so its rollout path requests this.
-            idx, codes, (overflow, _, max_excess) = pallas_cell_list_knn(
-                positions, k, box_size, grid,
-                return_diagnostics=True, with_codes=True,
-                codes_only=codes_only,
+            idx, codes, spill, (overflow, _, max_excess) = (
+                pallas_cell_list_knn(
+                    positions, k, box_size, grid,
+                    return_diagnostics=True, with_codes=True,
+                    codes_only=codes_only,
+                )
             )
-            codes_cap = padded_cell_capacity(grid)
+            codes_cap = codes_packing_cap(n, k, grid)
         else:
             idx, (overflow, _, max_excess) = pallas_cell_list_knn(
                 positions, k, box_size, grid, return_diagnostics=True
@@ -190,7 +194,7 @@ def neighbor_search_certified(
         )
     exact = (overflow == 0) & (max_excess <= 0.0)
     if with_codes:
-        return idx, codes, codes_cap, exact
+        return idx, codes, codes_cap, spill, exact
     return idx, exact
 
 
@@ -284,10 +288,11 @@ def featurize(
     """Build a ``ParticleGraph`` from a trajectory window.
 
     ``with_codes=True`` changes the return to
-    ``(graph, codes, codes_cap)`` — the Pallas kNN backend's candidate
-    codes computed on the (noised, wrapped) positions, for the cell-block
-    plan build (``None``/``None`` when another backend served the search
-    or ``neighbors`` were precomputed).
+    ``(graph, codes, codes_cap, spill)`` — the Pallas kNN backend's
+    candidate codes (+ spill-block resolution tables) computed on the
+    (noised, wrapped) positions, for the cell-block plan build (all
+    ``None`` when another backend served the search or ``neighbors``
+    were precomputed).
 
     Args:
       position_seq: ``[T, N, 3]`` time-major position history (HDF5 layout).
@@ -358,10 +363,10 @@ def featurize(
         )
     else:
         all_positions = recent_position
-    codes = codes_cap = None
+    codes = codes_cap = spill = None
     if neighbors is None:
         if with_codes:
-            neighbors, codes, codes_cap = neighbor_search(
+            neighbors, codes, codes_cap, spill = neighbor_search(
                 all_positions,
                 num_neighbors,
                 box,
@@ -440,5 +445,5 @@ def featurize(
         sorted_edges=sorted_edges,
     )
     if with_codes:
-        return graph, codes, codes_cap
+        return graph, codes, codes_cap, spill
     return graph

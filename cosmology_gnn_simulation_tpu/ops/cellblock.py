@@ -366,6 +366,7 @@ def build_cellblock(
     s_build: str = "auto",
     neighbor_codes: Optional[jnp.ndarray] = None,
     codes_cap: Optional[int] = None,
+    codes_spill: Optional[tuple] = None,
     interpret: Optional[bool] = None,
 ) -> CellBlockGraph:
     """Build the per-graph plan: binning, sort order, windows, S table(s).
@@ -401,6 +402,12 @@ def build_cellblock(
     ``neighbors`` may be ``None`` when codes are given (the kernel's
     ``codes_only`` mode — the plan never reads neighbor ids on the codes
     path).
+
+    ``codes_spill``: the kNN kernel's spill-block resolution tables
+    ``(spill_cells, spill_ranks)`` (see ``pallas_cell_list_knn``). Codes
+    ``>= 27 * codes_cap`` index this block; each resolves to the spilled
+    particle's cell and in-cell stable-sort rank, from which its sender
+    slot is derived exactly like a ring code's (the sorts share the key).
     """
     if s_build == "auto":
         s_build = "kernel" if jax.default_backend() == "tpu" else "contract"
@@ -582,10 +589,29 @@ def build_cellblock(
         # pathological 16M-element aux[neighbors] gather + the [N, k] row
         # permutation (143 + 35 + 32 ms at config 4:
         # benchmarks/results/cb_parts_r3.json).
+        spill_len = 0 if codes_spill is None else codes_spill[0].shape[0]
+        # Always-invalid sentinel for unoccupied slots: past the ring AND
+        # the spill block (27 * codes_cap itself is a real spill code when
+        # the spill block is active).
+        code_sentinel = 27 * codes_cap + spill_len
         codes_ext = jnp.concatenate(
             [neighbor_codes.astype(jnp.int32),
-             jnp.full((1, k), 27 * codes_cap, jnp.int32)]
+             jnp.full((1, k), code_sentinel, jnp.int32)]
         )
+        sp_aux = None
+        if spill_len:
+            # Per spill candidate: packed sender aux (slot * G + cz), the
+            # same convention as the aux path — derived from its cell and
+            # in-cell rank (unused slots carry rank 2**20 -> the overflow
+            # sentinel). Tiny [spill_len] arrays, computed once.
+            sp_cells_t, sp_ranks_t = codes_spill
+            sp_cells_t = jnp.clip(sp_cells_t, 0, g**3 - 1)
+            sp_col = sp_cells_t // g
+            sp_cz = sp_cells_t % g
+            sp_start = jnp.take(cstart_rel.reshape(-1), sp_cells_t)
+            sp_rs = sp_start + sp_ranks_t
+            sp_slot = jnp.where(sp_rs < cc, sp_col * cc + sp_rs, num_slots)
+            sp_aux = sp_slot * g + jnp.where(sp_rs < cc, sp_cz, 0)
         order_ext = jnp.concatenate(
             [order, jnp.full((1,), n, jnp.int32)]
         )
@@ -642,7 +668,17 @@ def build_cellblock(
             sr = start + rank
             ok = valid & (sr < cc)
             slot = jnp.where(ok, scol * cc + sr, num_slots)
-            return slot * g + jnp.where(ok, scz, 0)
+            aux = slot * g + jnp.where(ok, scz, 0)
+            if sp_aux is not None:
+                # Spill codes (>= 27 * codes_cap, < sentinel) resolve
+                # through the precomputed spill aux table.
+                sp_idx = codes_t - 27 * codes_cap
+                is_sp = (sp_idx >= 0) & (sp_idx < spill_len)
+                aux_sp = jnp.take(
+                    sp_aux, jnp.clip(sp_idx, 0, spill_len - 1)
+                )
+                aux = jnp.where(is_sp, aux_sp, aux)
+            return aux
 
         tile0 = min(_S_BUILD_TILE, num_slots)
         pad0 = (-num_slots) % tile0
@@ -787,6 +823,32 @@ def build_cellblock(
             ok = valid27 & (r_s < cc)
             s_cz = (qz_t[:, None] + j27c % 3 - 1 + g) % g
             j = jnp.where(ok, (j27c // 9) * 3 + (j27c // 3) % 3, 9)
+            sp_ring_drop = None
+            if sp_aux is not None:
+                # Spill codes resolve through the precomputed aux table;
+                # their ring index j comes from the sender/query column
+                # delta (the generic tile's modular reconstruction).
+                sp_idx = codes_t - 27 * codes_cap
+                is_sp = (sp_idx >= 0) & (sp_idx < spill_len)
+                aux_sp = jnp.take(
+                    sp_aux, jnp.clip(sp_idx, 0, spill_len - 1)
+                )
+                slot_sp = aux_sp // g
+                real_sp = is_sp & (slot_sp < num_slots)
+                col_sp = slot_sp // cc
+                dxm = (col_sp // g - (col_t // g)[:, None] + 1 + g) % g
+                dym = (col_sp % g - (col_t % g)[:, None] + 1 + g) % g
+                in3_sp = real_sp & (dxm < 3) & (dym < 3)
+                r_s = jnp.where(is_sp, slot_sp % cc, r_s)
+                s_cz = jnp.where(is_sp, aux_sp % g, s_cz)
+                j = jnp.where(
+                    is_sp, jnp.where(in3_sp, dxm * 3 + dym, 9), j
+                )
+                ok = jnp.where(is_sp, in3_sp, ok)
+                # Real spill senders outside the 3x3 ring (uncertified
+                # regime only) cannot be represented — count them like the
+                # aux path does.
+                sp_ring_drop = real_sp & ~in3_sp
             oh_j = j[:, :, None] == jnp.arange(9, dtype=jnp.int32)
             sel = jnp.sum(
                 jnp.where(
@@ -820,6 +882,10 @@ def build_cellblock(
             dropped = jnp.sum(
                 qok_t[:, None] & ok & ~(ok_main | ok_pre | ok_app)
             ).astype(jnp.int32)
+            if sp_ring_drop is not None:
+                dropped = dropped + jnp.sum(
+                    qok_t[:, None] & sp_ring_drop
+                ).astype(jnp.int32)
             if s_build == "kernel":
                 packed = jnp.where(
                     valid, j * w_cap + off, jnp.int32(9 * w_cap)

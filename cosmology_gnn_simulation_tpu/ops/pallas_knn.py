@@ -66,9 +66,52 @@ def _round_up(x: int, m: int) -> int:
 
 
 def padded_cell_capacity(grid: CellGrid) -> int:
-    """The static per-cell table capacity the kernel actually uses (and the
-    multiplier of the ``with_codes`` lane packing ``j27 * cap + rank``)."""
+    """The spill-less static per-cell table capacity (8-aligned). With the
+    spill block active the kernel uses the smaller common-case capacity —
+    use ``spill_layout``/``codes_packing_cap`` for the authoritative
+    numbers."""
     return _round_up(grid.cell_capacity, 8)
+
+
+def spill_layout(n: int, k: int, grid: CellGrid):
+    """The kernel's static candidate-row layout: ``(cap, num_cand,
+    spill_cap)``.
+
+    Single source of truth shared by the kernel wrapper and the codes
+    consumers (``codes_cap`` MUST equal the packing cap the kernel used).
+    The spill block activates when the caller kept the uniform-default
+    capacity (``choose_cell_grid``'s durable Poisson quantile): the table
+    then holds the common case (lam + 4.5 sigma) and the rare overflow
+    rides the spill lanes. Callers that RAISED capacities (clustered-data
+    overrides) get the spill-less layout.
+    """
+    g = grid.grid_size
+    lam = n / g**3
+    use_spill = grid.cell_capacity <= max(
+        k, poisson_occupancy_capacity(lam, g**3)
+    )
+    if use_spill:
+        cap = _round_up(
+            min(grid.cell_capacity,
+                max(8, int(np.ceil(lam + 4.5 * np.sqrt(lam))))), 8
+        )
+        num_cand = _round_up(27 * cap, _LANE)
+        spill_cap = num_cand - 27 * cap
+        if spill_cap < 32:
+            num_cand += _LANE
+            spill_cap += _LANE
+    else:
+        cap = _round_up(grid.cell_capacity, 8)
+        num_cand = _round_up(27 * cap, _LANE)
+        spill_cap = 0
+    return cap, num_cand, spill_cap
+
+
+def codes_packing_cap(n: int, k: int, grid: CellGrid) -> int:
+    """The per-cell capacity the ``with_codes`` lane packing
+    ``j27 * cap + rank`` uses — the ``codes_cap`` to hand
+    ``build_cellblock``."""
+    return spill_layout(n, k, grid)[0]
 
 
 def _select_kernel(
@@ -319,7 +362,7 @@ def pallas_cell_list_knn(
     identical key, so ranks agree. Rows match ``neighbors`` positionally;
     missing picks (exhausted uncertified rows) duplicate the row's first
     code like ``neighbors`` duplicates its first id. Returns
-    ``(neighbors, codes)`` (plus diagnostics if requested).
+    ``(neighbors, codes, spill)`` (plus diagnostics if requested).
 
     ``codes_only=True`` (implies ``with_codes``): the kernel tracks the
     candidate lane as its ONLY selection payload and the particle-id
@@ -329,6 +372,18 @@ def pallas_cell_list_knn(
     ids, so its rollout path uses this mode. ``neighbors`` is returned as
     ``None``; exact-distance ties break by smallest lane (lexicographic
     neighbor-cell offset, then in-cell rank) instead of smallest id.
+
+    With codes, the extras are ``(codes, spill)``: ``spill`` is ``None``
+    when the spill block is inactive, else ``(spill_cells, spill_ranks)``
+    — per spill slot, the spilled particle's cell id and its stable-sort
+    rank WITHIN that cell (sentinel rank ``2**20`` for unused slots).
+    Spill picks emit their lane as the code (``>= 27 * cap``); the
+    cell-block plan build resolves them through these tables (the rank
+    agrees with its own cell sort — identical sort key). Enabling spill
+    under codes keeps the kernel at the common-case capacity
+    (lam + 4.5 sigma) instead of the durable Poisson quantile — at the
+    flagship spec that is a [24, 768] selection tile instead of
+    [32, 896] (0.64x selection work).
     """
     if codes_only:
         with_codes = True
@@ -350,28 +405,12 @@ def pallas_cell_list_knn(
     # every query scans it (min-imaged in-kernel), and the spilled
     # queries themselves are solved exactly on the XLA side against their
     # own cell's candidate row. Exactness is unchanged; `overflow` then
-    # counts only spill-block exhaustion. Disabled under ``with_codes``
-    # (spill lanes carry no (cell-offset, rank) meaning for the
-    # cell-block plan build) and when the caller raised capacities above
+    # counts only spill-block exhaustion. Under ``with_codes`` the spill
+    # lanes' codes (``>= 27 * cap``) resolve through the returned
+    # ``(spill_cells, spill_ranks)`` tables instead of arithmetic — see
+    # the docstring. Disabled when the caller raised capacities above
     # the uniform default (clustered-data overrides).
-    lam = n / g**3
-    use_spill = (not with_codes) and grid.cell_capacity <= max(
-        k, poisson_occupancy_capacity(lam, g**3)
-    )
-    if use_spill:
-        cap = _round_up(
-            min(grid.cell_capacity,
-                max(8, int(np.ceil(lam + 4.5 * np.sqrt(lam))))), 8
-        )
-        num_cand = _round_up(27 * cap, _LANE)
-        spill_cap = num_cand - 27 * cap
-        if spill_cap < 32:
-            num_cand += _LANE
-            spill_cap += _LANE
-    else:
-        cap = _round_up(grid.cell_capacity, 8)
-        num_cand = _round_up(27 * cap, _LANE)
-        spill_cap = 0
+    cap, num_cand, spill_cap = spill_layout(n, k, grid)
 
     (plane_x, plane_y, plane_z, ids, cell_id, particle_rank,
      overflow) = _build_table(positions.astype(jnp.float32), g, cap, box)
@@ -395,6 +434,14 @@ def pallas_cell_list_knn(
             "z": to_spill(pos_f32[:, 2], 0.0, jnp.float32),
             "ids": to_spill(jnp.arange(n, dtype=jnp.int32), n, jnp.int32),
         }
+        if with_codes:
+            # Spill-code resolution tables for the cell-block plan build:
+            # the spilled particle's cell and its stable-sort rank within
+            # it (the plan's own cell sort uses the identical key, so the
+            # rank transfers). Unused slots carry a rank past any column
+            # capacity — they decode to the overflow sentinel.
+            spill_planes["cell"] = to_spill(cell_id, 0, jnp.int32)
+            spill_planes["rank"] = to_spill(particle_rank, 2**20, jnp.int32)
         # Only spill-block exhaustion drops candidates now.
         overflow = jnp.maximum(overflow - spill_cap, 0)
 
@@ -533,17 +580,20 @@ def pallas_cell_list_knn(
     # the approximation loud).
     table_row = cell_id * cap + jnp.minimum(particle_rank, cap - 1)
 
+    # Lanes below this are real candidates (ring + spill block); at or
+    # above is the kernel's exhausted-pick sentinel.
+    valid_lanes = 27 * cap + spill_cap
+    codes = None
     if codes_only:
         codes_tbl, kth_d2 = results[0], results[1]
         codes = codes_tbl[:num_cells, :, :k].reshape(-1, k)[table_row]
-        # Exhausted picks carry the num_cand lane sentinel (>= 27*cap);
-        # duplicate the row's first code like the ids path duplicates its
-        # first id. The kth output keeps _BIG, so the certificate still
-        # fails loudly on such rows.
-        missing = codes >= 27 * cap
+        # Exhausted picks carry the num_cand lane sentinel; duplicate the
+        # row's first code like the ids path duplicates its first id. The
+        # kth output keeps _BIG, so the certificate still fails loudly on
+        # such rows.
+        missing = codes >= valid_lanes
         codes = jnp.where(missing, codes[:, :1], codes)
         out = None
-        extras = (codes,)
     else:
         picked, kth_d2 = results[0], results[1]
         neighbor_ids = picked[:num_cells, :, :k]  # [G^3, cap, k]
@@ -557,6 +607,12 @@ def pallas_cell_list_knn(
         # certificate still fails loudly.
         missing = out == n
         out = jnp.where(missing, out[:, :1], out)
+        if with_codes:
+            codes = results[2][:num_cells, :, :k].reshape(-1, k)[table_row]
+            # Mirror the id clamping: missing picks duplicate the row's
+            # first code, keeping codes positionally consistent with
+            # `neighbors`.
+            codes = jnp.where(missing, codes[:, :1], codes)
 
     spill_kth = spill_valid = None
     if spill_cap:
@@ -583,29 +639,58 @@ def pallas_cell_list_knn(
             d2s = d2s + dd * dd
         sp_ids = cand_ids[sp_cell]
         d2s = jnp.where(sp_ids >= n, _BIG, d2s)
-        # Exact (d2, id)-lexicographic ascending selection — the same
-        # min-id tie-break as the kernel.
-        d2_sorted, ids_sorted = jax.lax.sort(
-            (d2s, sp_ids), dimension=1, num_keys=2
-        )
-        picks = ids_sorted[:, :k]
-        spill_kth = d2_sorted[:, k - 1]
         spill_valid = spill_planes["ids"] != n
-        picks = jnp.where(picks == n, picks[:, :1], picks)
-        picks = jnp.where(picks == n, 0, picks)
-        out = out.at[
-            jnp.where(spill_valid, spill_planes["ids"], n)
-        ].set(picks, mode="drop")
-
-    if not codes_only:
-        extras = ()
+        sp_scatter = jnp.where(spill_valid, spill_planes["ids"], n)
         if with_codes:
-            codes = results[2][:num_cells, :, :k].reshape(-1, k)[table_row]
-            # Mirror the id clamping: missing picks duplicate the row's
-            # first code, keeping codes positionally consistent with
-            # `neighbors`.
-            codes = jnp.where(missing, codes[:, :1], codes)
-            extras = (codes,)
+            # The spilled query's candidate row is its own cell's — its
+            # picks' LANES are valid codes relative to its own cell, the
+            # same frame the plan-build decode expects.
+            lanes = jnp.broadcast_to(
+                jnp.arange(num_cand, dtype=jnp.int32)[None, :],
+                (spill_cap, num_cand),
+            )
+            if codes_only:
+                # Lane-lexicographic tie-break, matching the codes kernel.
+                d2_sorted, lane_sorted = jax.lax.sort(
+                    (d2s, lanes), dimension=1, num_keys=2
+                )
+                ids_sorted = None
+            else:
+                # (d2, id) keys — min-id tie-break like the ids kernel —
+                # with the lane riding as payload.
+                d2_sorted, ids_sorted, lane_sorted = jax.lax.sort(
+                    (d2s, sp_ids, lanes), dimension=1, num_keys=2
+                )
+            spill_kth = d2_sorted[:, k - 1]
+            sp_miss = d2_sorted[:, :k] >= _BIG * 0.5
+            code_picks = jnp.where(
+                sp_miss, lane_sorted[:, :1], lane_sorted[:, :k]
+            )
+            codes = codes.at[sp_scatter].set(code_picks, mode="drop")
+            if not codes_only:
+                picks = jnp.where(sp_miss, ids_sorted[:, :1],
+                                  ids_sorted[:, :k])
+                picks = jnp.where(picks == n, 0, picks)
+                out = out.at[sp_scatter].set(picks, mode="drop")
+        else:
+            # Exact (d2, id)-lexicographic ascending selection — the same
+            # min-id tie-break as the kernel.
+            d2_sorted, ids_sorted = jax.lax.sort(
+                (d2s, sp_ids), dimension=1, num_keys=2
+            )
+            picks = ids_sorted[:, :k]
+            spill_kth = d2_sorted[:, k - 1]
+            picks = jnp.where(picks == n, picks[:, :1], picks)
+            picks = jnp.where(picks == n, 0, picks)
+            out = out.at[sp_scatter].set(picks, mode="drop")
+
+    extras = ()
+    if with_codes:
+        spill_info = (
+            (spill_planes["cell"], spill_planes["rank"]) if spill_cap
+            else None
+        )
+        extras = (codes, spill_info)
 
     if return_diagnostics:
         # The kernel emits each query row's k-th smallest distance directly

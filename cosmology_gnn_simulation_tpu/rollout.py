@@ -548,15 +548,18 @@ def _cellblock_rollout(
         # the dual-payload pass (+10 ms in-scan at the flagship spec,
         # plan_parts_r3.json). Other backends ignore the flag and return
         # real ids with codes=None (aux plan path).
-        neighbors, codes, codes_cap, exact = neighbor_search_certified(
-            wrapped, k, box, method=method, query_tile=tile,
-            with_codes=True, codes_only=codes_ok,
+        neighbors, codes, codes_cap, spill, exact = (
+            neighbor_search_certified(
+                wrapped, k, box, method=method, query_tile=tile,
+                with_codes=True, codes_only=codes_ok,
+            )
         )
         if codes is not None and not codes_ok:
-            codes = codes_cap = None
+            codes = codes_cap = spill = None
         plan = build_cellblock(wrapped, neighbors, box, spec,
                                s_build=s_build,
-                               neighbor_codes=codes, codes_cap=codes_cap)
+                               neighbor_codes=codes, codes_cap=codes_cap,
+                               codes_spill=spill)
         exact = exact & (plan.overflow == 0) & (plan.dropped_edges == 0)
         pos_w = permute_window(pos_w, plan.order)
         temp_w = permute_window(temp_w, plan.order)

@@ -168,13 +168,13 @@ def make_train_step(
             noise_gids=noise_gids,
             with_codes=cellblock,
         )
-        codes = codes_cap = None
+        codes = codes_cap = spill = None
         if cellblock:
             # Pallas-kNN candidate codes (same grid as the cell-block spec
             # below — both use choose_cell_grid(n, k)): the plan build
             # decodes sender slots arithmetically instead of the
             # pathological aux[neighbors] gather. None on CPU backends.
-            graph, codes, codes_cap = graph
+            graph, codes, codes_cap, spill = graph
         if not cellblock:
             preds = apply_encode_process_decode(
                 params, graph, model_config, dtype
@@ -196,7 +196,7 @@ def make_train_step(
         plan = build_cellblock(
             graph.positions, graph.neighbors, stats.box_size, spec,
             with_reverse=True,
-            neighbor_codes=codes, codes_cap=codes_cap,
+            neighbor_codes=codes, codes_cap=codes_cap, codes_spill=spill,
         )
         graph = graph._replace(
             nodes=jnp.take(graph.nodes, plan.order, axis=0),
@@ -297,11 +297,12 @@ def make_eval_step(
                 choose_cellblock_spec,
             )
 
-            graph, codes, codes_cap = graph
+            graph, codes, codes_cap, spill = graph
             spec = choose_cellblock_spec(pos.shape[1], tc.num_neighbors)
             plan = build_cellblock(
                 graph.positions, graph.neighbors, stats.box_size, spec,
                 neighbor_codes=codes, codes_cap=codes_cap,
+                codes_spill=spill,
             )
             graph = graph._replace(
                 nodes=jnp.take(graph.nodes, plan.order, axis=0),

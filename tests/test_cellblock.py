@@ -287,7 +287,7 @@ def test_neighbor_codes_match_aux_path(spec, n):
     forward table, reverse table, and every diagnostic."""
     from cosmology_gnn_simulation_tpu.ops.cell_list import CellGrid
     from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
-        padded_cell_capacity,
+        codes_packing_cap,
         pallas_cell_list_knn,
     )
 
@@ -296,14 +296,14 @@ def test_neighbor_codes_match_aux_path(spec, n):
     g = spec.grid_size
     cap = max(8, int(np.ceil(n / g**3 * 4)))
     grid = CellGrid(grid_size=g, cell_capacity=cap)
-    nbr, codes = pallas_cell_list_knn(
+    nbr, codes, spill = pallas_cell_list_knn(
         pos, 4, 1.0, grid, with_codes=True, interpret=True
     )
-    cap_out = padded_cell_capacity(grid)
+    cap_out = codes_packing_cap(n, 4, grid)
     a = build_cellblock(pos, nbr, 1.0, spec, with_reverse=True)
     b = build_cellblock(
         pos, nbr, 1.0, spec, with_reverse=True,
-        neighbor_codes=codes, codes_cap=cap_out,
+        neighbor_codes=codes, codes_cap=cap_out, codes_spill=spill,
     )
     np.testing.assert_array_equal(np.asarray(a.s_table), np.asarray(b.s_table))
     np.testing.assert_array_equal(
@@ -322,7 +322,7 @@ def test_neighbor_codes_fused_forward(spec, n):
     path and the two-sweep codes path (with_reverse=True)."""
     from cosmology_gnn_simulation_tpu.ops.cell_list import CellGrid
     from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
-        padded_cell_capacity,
+        codes_packing_cap,
         pallas_cell_list_knn,
     )
 
@@ -331,17 +331,18 @@ def test_neighbor_codes_fused_forward(spec, n):
     g = spec.grid_size
     cap = max(8, int(np.ceil(n / g**3 * 4)))
     grid = CellGrid(grid_size=g, cell_capacity=cap)
-    nbr, codes = pallas_cell_list_knn(
+    nbr, codes, spill = pallas_cell_list_knn(
         pos, 4, 1.0, grid, with_codes=True, interpret=True
     )
-    cap_out = padded_cell_capacity(grid)
+    cap_out = codes_packing_cap(n, 4, grid)
     a = build_cellblock(pos, nbr, 1.0, spec)
     b = build_cellblock(
-        pos, None, 1.0, spec, neighbor_codes=codes, codes_cap=cap_out
+        pos, None, 1.0, spec, neighbor_codes=codes, codes_cap=cap_out,
+        codes_spill=spill,
     )
     c = build_cellblock(
         pos, nbr, 1.0, spec, with_reverse=True,
-        neighbor_codes=codes, codes_cap=cap_out,
+        neighbor_codes=codes, codes_cap=cap_out, codes_spill=spill,
     )
     np.testing.assert_array_equal(np.asarray(a.s_table), np.asarray(b.s_table))
     np.testing.assert_array_equal(np.asarray(b.s_table), np.asarray(c.s_table))

@@ -129,19 +129,72 @@ def test_codes_only_matches_with_codes(rng):
     n, k = 600, 6
     pos = jnp.asarray(rng.random((n, 3), np.float32))
     grid = choose_cell_grid(n, k)
-    ids, codes, (ovf, maxd, exc) = pallas_cell_list_knn(
+    ids, codes, spill, (ovf, maxd, exc) = pallas_cell_list_knn(
         pos, k, 1.0, grid, return_diagnostics=True, with_codes=True,
         interpret=True,
     )
-    ids2, codes2, (ovf2, maxd2, exc2) = pallas_cell_list_knn(
+    ids2, codes2, spill2, (ovf2, maxd2, exc2) = pallas_cell_list_knn(
         pos, k, 1.0, grid, return_diagnostics=True, codes_only=True,
         interpret=True,
     )
     assert ids2 is None
     np.testing.assert_array_equal(np.asarray(codes), np.asarray(codes2))
+    if spill is not None:
+        for x, y in zip(spill, spill2):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     assert float(maxd) == float(maxd2)
     assert float(exc) == float(exc2)
     assert int(ovf) == int(ovf2)
+
+
+def test_spill_codes_plan_matches_aux_plan(rng):
+    """Spill-block picks emit lane codes >= 27*cap; the cell-block plan
+    resolves them through the kernel's (spill_cells, spill_ranks) tables.
+    On a fixture that genuinely overflows a cell, the codes-built plans
+    (fused forward AND two-sweep reverse) must be bit-identical to the
+    aux-path plan built from the neighbor ids."""
+    from cosmology_gnn_simulation_tpu.ops.cellblock import (
+        CellBlockSpec,
+        build_cellblock,
+    )
+    from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
+        codes_packing_cap,
+    )
+
+    k = 8
+    bg = rng.uniform(0, 1, (2048, 3))
+    cram = 0.44 + 0.04 * rng.uniform(0, 1, (40, 3))  # one dense cell
+    pos = jnp.asarray(np.concatenate([bg, cram]), jnp.float32)
+    n = pos.shape[0]
+    grid = CellGrid(grid_size=8, cell_capacity=16)
+    ids, codes, spill, (ovf, _, exc) = pallas_cell_list_knn(
+        pos, k, 1.0, grid, return_diagnostics=True, with_codes=True,
+        interpret=True,
+    )
+    cap = codes_packing_cap(n, k, grid)
+    assert spill is not None
+    assert int(ovf) == 0 and float(exc) <= 0.0
+    # The fixture must actually exercise spill codes.
+    assert (np.asarray(codes) >= 27 * cap).any()
+
+    spec = CellBlockSpec(grid_size=8, col_capacity=96, query_block=32,
+                         window=128, wrap_cap=16)
+    a = build_cellblock(pos, ids, 1.0, spec, with_reverse=True)
+    b = build_cellblock(pos, None, 1.0, spec, neighbor_codes=codes,
+                        codes_cap=cap, codes_spill=spill)
+    c = build_cellblock(pos, ids, 1.0, spec, with_reverse=True,
+                        neighbor_codes=codes, codes_cap=cap,
+                        codes_spill=spill)
+    np.testing.assert_array_equal(np.asarray(a.s_table), np.asarray(b.s_table))
+    np.testing.assert_array_equal(np.asarray(a.s_table), np.asarray(c.s_table))
+    np.testing.assert_array_equal(
+        np.asarray(a.s_rev_table), np.asarray(c.s_rev_table)
+    )
+    for f in ("overflow", "dropped_edges", "window_overflow"):
+        assert int(getattr(a, f)) == int(getattr(b, f)) == int(
+            getattr(c, f)
+        ) == 0, f
+    assert int(c.reverse_mismatch) == 0
 
 
 def test_codes_only_plan_matches_ids_plan(rng):
@@ -151,7 +204,7 @@ def test_codes_only_plan_matches_ids_plan(rng):
         choose_cellblock_spec,
     )
     from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
-        padded_cell_capacity,
+        codes_packing_cap,
     )
 
     n, k = 600, 6
@@ -159,14 +212,14 @@ def test_codes_only_plan_matches_ids_plan(rng):
     grid = choose_cell_grid(n, k)
     spec = choose_cellblock_spec(n, k)
     assert spec.grid_size == grid.grid_size
-    ids, codes = pallas_cell_list_knn(
+    ids, codes, spill = pallas_cell_list_knn(
         pos, k, 1.0, grid, with_codes=True, interpret=True
     )
-    cap = padded_cell_capacity(grid)
+    cap = codes_packing_cap(n, k, grid)
     a = build_cellblock(pos, ids, 1.0, spec, neighbor_codes=codes,
-                        codes_cap=cap)
+                        codes_cap=cap, codes_spill=spill)
     b = build_cellblock(pos, None, 1.0, spec, neighbor_codes=codes,
-                        codes_cap=cap)
+                        codes_cap=cap, codes_spill=spill)
     np.testing.assert_array_equal(np.asarray(a.s_table), np.asarray(b.s_table))
     np.testing.assert_array_equal(
         np.asarray(a.window_starts), np.asarray(b.window_starts)
