@@ -671,13 +671,25 @@ def build_cellblock(
             aux = slot * g + jnp.where(ok, scz, 0)
             if sp_aux is not None:
                 # Spill codes (>= 27 * codes_cap, < sentinel) resolve
-                # through the precomputed spill aux table.
+                # through the precomputed spill aux table — selected by an
+                # exact integer one-hot broadcast (a per-edge jnp.take here
+                # is a pathological TPU elementwise gather: measured
+                # +13.8 ms/step at the flagship spec), gated by a real
+                # lax.cond (lax.map is a scan, not vmap): tiles without
+                # spill codes — ALL tiles on uniform data — skip it.
                 sp_idx = codes_t - 27 * codes_cap
                 is_sp = (sp_idx >= 0) & (sp_idx < spill_len)
-                aux_sp = jnp.take(
-                    sp_aux, jnp.clip(sp_idx, 0, spill_len - 1)
+
+                def _with_sp(aux):
+                    oh_sp = sp_idx[:, :, None] == jnp.arange(
+                        spill_len, dtype=jnp.int32
+                    )
+                    aux_sp = jnp.sum(jnp.where(oh_sp, sp_aux, 0), axis=2)
+                    return jnp.where(is_sp, aux_sp, aux)
+
+                aux = jax.lax.cond(
+                    jnp.any(is_sp), _with_sp, lambda a: a, aux
                 )
-                aux = jnp.where(is_sp, aux_sp, aux)
             return aux
 
         tile0 = min(_S_BUILD_TILE, num_slots)
@@ -827,28 +839,45 @@ def build_cellblock(
             if sp_aux is not None:
                 # Spill codes resolve through the precomputed aux table;
                 # their ring index j comes from the sender/query column
-                # delta (the generic tile's modular reconstruction).
+                # delta (the generic tile's modular reconstruction). The
+                # table select is an exact integer one-hot broadcast — a
+                # per-edge jnp.take here is a pathological TPU elementwise
+                # gather (measured +13.8 ms/step at the flagship spec) —
+                # gated by a real lax.cond (lax.map is a scan, not vmap):
+                # tiles without spill codes — ALL tiles on uniform data —
+                # skip the whole branch.
                 sp_idx = codes_t - 27 * codes_cap
                 is_sp = (sp_idx >= 0) & (sp_idx < spill_len)
-                aux_sp = jnp.take(
-                    sp_aux, jnp.clip(sp_idx, 0, spill_len - 1)
+
+                def _with_sp(state):
+                    r_s, s_cz, j, ok, _ = state
+                    oh_sp = sp_idx[:, :, None] == jnp.arange(
+                        spill_len, dtype=jnp.int32
+                    )
+                    aux_sp = jnp.sum(jnp.where(oh_sp, sp_aux, 0), axis=2)
+                    slot_sp = aux_sp // g
+                    real_sp = is_sp & (slot_sp < num_slots)
+                    col_sp = slot_sp // cc
+                    dxm = (col_sp // g - (col_t // g)[:, None] + 1 + g) % g
+                    dym = (col_sp % g - (col_t % g)[:, None] + 1 + g) % g
+                    in3_sp = real_sp & (dxm < 3) & (dym < 3)
+                    return (
+                        jnp.where(is_sp, slot_sp % cc, r_s),
+                        jnp.where(is_sp, aux_sp % g, s_cz),
+                        jnp.where(
+                            is_sp, jnp.where(in3_sp, dxm * 3 + dym, 9), j
+                        ),
+                        jnp.where(is_sp, in3_sp, ok),
+                        # Real spill senders outside the 3x3 ring
+                        # (uncertified regime only) cannot be represented —
+                        # count them like the aux path does.
+                        real_sp & ~in3_sp,
+                    )
+
+                r_s, s_cz, j, ok, sp_ring_drop = jax.lax.cond(
+                    jnp.any(is_sp), _with_sp, lambda s: s,
+                    (r_s, s_cz, j, ok, jnp.zeros_like(is_sp)),
                 )
-                slot_sp = aux_sp // g
-                real_sp = is_sp & (slot_sp < num_slots)
-                col_sp = slot_sp // cc
-                dxm = (col_sp // g - (col_t // g)[:, None] + 1 + g) % g
-                dym = (col_sp % g - (col_t % g)[:, None] + 1 + g) % g
-                in3_sp = real_sp & (dxm < 3) & (dym < 3)
-                r_s = jnp.where(is_sp, slot_sp % cc, r_s)
-                s_cz = jnp.where(is_sp, aux_sp % g, s_cz)
-                j = jnp.where(
-                    is_sp, jnp.where(in3_sp, dxm * 3 + dym, 9), j
-                )
-                ok = jnp.where(is_sp, in3_sp, ok)
-                # Real spill senders outside the 3x3 ring (uncertified
-                # regime only) cannot be represented — count them like the
-                # aux path does.
-                sp_ring_drop = real_sp & ~in3_sp
             oh_j = j[:, :, None] == jnp.arange(9, dtype=jnp.int32)
             sel = jnp.sum(
                 jnp.where(

@@ -620,69 +620,99 @@ def pallas_cell_list_knn(
         # OWN cell's already-materialized candidate row (the full 27-ring
         # plus the spill block — the identical set a table slot in that
         # cell scans), so the window-margin certificate applies unchanged.
-        # Tiny static shapes: [spill_cap, num_cand].
+        # Tiny static shapes: [spill_cap, num_cand]. The whole solve (row
+        # gathers + [spill_cap, num_cand] sort + scatters) rides a real
+        # lax.cond: frames with NO spilled particles — the typical case at
+        # the common-case capacity — skip it entirely (it measured ~1 ms
+        # per rollout step when unconditional).
         sp_pos = jnp.stack(
             [spill_planes["x"], spill_planes["y"], spill_planes["z"]],
             axis=1,
         )
-        spc = jnp.clip(
-            jnp.floor(sp_pos * (g / box)).astype(jnp.int32), 0, g - 1
-        )
-        sp_cell = (spc[:, 0] * g + spc[:, 1]) * g + spc[:, 2]
-        d2s = jnp.zeros((spill_cap, num_cand), jnp.float32)
-        for dim, cand in enumerate((cand_x, cand_y, cand_z)):
-            rows = cand[sp_cell]
-            # Min-image ALL lanes: min-image of a +-box pre-shifted
-            # displacement is the true periodic displacement, so this is
-            # exact for ring lanes and required for spill lanes.
-            dd = min_image_displacement(sp_pos[:, dim:dim + 1] - rows, box)
-            d2s = d2s + dd * dd
-        sp_ids = cand_ids[sp_cell]
-        d2s = jnp.where(sp_ids >= n, _BIG, d2s)
         spill_valid = spill_planes["ids"] != n
         sp_scatter = jnp.where(spill_valid, spill_planes["ids"], n)
-        if with_codes:
-            # The spilled query's candidate row is its own cell's — its
-            # picks' LANES are valid codes relative to its own cell, the
-            # same frame the plan-build decode expects.
-            lanes = jnp.broadcast_to(
-                jnp.arange(num_cand, dtype=jnp.int32)[None, :],
-                (spill_cap, num_cand),
+
+        def _spill_solve(carry):
+            out_c, codes_c = carry
+            spc = jnp.clip(
+                jnp.floor(sp_pos * (g / box)).astype(jnp.int32), 0, g - 1
             )
-            if codes_only:
-                # Lane-lexicographic tie-break, matching the codes kernel.
-                d2_sorted, lane_sorted = jax.lax.sort(
-                    (d2s, lanes), dimension=1, num_keys=2
+            sp_cell = (spc[:, 0] * g + spc[:, 1]) * g + spc[:, 2]
+            d2s = jnp.zeros((spill_cap, num_cand), jnp.float32)
+            for dim, cand in enumerate((cand_x, cand_y, cand_z)):
+                rows = cand[sp_cell]
+                # Min-image ALL lanes: min-image of a +-box pre-shifted
+                # displacement is the true periodic displacement, so this
+                # is exact for ring lanes and required for spill lanes.
+                dd = min_image_displacement(
+                    sp_pos[:, dim:dim + 1] - rows, box
                 )
-                ids_sorted = None
+                d2s = d2s + dd * dd
+            sp_ids = cand_ids[sp_cell]
+            d2s = jnp.where(sp_ids >= n, _BIG, d2s)
+            if with_codes:
+                # The spilled query's candidate row is its own cell's —
+                # its picks' LANES are valid codes relative to its own
+                # cell, the same frame the plan-build decode expects.
+                lanes = jnp.broadcast_to(
+                    jnp.arange(num_cand, dtype=jnp.int32)[None, :],
+                    (spill_cap, num_cand),
+                )
+                if codes_only:
+                    # Lane-lexicographic tie-break, matching the codes
+                    # kernel.
+                    d2_sorted, lane_sorted = jax.lax.sort(
+                        (d2s, lanes), dimension=1, num_keys=2
+                    )
+                    ids_sorted = None
+                else:
+                    # (d2, id) keys — min-id tie-break like the ids kernel
+                    # — with the lane riding as payload.
+                    d2_sorted, ids_sorted, lane_sorted = jax.lax.sort(
+                        (d2s, sp_ids, lanes), dimension=1, num_keys=2
+                    )
+                kth = d2_sorted[:, k - 1]
+                sp_miss = d2_sorted[:, :k] >= _BIG * 0.5
+                code_picks = jnp.where(
+                    sp_miss, lane_sorted[:, :1], lane_sorted[:, :k]
+                )
+                codes_c = codes_c.at[sp_scatter].set(
+                    code_picks, mode="drop"
+                )
+                if not codes_only:
+                    picks = jnp.where(sp_miss, ids_sorted[:, :1],
+                                      ids_sorted[:, :k])
+                    picks = jnp.where(picks == n, 0, picks)
+                    out_c = out_c.at[sp_scatter].set(picks, mode="drop")
             else:
-                # (d2, id) keys — min-id tie-break like the ids kernel —
-                # with the lane riding as payload.
-                d2_sorted, ids_sorted, lane_sorted = jax.lax.sort(
-                    (d2s, sp_ids, lanes), dimension=1, num_keys=2
+                # Exact (d2, id)-lexicographic ascending selection — the
+                # same min-id tie-break as the kernel.
+                d2_sorted, ids_sorted = jax.lax.sort(
+                    (d2s, sp_ids), dimension=1, num_keys=2
                 )
-            spill_kth = d2_sorted[:, k - 1]
-            sp_miss = d2_sorted[:, :k] >= _BIG * 0.5
-            code_picks = jnp.where(
-                sp_miss, lane_sorted[:, :1], lane_sorted[:, :k]
-            )
-            codes = codes.at[sp_scatter].set(code_picks, mode="drop")
-            if not codes_only:
-                picks = jnp.where(sp_miss, ids_sorted[:, :1],
-                                  ids_sorted[:, :k])
+                picks = ids_sorted[:, :k]
+                kth = d2_sorted[:, k - 1]
+                picks = jnp.where(picks == n, picks[:, :1], picks)
                 picks = jnp.where(picks == n, 0, picks)
-                out = out.at[sp_scatter].set(picks, mode="drop")
-        else:
-            # Exact (d2, id)-lexicographic ascending selection — the same
-            # min-id tie-break as the kernel.
-            d2_sorted, ids_sorted = jax.lax.sort(
-                (d2s, sp_ids), dimension=1, num_keys=2
-            )
-            picks = ids_sorted[:, :k]
-            spill_kth = d2_sorted[:, k - 1]
-            picks = jnp.where(picks == n, picks[:, :1], picks)
-            picks = jnp.where(picks == n, 0, picks)
-            out = out.at[sp_scatter].set(picks, mode="drop")
+                out_c = out_c.at[sp_scatter].set(picks, mode="drop")
+            return out_c, codes_c, kth
+
+        def _spill_skip(carry):
+            out_c, codes_c = carry
+            # spill_valid is all-False here, so every downstream consumer
+            # of spill_kth masks these zeros out.
+            return out_c, codes_c, jnp.zeros((spill_cap,), jnp.float32)
+
+        _dummy = jnp.zeros((1, 1), jnp.int32)
+        out_r, codes_r, spill_kth = jax.lax.cond(
+            jnp.any(spill_valid), _spill_solve, _spill_skip,
+            (out if out is not None else _dummy,
+             codes if codes is not None else _dummy),
+        )
+        if out is not None:
+            out = out_r
+        if codes is not None:
+            codes = codes_r
 
     extras = ()
     if with_codes:
