@@ -62,8 +62,23 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0,
                         help="Start-index sampling seed (the reference is "
                              "unseeded here; we default to deterministic)")
+    parser.add_argument("--aggregation", type=str, default="gather",
+                        choices=["gather", "cellblock", "cellblock_hybrid"],
+                        help="message-passing aggregation (same surface as "
+                             "render_rollout): 'gather' (default) or the "
+                             "selection-matrix MXU paths")
+    parser.add_argument("--reneighbor_every", type=int, default=1,
+                        help="accepted for flag parity with render_rollout; "
+                             "one-step evaluation performs exactly one "
+                             "neighbor search, so only 1 is valid")
     add_model_flags(parser)
     args = parser.parse_args(argv)
+    if args.reneighbor_every != 1:
+        parser.error(
+            "--reneighbor_every != 1 is meaningless for one-step "
+            "evaluation (each window performs exactly one neighbor "
+            "search); use render_rollout for neighbor reuse"
+        )
 
     with open(args.metadata_path) as f:
         metadata = json.load(f)
@@ -81,6 +96,7 @@ def main(argv=None):
         num_timesteps=args.num_timesteps,
         seed=args.seed,
         neighbor_method=args.neighbor_method,
+        aggregation=args.aggregation,
     )
 
     print("\n" + "=" * 50)

@@ -43,8 +43,12 @@ def validate_one_step(
     seed: Optional[int] = 0,
     dtype=None,
     neighbor_method: str = "auto",
+    aggregation: str = "gather",
 ) -> Dict:
-    """One-step position/temperature MSE over sampled start indices."""
+    """One-step position/temperature MSE over sampled start indices.
+
+    ``aggregation`` mirrors the rollout surface ("gather" / "cellblock" /
+    "cellblock_hybrid") so the two eval CLIs expose the same knobs."""
     coords = np.asarray(data["Coordinates"], dtype=np.float32)
     temps = np.asarray(data["InternalEnergy"], dtype=np.float32)
     if temps.ndim == 2:
@@ -78,6 +82,7 @@ def validate_one_step(
             num_neighbors=num_neighbors,
             dtype=dtype,
             neighbor_method=neighbor_method,
+            aggregation=aggregation,
         )
         next_pos = coords[start + window_size]
         next_temp = temps[start + window_size]

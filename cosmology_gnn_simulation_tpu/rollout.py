@@ -670,6 +670,8 @@ def _cellblock_rollout(
         "min_image_velocity",
         "dtype",
         "neighbor_method",
+        "aggregation",
+        "cellblock_spec",
     ),
 )
 def one_step_prediction(
@@ -683,6 +685,8 @@ def one_step_prediction(
     min_image_velocity: bool = False,
     dtype: Optional[jnp.dtype] = None,
     neighbor_method: str = "auto",
+    aggregation: str = "gather",
+    cellblock_spec=None,
 ):
     """Predict the next frame from a ``[W, N, ·]`` window
     (``one_step_test.py:67-105`` semantics, fully jitted).
@@ -690,7 +694,23 @@ def one_step_prediction(
     Note the reference integrates from the **raw input** window (pre-noise,
     pre-wrap positions), not from the featurized ones (``one_step_test.py:95``)
     — with ``noise_std=0`` and wrapped data these coincide.
+
+    ``aggregation``: same surface as :func:`rollout` — ``"gather"``
+    (default), ``"cellblock"`` or ``"cellblock_hybrid"`` (selection-matrix
+    MXU aggregation; requires the pruned sender-latents model). Predictions
+    are returned in the input particle order regardless of mode.
     """
+    if aggregation not in ("gather", "cellblock", "cellblock_hybrid"):
+        raise ValueError(f"unknown aggregation: {aggregation}")
+    if aggregation != "gather":
+        return _cellblock_one_step(
+            params, model_config,
+            position_seq.astype(jnp.float32),
+            temperature_seq.astype(jnp.float32),
+            stats, num_neighbors, min_image_velocity, dtype,
+            neighbor_method, cellblock_spec,
+            "hybrid" if aggregation == "cellblock_hybrid" else "slots",
+        )
     graph = featurize(
         position_seq,
         temperature_seq,
@@ -713,3 +733,62 @@ def one_step_prediction(
         min_image_velocity=min_image_velocity,
     )
     return new_position, new_temperature
+
+
+def _cellblock_one_step(
+    params, model_config, position_seq, temperature_seq, stats, k,
+    min_image_velocity, dtype, method, spec, cellblock_mode,
+):
+    """One-step prediction through the cell-block aggregation path.
+
+    Mirrors ``_cellblock_rollout``'s re-neighboring round for a single
+    step: sort by the plan order, predict on sorted rows, emit the new
+    frame in ORIGINAL particle order. Semantics match the gather path
+    exactly (same neighbor sets — certified by the plan diagnostics);
+    used by the one-step eval CLI's ``--aggregation`` flag.
+    """
+    from cosmology_gnn_simulation_tpu.ops.cell_list import choose_cell_grid
+    from cosmology_gnn_simulation_tpu.ops.cellblock import (
+        build_cellblock,
+        choose_cellblock_spec,
+    )
+
+    n = position_seq.shape[1]
+    box = stats.box_size
+    if spec is None:
+        spec = choose_cellblock_spec(n, k)
+    s_build = "kernel" if jax.default_backend() == "tpu" else "contract"
+    codes_ok = choose_cell_grid(n, k).grid_size == spec.grid_size
+    wrapped = wrap_positions(position_seq[-1], box)
+    neighbors, codes, codes_cap, spill, _exact = neighbor_search_certified(
+        wrapped, k, box, method=method, with_codes=True, codes_only=codes_ok,
+    )
+    if codes is not None and not codes_ok:
+        codes = codes_cap = spill = None
+    plan = build_cellblock(
+        wrapped, neighbors, box, spec, s_build=s_build,
+        neighbor_codes=codes, codes_cap=codes_cap, codes_spill=spill,
+    )
+    pos_w = _permute_window(position_seq, plan.order)
+    temp_w = _permute_window(temperature_seq, plan.order)
+    graph = featurize(
+        pos_w, temp_w, stats, jax.random.PRNGKey(0), noise_std=0.0,
+        num_neighbors=k, neighbor_method=method,
+        neighbors=jnp.zeros((n, k), jnp.int32), build_edges=False,
+    )
+    graph = graph._replace(cellblock=plan)
+    acceleration, temp_rate = _predict_physical(
+        params, graph, model_config, stats, dtype, cellblock_spec=spec,
+        cellblock_mode=cellblock_mode,
+    )
+    new_pos, new_temp = integrate_step(
+        pos_w[-1], pos_w[-2], temp_w[-1], acceleration, temp_rate, stats,
+        min_image_velocity=min_image_velocity,
+    )
+    # Back to the caller's particle order (inverse of plan.order).
+    inv = (
+        jnp.zeros((n,), jnp.int32)
+        .at[plan.order]
+        .set(jnp.arange(n, dtype=jnp.int32))
+    )
+    return jnp.take(new_pos, inv, axis=0), jnp.take(new_temp, inv, axis=0)

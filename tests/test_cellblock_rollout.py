@@ -131,3 +131,26 @@ def test_cellblock_hybrid_matches_slots_mode():
         np.asarray(hybrid["Coordinates"]), np.asarray(slots["Coordinates"]),
         rtol=0, atol=1e-5,
     )
+
+
+def test_one_step_prediction_cellblock_matches_gather():
+    """one_step_prediction --aggregation parity (CLI flag symmetry): the
+    cell-block one-step path returns the gather path's prediction in the
+    original particle order."""
+    from cosmology_gnn_simulation_tpu.rollout import one_step_prediction
+
+    params, mc, pos, temp, stats = _setup()
+    base_p, base_t = one_step_prediction(
+        params, mc, pos, temp, stats, num_neighbors=8
+    )
+    for mode in ("cellblock", "cellblock_hybrid"):
+        cb_p, cb_t = one_step_prediction(
+            params, mc, pos, temp, stats, num_neighbors=8,
+            aggregation=mode, cellblock_spec=SPEC,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cb_p), np.asarray(base_p), rtol=0, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(cb_t), np.asarray(base_t), rtol=0, atol=1e-5
+        )
