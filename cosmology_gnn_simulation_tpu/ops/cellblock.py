@@ -80,13 +80,23 @@ class CellBlockSpec(NamedTuple):
     """Static cell-block configuration (python ints — part of the jit key).
 
     Attributes:
-      grid_size:    G — cells per box edge (G^2 columns, G z-cells each).
+      grid_size:    G — cells per box edge (G^2 columns, G z-cells each on
+                    the default cubic grid).
       col_capacity: CC — slot rows per column (multiple of ``query_block``).
       query_block:  QB — query rows per kernel grid step.
       window:       W — candidate rows per neighbor column per tile
                     (the matmul K-dim contribution of one column).
       wrap_cap:     max rows copied per z-wrap segment (first/last cell).
       h_block:      latent tile per kernel pass (min(h_block, H) used).
+      grid_x:       x-cells when the grid is NOT cubic (0 = cubic =
+                    ``grid_size``). Used by the halo composition: each
+                    shard's plan covers its extended slab of
+                    ``slab_layers + 2*halo_layers`` x-layers over the full
+                    ``grid_size x grid_size`` (y, z) cross-section.
+      periodic_x:   x-ring wrap. False for halo slabs (queries never sit in
+                    the outermost halo layers, so the +-1 x-neighborhood
+                    never leaves the local grid; the ring index uses a
+                    plain difference instead of a modular one).
     """
 
     grid_size: int
@@ -95,10 +105,16 @@ class CellBlockSpec(NamedTuple):
     window: int
     wrap_cap: int
     h_block: int = 256
+    grid_x: int = 0
+    periodic_x: bool = True
+
+    @property
+    def gx(self) -> int:
+        return self.grid_x or self.grid_size
 
     @property
     def num_columns(self) -> int:
-        return self.grid_size**2
+        return self.gx * self.grid_size
 
     @property
     def tiles_per_col(self) -> int:
@@ -138,6 +154,10 @@ class CellBlockSpec(NamedTuple):
                             self.query_block, self.window, self.wrap_cap)
         if g < 3:
             raise ValueError(f"grid_size {g} must be >= 3")
+        if self.gx < 3:
+            raise ValueError(f"grid_x {self.gx} must be >= 3")
+        if not self.periodic_x and self.grid_x == 0:
+            raise ValueError("periodic_x=False requires an explicit grid_x")
         if cc % qb:
             raise ValueError(f"col_capacity {cc} not a multiple of "
                              f"query_block {qb}")
@@ -188,6 +208,18 @@ def choose_cellblock_spec(
         g = max(3, int(round((num_particles / 24.0) ** (1.0 / 3.0))))
     mean_col = num_particles / g**2
     mean_cell = num_particles / g**3
+    return _plan_spec(g, mean_col, mean_cell, h_block, query_block)
+
+
+def _plan_spec(
+    g, mean_col, mean_cell, h_block, query_block,
+    num_columns=None, grid_x=0, periodic_x=True,
+):
+    """Capacity planning shared by the cubic and halo-slab choosers:
+    CC covers the per-column Poisson tail, W a QB tile's z-extent plus one
+    cell each side with 5-sigma margin."""
+    if num_columns is None:
+        num_columns = g * g
     wrap = _round_up(mean_cell + 6.0 * np.sqrt(mean_cell) + 4.0, 16)
 
     def plan(qb):
@@ -212,15 +244,44 @@ def choose_cellblock_spec(
         best = None
         for qb_c in range(32, 257, 32):
             cc_c, w_c = plan(qb_c)
-            s_bytes = g * g * cc_c * 9 * w_c
-            win_bytes = g * g * (cc_c // qb_c) * 9 * w_c * h_block * 2
+            s_bytes = num_columns * cc_c * 9 * w_c
+            win_bytes = num_columns * (cc_c // qb_c) * 9 * w_c * h_block * 2
             score = (s_bytes + win_bytes, -qb_c)
             if best is None or score < best[0]:
                 best = (score, qb_c, cc_c, w_c)
         _, qb, cc, w = best
     return CellBlockSpec(
         grid_size=g, col_capacity=cc, query_block=qb, window=w,
-        wrap_cap=wrap, h_block=h_block,
+        wrap_cap=wrap, h_block=h_block, grid_x=grid_x,
+        periodic_x=periodic_x,
+    )
+
+
+def choose_cellblock_spec_halo(
+    num_particles: int,
+    grid_size: int,
+    slab_layers: int,
+    halo_layers: int,
+    num_shards: int,
+    *,
+    h_block: int = 256,
+    query_block: Optional[int] = None,
+) -> CellBlockSpec:
+    """Spec for one halo shard's LOCAL plan: an open (non-periodic) slab of
+    ``slab_layers + 2*halo_layers`` x-layers over the full periodic
+    ``grid_size x grid_size`` (y, z) cross-section, cell edge equal to the
+    halo decomposition's (``parallel/halo.py``) so both exactness
+    certificates share the same geometry. ``num_particles`` is the GLOBAL
+    particle count; capacities assume ~uniform occupancy (clustered data
+    trips the plan's loud overflow/dropped diagnostics, like everywhere
+    else)."""
+    g = grid_size
+    gxl = slab_layers + 2 * halo_layers
+    mean_cell = num_particles / g**3
+    mean_col = mean_cell * g  # one (x, y) column spans all G z-cells
+    return _plan_spec(
+        g, mean_col, mean_cell, h_block, query_block,
+        num_columns=gxl * g, grid_x=gxl, periodic_x=False,
     )
 
 
@@ -313,8 +374,15 @@ def _s_from_offsets(offsets, spec, interpret):
                           constant_values=width)
     tiles = (num_slots + pad) // rows
 
+    # int16 offsets (the fused decode path) halve the decode->accumulate
+    # transfer traffic, but ALL in-kernel vector arithmetic must run in
+    # int32: the v5e backend compile rejects both a native 16-bit iota
+    # ("16-bit iota not supported by hardware") and i16 vector compares
+    # ("Target does not support this comparison") — round-4 probes. Upcast
+    # on read; the compare/accumulate sweep is i32 either way.
+
     def kernel(off_ref, s_ref):
-        offs = off_ref[...]
+        offs = off_ref[...].astype(jnp.int32)
         lanes = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
         acc = jnp.zeros((rows, width), jnp.int32)
         for kk in range(k):
@@ -330,6 +398,146 @@ def _s_from_offsets(offsets, spec, interpret):
         interpret=interpret,
     )(offsets)
     return out[:num_slots]
+
+
+# Slots per lane-block of the transposed decode kernel.
+_DECODE_LANES = 512
+
+
+def _s_from_codes_fused(packed_aux_t, spec, k, cap, interpret):
+    """Fused codes->S build (round 4): a TRANSPOSED Pallas decode kernel
+    (slots on LANES, the k codes + per-slot tables on SUBLANES — every op
+    runs on full ``[16, 512]``-class tiles) turns pre-normalized candidate
+    codes into packed S-lane offsets, which the existing one-hot
+    ``_s_from_offsets`` kernel accumulates into int8 rows. Replaces the XLA
+    ``lax.map`` decode whose elementwise one-hot transients cost ~5 ms of
+    the 6.7 ms flagship plan build (plan_parts_r3.json,
+    step_decomp_r3.json). A first, row-major in-kernel decode measured
+    SLOWER than the lax.map (31.6 vs 29.3 ms/step in-rollout): ``[R, k]``
+    ops use k/128 of each vector register — orientation, not fusion, was
+    the bottleneck.
+
+    ``packed_aux_t`` is ``[k + 73 (sublane-padded), num_slots]`` int32 with
+    sublane rows ``[codes(k) | s27(27) | const(45) | qz(1)]``. Codes are
+    PRE-NORMALIZED by the XLA-side spill pass: ring picks stay
+    ``j27 * cap + rank``; resolved spill senders arrive as
+    ``27*cap + jring*(cc*g) + r_s*g + s_cz``; real-but-out-of-ring spill
+    senders as ``DROP_MARK``; everything else (sentinels, unused spill
+    slots) at or above ``INVALID`` — the kernel needs no spill tables and
+    no data-dependent control flow.
+
+    Returns ``(s_table [num_slots, 9W] int8, dropped scalar int32)``.
+    Bit-identical to the ``contract``/``lax.map`` paths (pinned by
+    tests/test_cellblock.py)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    g, cc, w_cap = spec.grid_size, spec.col_capacity, spec.window
+    num_slots, width = spec.num_slots, spec.s_width
+    res_base = 27 * cap
+    ccg = cc * g
+    drop_mark = res_base + 9 * ccg
+    drop_sent = width + 1  # _s_from_offsets ignores every lane >= width
+    rows_in = packed_aux_t.shape[0]
+    lanes_blk = _DECODE_LANES
+    pad = (-num_slots) % lanes_blk
+    if pad:
+        # Padding lanes decode garbage offsets; they are sliced off before
+        # the accumulate and before the dropped count.
+        packed_aux_t = jnp.pad(packed_aux_t, ((0, 0), (0, pad)))
+    blocks = (num_slots + pad) // lanes_blk
+
+    def kernel(aux_ref, out_ref):
+        aux = aux_ref[...]
+        codes = aux[:k, :]  # [k, L]
+        s27 = aux[k:k + 27, :]
+        const = aux[k + 27:k + 72, :]
+        qz = aux[k + 72:k + 73, :]  # [1, L] — broadcasts along sublanes
+        is_res = codes >= res_base
+        # Ring decode: j27 * cap + rank; sender column rank = (compact
+        # start of its cell within the column) + in-cell rank.
+        cr = jnp.where(is_res, 0, codes)
+        j27 = cr // cap
+        rank = cr - j27 * cap
+        start = jnp.zeros((k, lanes_blk), jnp.int32)
+        for j in range(27):
+            start = start + jnp.where(j27 == j, s27[j:j + 1, :], 0)
+        r_ring = start + rank
+        cz_ring = (qz + (j27 % 3) - 1 + g) % g
+        j_ring = (j27 // 9) * 3 + (j27 // 3) % 3
+        ok_ring = r_ring < cc
+        # Resolved-spill decode (pure arithmetic by construction).
+        v = jnp.where(is_res, codes - res_base, 0)
+        jr2 = v // ccg
+        rem = v - jr2 * ccg
+        r2 = rem // g
+        cz2 = rem - r2 * g
+        ok2 = jr2 < 9  # DROP_MARK/INVALID give jr2 >= 9
+        is_drop = codes == drop_mark
+        r_s = jnp.where(is_res, r2, r_ring)
+        s_cz = jnp.where(is_res, cz2, cz_ring)
+        jring = jnp.where(is_res, jnp.where(ok2, jr2, 9), j_ring)
+        # Boolean select via logical ops: Mosaic cannot lower a vector
+        # where() on i1 operands ("unsupported target bitwidth for
+        # truncation" at backend compile).
+        ok = (is_res & ok2) | (~is_res & ok_ring)
+        # Per-(tile, j) constant select: [w_loc, cp, m, ca, cg1] at j*5+i.
+        sel = [jnp.zeros((k, lanes_blk), jnp.int32) for _ in range(5)]
+        for j in range(9):
+            mj = jring == j
+            for i in range(5):
+                sel[i] = sel[i] + jnp.where(
+                    mj, const[j * 5 + i:j * 5 + i + 1, :], 0
+                )
+        w_s, cp_s, m_s, ca_s, cg1_s = sel
+        rel_main = cp_s + r_s - w_s
+        ok_main = ok & (rel_main >= 0) & (rel_main < w_cap)
+        rank_pre = r_s - cg1_s
+        rel_pre = rank_pre - w_s
+        ok_pre = (
+            ok & (s_cz == g - 1) & (rank_pre < cp_s)
+            & (rel_pre >= 0) & (rel_pre < w_cap)
+        )
+        rel_app = cp_s + m_s + r_s - w_s
+        ok_app = (
+            ok & (s_cz == 0) & (r_s < ca_s)
+            & (rel_app >= 0) & (rel_app < w_cap)
+        )
+        use_pre = ok_pre & ~ok_main
+        off = jnp.where(
+            ok_main, rel_main, jnp.where(use_pre, rel_pre, rel_app)
+        )
+        valid = ok_main | ok_pre | ok_app
+        dropped_e = (ok & ~valid) | is_drop
+        # Dropped edges carry a distinct sentinel so the XLA side can count
+        # them from the offsets array; both sentinels sit outside the
+        # accumulate's [0, width) compare range. int16 output when the lane
+        # space fits: halves the transpose-back traffic and doubles the
+        # one-hot accumulate's lane throughput.
+        out = jnp.where(
+            valid, jring * w_cap + off,
+            jnp.where(dropped_e, drop_sent, width),
+        )
+        if krows != k:
+            # Sublane-pad the output to the dtype tile (padding rows carry
+            # the inert `width` sentinel; sliced off below).
+            out = jnp.pad(
+                out, ((0, krows - k), (0, 0)), constant_values=width
+            )
+        out_ref[...] = out.astype(out_dtype)
+
+    out_dtype = jnp.int16 if width + 2 < 2**15 else jnp.int32
+    krows = _round_up(k, 16 if out_dtype == jnp.int16 else 8)
+    lanes_t = pl.pallas_call(
+        kernel,
+        grid=(blocks,),
+        in_specs=[pl.BlockSpec((rows_in, lanes_blk), lambda t: (0, t))],
+        out_specs=pl.BlockSpec((krows, lanes_blk), lambda t: (0, t)),
+        out_shape=jax.ShapeDtypeStruct((krows, num_slots + pad), out_dtype),
+        interpret=interpret,
+    )(packed_aux_t)
+    offsets = lanes_t[:k, :num_slots].T  # [num_slots, k]
+    dropped = jnp.sum(offsets == drop_sent).astype(jnp.int32)
+    return _s_from_offsets(offsets, spec, interpret), dropped
 
 
 def _onehot_contract(jh, lo, valid, n_jh, n_lo):
@@ -368,6 +576,7 @@ def build_cellblock(
     codes_cap: Optional[int] = None,
     codes_spill: Optional[tuple] = None,
     interpret: Optional[bool] = None,
+    valid: Optional[jnp.ndarray] = None,
 ) -> CellBlockGraph:
     """Build the per-graph plan: binning, sort order, windows, S table(s).
 
@@ -408,9 +617,27 @@ def build_cellblock(
     ``>= 27 * codes_cap`` index this block; each resolves to the spilled
     particle's cell and in-cell stable-sort rank, from which its sender
     slot is derived exactly like a ring code's (the sorts share the key).
+
+    ``valid``: optional ``[N]`` bool — rows marked False (padding slots of
+    a halo shard's candidate buffer) are binned past every real cell: they
+    occupy no slot, appear in no window, and are excluded from the
+    ``overflow`` count. Senders listed in ``neighbors`` must be valid rows.
+
+    Non-cubic grids (``spec.grid_x``): ``box_size`` may be a per-dimension
+    ``[3]`` extent; positions must already live in the LOCAL frame
+    ``[0, box_size_d)`` per dimension. ``periodic_x=False`` (halo slabs)
+    requires every QUERY (= row with real neighbor entries) to sit at
+    least one x-layer inside the grid. The codes path requires the default
+    cubic periodic grid.
     """
     if s_build == "auto":
         s_build = "kernel" if jax.default_backend() == "tpu" else "contract"
+    # "kernel_map": the round-3 kernel path (XLA lax.map decode +
+    # _s_from_offsets) without the round-4 fused decode kernel — kept as a
+    # measured A/B reference and fallback.
+    force_map = s_build == "kernel_map"
+    if force_map:
+        s_build = "kernel"
     if s_build not in ("contract", "kernel"):
         raise ValueError(f"unknown s_build mode: {s_build}")
     if (neighbor_codes is None) != (codes_cap is None):
@@ -419,11 +646,13 @@ def build_cellblock(
         raise ValueError("neighbors=None requires neighbor_codes")
     spec.validate()
     g = spec.grid_size
+    gxd = spec.gx  # x-cells (== g on the default cubic grid)
     cc, qb, w_cap, wrap = (spec.col_capacity, spec.query_block,
                            spec.window, spec.wrap_cap)
     tpc, ccp = spec.tiles_per_col, spec.padded_col
     num_cols, num_slots = spec.num_columns, spec.num_slots
     num_tiles = spec.num_tiles
+    num_cells = num_cols * g
     n = positions.shape[0]
     k = (neighbors if neighbors is not None else neighbor_codes).shape[1]
     if k > 127:
@@ -431,14 +660,28 @@ def build_cellblock(
             f"k={k} exceeds 127 — S-table entries are int8 multiplicity "
             "counts (an all-duplicate row could overflow)"
         )
+    if neighbor_codes is not None and (spec.grid_x or not spec.periodic_x):
+        raise ValueError(
+            "the codes path requires the default cubic periodic grid "
+            "(the kNN kernel's 27-roll candidate layout is cubic)"
+        )
 
-    inv_cell = g / jnp.asarray(box_size, positions.dtype)
+    grid_dims = jnp.asarray([gxd, g, g], jnp.float32)
+    inv_cell = grid_dims / jnp.asarray(
+        box_size, positions.dtype
+    ).astype(jnp.float32)
     coords = jnp.clip(
-        jnp.floor(positions * inv_cell).astype(jnp.int32), 0, g - 1
+        jnp.floor(positions * inv_cell).astype(jnp.int32),
+        0,
+        jnp.asarray([gxd - 1, g - 1, g - 1], jnp.int32),
     )
     col_id = coords[:, 0] * g + coords[:, 1]
     cz = coords[:, 2]
     cell_id = col_id * g + cz
+    if valid is not None:
+        # Invalid rows bin past every real cell: no slot, no window rows,
+        # no overflow contribution.
+        cell_id = jnp.where(valid, cell_id, num_cells)
 
     # One sort network carries the index payload; a separate
     # cell_id[order] permutation would be an elementwise gather (slow here).
@@ -450,17 +693,27 @@ def build_cellblock(
 
     # Per-cell / per-column boundaries of the sorted stream (scatter +
     # suffix-min; searchsorted's binary search / method="sort" are both
-    # slower on this backend — see ops/binning.py:bucket_boundaries).
-    gstart = bucket_boundaries(sorted_cell, g**3)  # [G^3 + 1]
-    col_start = gstart[:: g]  # [G^2 + 1] (gstart[c*G] == column start)
+    # slower on this backend — see ops/binning.py:bucket_boundaries). With
+    # a validity mask the invalid rows form one extra trailing bucket,
+    # sliced off here (gstart[num_cells] is then the valid-row count).
+    if valid is None:
+        gstart = bucket_boundaries(sorted_cell, num_cells)  # [cells + 1]
+    else:
+        gstart = bucket_boundaries(sorted_cell, num_cells + 1)[
+            : num_cells + 1
+        ]
+    col_start = gstart[:: g]  # [cols + 1] (gstart[c*G] == column start)
     counts = (gstart[1:] - gstart[:-1]).reshape(num_cols, g)
     col_cnt = col_start[1:] - col_start[:-1]
 
     # Compact per-column rank (z-ordered) and the slot table maps.
-    r = jnp.arange(n, dtype=jnp.int32) - jnp.take(col_start, sorted_col)
-    q_ok = r < cc
+    real_row = sorted_col < num_cols  # False only for invalid rows
+    r = jnp.arange(n, dtype=jnp.int32) - jnp.take(
+        col_start, jnp.minimum(sorted_col, num_cols)
+    )
+    q_ok = real_row & (r < cc)
     slot_of_sorted = jnp.where(q_ok, sorted_col * cc + r, num_slots)
-    overflow = jnp.sum(~q_ok).astype(jnp.int32)
+    overflow = jnp.sum(real_row & (r >= cc)).astype(jnp.int32)
     if neighbor_codes is None:
         # Only the aux path needs the inverse permutation; the codes path
         # decodes sender slots arithmetically.
@@ -525,13 +778,20 @@ def build_cellblock(
     z_lo = jnp.where(has_rows, z_lo, 0)
     z_hi = jnp.where(has_rows, z_hi, 0)
 
-    # Neighbor columns of each tile (3x3 periodic ring) and their windows.
-    gx = tile_col // g
-    gy = tile_col % g
+    # Neighbor columns of each tile (3x3 ring; x open on halo slabs —
+    # edge-column clamps are never referenced by a real edge because
+    # queries sit at least one layer inside).
+    gx_t = tile_col // g
+    gy_t = tile_col % g
     dxy = jnp.arange(9, dtype=jnp.int32)
+    if spec.periodic_x:
+        colx_j = (gx_t[:, None] + dxy[None, :] // 3 - 1) % gxd
+    else:
+        colx_j = jnp.clip(
+            gx_t[:, None] + dxy[None, :] // 3 - 1, 0, gxd - 1
+        )
     col_j = (
-        ((gx[:, None] + dxy[None, :] // 3 - 1) % g) * g
-        + (gy[:, None] + dxy[None, :] % 3 - 1) % g
+        colx_j * g + (gy_t[:, None] + dxy[None, :] % 3 - 1) % g
     )  # [num_tiles, 9]
     cp_j = jnp.take(c_pre, col_j)
     m_j = jnp.take(m, col_j)
@@ -594,10 +854,6 @@ def build_cellblock(
         # the spill block (27 * codes_cap itself is a real spill code when
         # the spill block is active).
         code_sentinel = 27 * codes_cap + spill_len
-        codes_ext = jnp.concatenate(
-            [neighbor_codes.astype(jnp.int32),
-             jnp.full((1, k), code_sentinel, jnp.int32)]
-        )
         sp_aux = None
         if spill_len:
             # Per spill candidate: packed sender aux (slot * G + cz), the
@@ -612,14 +868,28 @@ def build_cellblock(
             sp_rs = sp_start + sp_ranks_t
             sp_slot = jnp.where(sp_rs < cc, sp_col * cc + sp_rs, num_slots)
             sp_aux = sp_slot * g + jnp.where(sp_rs < cc, sp_cz, 0)
-        order_ext = jnp.concatenate(
-            [order, jnp.full((1,), n, jnp.int32)]
+        # Per-slot codes by ROW SCATTER through each particle's slot id —
+        # table scatters are fast on this backend, while the previous
+        # two-level gather (order[particle_of_slot] -> codes row gather)
+        # cost ~2.4 ms of the 6.4 ms flagship plan (planparts_r4.json).
+        # Slotless rows (column overflow) all write the discarded row
+        # num_slots; empty slots keep the sentinel fill.
+        _, slot_of_particle_codes = jax.lax.sort_key_val(
+            order, slot_of_sorted
         )
-        orig_of_slot = jnp.take(
-            order_ext, particle_of_slot, mode="clip"
+        # Slotless particles get unique out-of-range indices (dropped) so
+        # unique_indices holds exactly (the bucket_boundaries pattern).
+        p_iota = jnp.arange(n, dtype=jnp.int32)
+        slot_idx = jnp.where(
+            slot_of_particle_codes < num_slots,
+            slot_of_particle_codes,
+            num_slots + p_iota,
         )
-        codes_slots = jnp.take(
-            codes_ext, orig_of_slot, axis=0, mode="clip"
+        codes_slots = (
+            jnp.full((num_slots, k), code_sentinel, jnp.int32)
+            .at[slot_idx]
+            .set(neighbor_codes.astype(jnp.int32), mode="drop",
+                 unique_indices=True)
         )  # [num_slots, k]
         # Clipped compact starts of each cell's 27 neighbors (periodic
         # rolls of the [G, G, G] start table — no gathers).
@@ -633,9 +903,18 @@ def build_cellblock(
             ],
             axis=-1,
         ).reshape(g**3, 27)
-        qz_slot = jnp.take(
-            jnp.concatenate([sorted_cz, jnp.zeros((1,), jnp.int32)]),
-            particle_of_slot, mode="clip",
+        # Per-slot query z-cell by the same scatter pattern — but in SORTED
+        # order (sorted_cz rows pair with slot_of_sorted, not slot_idx):
+        # the previous elementwise take through particle_of_slot is a
+        # pathological 92k-element gather on this backend. Empty slots keep
+        # 0, matching the old clip-take semantics.
+        slot_idx_sorted = jnp.where(
+            slot_of_sorted < num_slots, slot_of_sorted, num_slots + p_iota
+        )
+        qz_slot = (
+            jnp.zeros((num_slots,), jnp.int32)
+            .at[slot_idx_sorted]
+            .set(sorted_cz, mode="drop", unique_indices=True)
         )
         slot_ids0 = jnp.arange(num_slots, dtype=jnp.int32)
         col_q_slot = slot_ids0 // cc
@@ -710,12 +989,19 @@ def build_cellblock(
     elif neighbor_codes is None:
         # Packed sender aux (slot * G + cz) in original particle order,
         # then the one unavoidable big elementwise gather through the
-        # neighbor table.
+        # neighbor table. Neighbor entries >= N are no-edge sentinels
+        # (halo shards pad candidate rows without neighbor lists): the
+        # appended sentinel aux row decodes to "no sender".
         aux = slot_of_particle * g + jnp.where(
             slot_of_particle < num_slots, cz, 0
         )
+        aux_ext = jnp.concatenate(
+            [aux, jnp.full((1,), num_slots * g, aux.dtype)]
+        )
         nbr_aux = jnp.take(
-            jnp.take(aux, neighbors.reshape(-1), mode="clip").reshape(n, k),
+            jnp.take(
+                aux_ext, neighbors.reshape(-1), mode="clip"
+            ).reshape(n, k),
             order, axis=0,
         )  # [N(sorted rows), k]
 
@@ -732,15 +1018,16 @@ def build_cellblock(
         )  # [num_slots, k]
     occupied = particle_of_slot < n
     slot_ids = jnp.arange(num_slots, dtype=jnp.int32)
-    # Per-(tile, j) constants, one row gather of a packed [num_tiles, 45]
-    # table per slot row (tile of slot row is pure arithmetic: tiles are
-    # slot-aligned).
+    # Per-(tile, j) constants, replicated QB-fold to slot rows by a pure
+    # broadcast-reshape (tiles are slot-aligned: num_tiles * QB ==
+    # num_slots) — a take() here is a 92k-row expansion gather for data
+    # XLA can materialize with no gather at all.
     const = jnp.stack([w_loc, cp_j, m_j, ca_j, cg1_j], axis=2).astype(
         jnp.int32
     )  # [num_tiles, 9, 5]
-    const_rows = jnp.take(
-        const.reshape(num_tiles, 45), slot_ids // qb, axis=0
-    )  # [num_slots, 45]
+    const_rows = jnp.broadcast_to(
+        const.reshape(num_tiles, 1, 45), (num_tiles, qb, 45)
+    ).reshape(num_slots, 45)  # [num_slots, 45]
 
     lo_w = min(_LANE, w_cap)
     hi_w = w_cap // lo_w
@@ -756,9 +1043,12 @@ def build_cellblock(
         real = s_slot < num_slots
         col_s = s_slot // cc
         r_s = s_slot % cc
-        dx = (col_s // g - gxq_t[:, None] + 1 + g) % g
+        if spec.periodic_x:
+            dx = (col_s // g - gxq_t[:, None] + 1 + gxd) % gxd
+        else:
+            dx = col_s // g - gxq_t[:, None] + 1
         dy = (col_s % g - gyq_t[:, None] + 1 + g) % g
-        in3 = (dx < 3) & (dy < 3) & real
+        in3 = (dx >= 0) & (dx < 3) & (dy < 3) & real
         j = jnp.where(in3, dx * 3 + dy, 9)
         oh_j = j[:, :, None] == jnp.arange(9, dtype=jnp.int32)  # [rows, k, 9]
         # Select the 5 per-(tile, j) constants via the j one-hot in EXACT
@@ -809,6 +1099,90 @@ def build_cellblock(
         )
         return s, dropped
 
+    # Round 4: the codes-path S build moves ENTIRELY into one Pallas pass
+    # (_s_from_codes_fused) when the packed aux row fits one lane tile —
+    # the XLA lax.map decode below (one-hot 27-select + 9x5 const select
+    # per edge) was ~5 ms of the 6.7 ms flagship plan build. Spill codes
+    # are pre-normalized here (rare path, gated by a real lax.cond) into a
+    # self-describing packing the kernel decodes arithmetically.
+    use_fused_kernel = fuse_codes and s_build == "kernel" and not force_map
+    if use_fused_kernel:
+        res_base = 27 * codes_cap
+        ccg = cc * g
+        drop_mark = res_base + 9 * ccg
+        invalid = drop_mark + 1
+
+        def _invalidate(codes):
+            # No live spill codes: everything at/above the ring range is a
+            # sentinel (or an unused spill lane) — never a real edge.
+            return jnp.where(codes >= res_base, invalid, codes)
+
+        if sp_aux is not None:
+
+            def _resolve_tile(args):
+                codes_t, gxq_t, gyq_t = args
+                sp_idx = codes_t - res_base
+                is_sp = (sp_idx >= 0) & (sp_idx < spill_len)
+                oh = sp_idx[:, :, None] == jnp.arange(
+                    spill_len, dtype=jnp.int32
+                )
+                aux_sp = jnp.sum(jnp.where(oh, sp_aux, 0), axis=2)
+                slot_sp = aux_sp // g
+                real = is_sp & (slot_sp < num_slots)
+                col_sp = slot_sp // cc
+                dxm = (col_sp // g - gxq_t[:, None] + 1 + g) % g
+                dym = (col_sp % g - gyq_t[:, None] + 1 + g) % g
+                in3 = real & (dxm < 3) & (dym < 3)
+                packed_sp = (
+                    res_base + (dxm * 3 + dym) * ccg
+                    + (slot_sp % cc) * g + aux_sp % g
+                )
+                v = jnp.where(
+                    in3, packed_sp, jnp.where(real, drop_mark, invalid)
+                )
+                return jnp.where(is_sp, v, _invalidate(codes_t))
+
+            def _resolve(codes):
+                tile0 = min(_S_BUILD_TILE, num_slots)
+                pad0 = (-num_slots) % tile0
+                arrs = [codes, gx_q, gy_q]
+                if pad0:
+                    arrs = [
+                        jnp.pad(a, ((0, pad0),) + ((0, 0),) * (a.ndim - 1))
+                        for a in arrs
+                    ]
+                num0 = (num_slots + pad0) // tile0
+                out = jax.lax.map(
+                    _resolve_tile,
+                    tuple(
+                        a.reshape((num0, tile0) + a.shape[1:]) for a in arrs
+                    ),
+                )
+                return out.reshape(num0 * tile0, k)[:num_slots]
+
+            any_sp = jnp.any(
+                (codes_slots >= res_base)
+                & (codes_slots < res_base + spill_len)
+            )
+            codes2 = jax.lax.cond(any_sp, _resolve, _invalidate, codes_slots)
+        else:
+            codes2 = _invalidate(codes_slots)
+        s27_rows = jnp.take(
+            cstart27, col_q_slot * g + qz_slot, axis=0
+        )  # [num_slots, 27]
+        packed_aux = jnp.concatenate(
+            [codes2, s27_rows, const_rows, qz_slot[:, None]], axis=1
+        ).astype(jnp.int32)
+        # Transpose to [k + 73, num_slots]: the decode kernel wants slots
+        # on LANES (full vector-register utilization — see the kernel
+        # docstring); one 2-D XLA transpose, sublane-padded to 8.
+        packed_t = packed_aux.T
+        sub_pad = (-packed_t.shape[0]) % 8
+        if sub_pad:
+            packed_t = jnp.pad(packed_t, ((0, sub_pad), (0, 0)))
+        s_table, dropped = _s_from_codes_fused(
+            packed_t, spec, k, codes_cap, interpret
+        )
     if fuse_codes:
         # Fused decode + S-build tile for the codes path (rollout): the
         # 27-way code decode and the 9-way constants select run in one
@@ -931,27 +1305,29 @@ def build_cellblock(
     else:
         tile_fn = s_tile
         arrays = [nbr_aux_slots, const_rows, gx_q, gy_q, occupied]
-    tile = min(_S_BUILD_TILE, num_slots)
-    pad = (-num_slots) % tile
-    if pad:
-        arrays = [
-            jnp.pad(
-                a,
-                ((0, pad),) + ((0, 0),) * (a.ndim - 1),
-                constant_values=False if a.dtype == jnp.bool_ else 0,
-            )
-            for a in arrays
-        ]
-    num = (num_slots + pad) // tile
-    s_chunks, drop_chunks = jax.lax.map(
-        tile_fn, tuple(a.reshape((num, tile) + a.shape[1:]) for a in arrays)
-    )
-    if s_build == "kernel":
-        offsets = s_chunks.reshape(num * tile, k)[:num_slots]
-        s_table = _s_from_offsets(offsets, spec, interpret)
-    else:
-        s_table = s_chunks.reshape(num * tile, spec.s_width)[:num_slots]
-    dropped = jnp.sum(drop_chunks).astype(jnp.int32)
+    if not use_fused_kernel:
+        tile = min(_S_BUILD_TILE, num_slots)
+        pad = (-num_slots) % tile
+        if pad:
+            arrays = [
+                jnp.pad(
+                    a,
+                    ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                    constant_values=False if a.dtype == jnp.bool_ else 0,
+                )
+                for a in arrays
+            ]
+        num = (num_slots + pad) // tile
+        s_chunks, drop_chunks = jax.lax.map(
+            tile_fn,
+            tuple(a.reshape((num, tile) + a.shape[1:]) for a in arrays),
+        )
+        if s_build == "kernel":
+            offsets = s_chunks.reshape(num * tile, k)[:num_slots]
+            s_table = _s_from_offsets(offsets, spec, interpret)
+        else:
+            s_table = s_chunks.reshape(num * tile, spec.s_width)[:num_slots]
+        dropped = jnp.sum(drop_chunks).astype(jnp.int32)
 
     s_rev_table = None
     reverse_mismatch = None

@@ -103,6 +103,7 @@ def integrate_step(
         "cellblock_spec",
         "fused_tail",
         "sorted_state",
+        "s_build",
     ),
 )
 def rollout(
@@ -124,6 +125,7 @@ def rollout(
     cellblock_spec=None,
     fused_tail: Optional[bool] = None,
     sorted_state: str = "auto",
+    s_build: str = "auto",
 ) -> Dict[str, jnp.ndarray]:
     """Roll the learned simulator forward ``num_steps`` steps.
 
@@ -189,8 +191,8 @@ def rollout(
     )
     # Fused step-tail kernel (ops/fused_step.py): one Pallas pass instead of
     # ~6 XLA fusions per message-passing step. Default: on for real-TPU
-    # pruned bf16 rollouts (the kernel is forward-only, which a rollout is;
-    # bf16-only on real TPU — Mosaic in-kernel f32 matmuls are ~1e-3 even
+    # pruned bf16 rollouts (differentiable since round 4, so training may
+    # enable it too; bf16-only on real TPU — Mosaic in-kernel f32 matmuls are ~1e-3 even
     # at Precision.HIGHEST). Interpret-mode execution elsewhere is correct
     # but slow, so CPU keeps the plain XLA path unless explicitly requested.
     if fused_tail is None:
@@ -222,6 +224,7 @@ def rollout(
             neighbor_query_tile, neighbor_method, reneighbor_every, guard,
             cellblock_spec, zero_key,
             "hybrid" if aggregation == "cellblock_hybrid" else "slots",
+            s_build,
         )
 
     if sorted_state not in ("auto", "on", "off"):
@@ -501,7 +504,7 @@ def _sorted_gather_rollout(
 def _cellblock_rollout(
     params, model_config, init_pos, init_temp, stats, num_steps, k,
     min_image_velocity, dtype, tile, method, reneighbor_every, guard,
-    spec, zero_key, cellblock_mode="slots",
+    spec, zero_key, cellblock_mode="slots", s_build="auto",
 ):
     """Rollout with selection-matrix (cell-block) aggregation.
 
@@ -526,10 +529,11 @@ def _cellblock_rollout(
 
     permute_window = _permute_window
 
-    # S built by the Pallas one-hot kernel on real TPU (~1 ms at flagship
-    # scale vs ~13 ms for the XLA one-hot contract — bit-identical tables,
-    # pinned by tests); the contract path stays for CPU.
-    s_build = "kernel" if jax.default_backend() == "tpu" else "contract"
+    # S built by the Pallas kernels on real TPU (bit-identical tables,
+    # pinned by tests); the contract path stays for CPU. "kernel_map"
+    # selects the round-3 two-pass kernel path (A/B reference).
+    if s_build == "auto":
+        s_build = "kernel" if jax.default_backend() == "tpu" else "contract"
 
     # The Pallas kNN grid (choose_cell_grid) and the default cell-block
     # spec share the same grid size, so the kernel's candidate codes decode

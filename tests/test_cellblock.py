@@ -359,3 +359,81 @@ def test_s_build_kernel_duplicates():
     b = build_cellblock(pos, nbr, 1.0, SPEC, s_build="kernel")
     np.testing.assert_array_equal(np.asarray(a.s_table), np.asarray(b.s_table))
     assert int(np.asarray(b.s_table).max()) >= 2
+
+
+@pytest.mark.parametrize("spec,n", [(SPEC, 200), (SPEC_TILED, 3000)])
+def test_s_from_codes_fused_kernel_matches_contract(spec, n):
+    """Round 4: the single-pass Pallas codes->S kernel (s_build='kernel' on
+    the fused codes path — decode + const select + window math + one-hot
+    accumulate in one kernel) is bit-identical to the contract path,
+    including the dropped-edges count."""
+    from cosmology_gnn_simulation_tpu.ops.cell_list import CellGrid
+    from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
+        codes_packing_cap,
+        pallas_cell_list_knn,
+    )
+
+    rng = np.random.default_rng(33)
+    pos = jnp.asarray(rng.uniform(0, 1.0, size=(n, 3)), jnp.float32)
+    g = spec.grid_size
+    cap = max(8, int(np.ceil(n / g**3 * 4)))
+    grid = CellGrid(grid_size=g, cell_capacity=cap)
+    nbr, codes, spill = pallas_cell_list_knn(
+        pos, 4, 1.0, grid, with_codes=True, interpret=True
+    )
+    cap_out = codes_packing_cap(n, 4, grid)
+    a = build_cellblock(
+        pos, None, 1.0, spec, s_build="contract",
+        neighbor_codes=codes, codes_cap=cap_out, codes_spill=spill,
+    )
+    b = build_cellblock(
+        pos, None, 1.0, spec, s_build="kernel",
+        neighbor_codes=codes, codes_cap=cap_out, codes_spill=spill,
+    )
+    np.testing.assert_array_equal(np.asarray(a.s_table), np.asarray(b.s_table))
+    for f in ("overflow", "dropped_edges", "window_overflow"):
+        assert int(getattr(a, f)) == int(getattr(b, f)), f
+
+
+def test_s_from_codes_fused_kernel_spill():
+    """Fused kernel parity on a frame whose kNN actually engages the spill
+    block (one crammed cell overflows the common-case capacity): resolved
+    spill codes, drop marks and invalids all decode identically to the
+    contract path."""
+    from cosmology_gnn_simulation_tpu.ops.cell_list import CellGrid
+    from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
+        codes_packing_cap,
+        pallas_cell_list_knn,
+        spill_layout,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    spec = SPEC_TILED
+    g = spec.grid_size
+    pos = rng.uniform(0, 1.0, size=(n, 3)).astype(np.float32)
+    # Cram 60 particles into one cell so the kNN table capacity overflows
+    # into the spill block.
+    pos[:60] = 0.5 / g + rng.uniform(0, 0.2 / g, size=(60, 3))
+    pos = jnp.asarray(pos)
+    cap = max(8, int(np.ceil(n / g**3 * 2.0)))
+    grid = CellGrid(grid_size=g, cell_capacity=cap)
+    _, _, spill_cap = spill_layout(n, 4, grid)
+    assert spill_cap > 0
+    nbr, codes, spill = pallas_cell_list_knn(
+        pos, 4, 1.0, grid, with_codes=True, interpret=True
+    )
+    assert spill is not None
+    assert int(jnp.sum(codes >= 27 * codes_packing_cap(n, 4, grid))) > 0
+    cap_out = codes_packing_cap(n, 4, grid)
+    a = build_cellblock(
+        pos, None, 1.0, spec, s_build="contract",
+        neighbor_codes=codes, codes_cap=cap_out, codes_spill=spill,
+    )
+    b = build_cellblock(
+        pos, None, 1.0, spec, s_build="kernel",
+        neighbor_codes=codes, codes_cap=cap_out, codes_spill=spill,
+    )
+    np.testing.assert_array_equal(np.asarray(a.s_table), np.asarray(b.s_table))
+    for f in ("overflow", "dropped_edges", "window_overflow"):
+        assert int(getattr(a, f)) == int(getattr(b, f)), f
