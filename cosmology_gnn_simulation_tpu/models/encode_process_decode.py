@@ -98,8 +98,9 @@ class EncodeProcessDecodeConfig(NamedTuple):
     # Run the step's post-aggregation tail (w_self matmul, hidden/final
     # Linears, LayerNorm, residual) as ONE fused Pallas row-tile pass
     # (ops/fused_step.py) instead of ~6 separate XLA fusions that each
-    # round-trip an [N, H] tensor through HBM. Forward-only (the kernel
-    # has no VJP) — enable for rollout/eval, not training. Requires the
+    # round-trip an [N, H] tensor through HBM. Differentiable since round 4
+    # (fused recompute-backward kernel with in-VMEM weight-grad
+    # accumulation) — valid for rollout/eval AND training. Requires the
     # pruned sender-latents mode.
     fused_tail: bool = False
 
@@ -310,7 +311,27 @@ def _pruned_processor_step(
     nw = node_first["w"]
     w_self, w_agg = nw[:latent], nw[latent:]
     z = _split_dense(x, w_agg, dtype)
-    if cellblock is not None and cellblock_mode == "hybrid":
+    if cellblock is not None and halo is not None:
+        # Halo x cell-block composition (round 4): `cellblock` is a
+        # parallel.halo.HaloCellBlock over this shard's candidate set.
+        # Exchange the projected boundary latents (ppermute), permute into
+        # the local plan's sorted order, run the S@window MXU kernel, and
+        # compact back to the owned rows. Differentiable end-to-end: the
+        # takes transpose to scatters, the kernel through its S^T custom
+        # VJP (plans built with cellblock_reverse=True), the exchange
+        # through ppermute's reverse.
+        from cosmology_gnn_simulation_tpu.ops.cellblock import (
+            cellblock_aggregate,
+        )
+
+        z_cand = _maybe_all_gather(z, particle_axis, halo)
+        z_sorted = jnp.take(z_cand, cellblock.plan.order, axis=0)
+        agg_sorted = cellblock_aggregate(
+            z_sorted, cellblock.plan, cellblock_spec,
+            carry_dtype=jnp.float32 if dtype is None else dtype,
+        )
+        agg_h = jnp.take(agg_sorted, cellblock.inv_owned, axis=0)
+    elif cellblock is not None and cellblock_mode == "hybrid":
         # Hybrid cell-block aggregation: the carry `x` lives on the N
         # cell-sorted particle rows; expand the PROJECTED latents to slot
         # space, run the S@window kernel, compact back — two quasi-monotone
@@ -411,8 +432,18 @@ def apply_encode_process_decode(
                 "graph carries a cellblock plan but cellblock_spec was not "
                 "passed (it is static and cannot ride the pytree)"
             )
-        if particle_axis is not None or halo is not None:
-            raise ValueError("cellblock aggregation is single-device only")
+        if particle_axis is not None and halo is None:
+            raise ValueError(
+                "cellblock aggregation under the index-sharded all-gather "
+                "path is unsupported — use halo sharding "
+                "(featurize_halo(cellblock_spec=...))"
+            )
+        if halo is not None and cellblock_mode != "hybrid":
+            raise ValueError(
+                "the halo x cellblock composition requires "
+                "cellblock_mode='hybrid' (the residual carry stays on the "
+                "owned particle rows; slot space is shard-local)"
+            )
         if not (
             config.aggregate == "sender_latents"
             and config.prune_dead_edge_stream

@@ -216,6 +216,22 @@ def choose_halo_config(
     )
 
 
+class HaloCellBlock(NamedTuple):
+    """Per-shard cell-block state for halo-sharded MXU aggregation
+    (round 4 — composes the two flagship kernels; VERDICT r3 item 2).
+
+    ``plan`` is a LOCAL ``CellBlockGraph`` over the shard's candidate set
+    ``[own; halo_left; halo_right]`` on the open-slab grid
+    (``choose_cellblock_spec_halo``): rows = candidate indices, queries =
+    owned rows (halo/padding rows carry sentinel neighbor lists and so own
+    zero S rows). ``inv_owned[i]`` is the plan-sorted position of owned
+    candidate row ``i`` — the per-step compact map back to owned rows.
+    """
+
+    plan: object  # CellBlockGraph (kept untyped to avoid a hard import)
+    inv_owned: jnp.ndarray  # [local_capacity] int32
+
+
 class HaloSends(NamedTuple):
     """Per-shard boundary-send sets for one graph (traced arrays).
 
@@ -317,8 +333,17 @@ def featurize_halo(
     target_temperature: Optional[jnp.ndarray] = None,
     with_diagnostics: bool = False,
     noise_gids: Optional[jnp.ndarray] = None,
+    cellblock_spec=None,
+    cellblock_reverse: bool = False,
 ):
     """Shard-local graph build with halo exchange.
+
+    ``cellblock_spec`` (a ``choose_cellblock_spec_halo`` spec): additionally
+    build the shard-local selection-matrix plan over the candidate set and
+    attach it as ``graph.cellblock`` (a :class:`HaloCellBlock`) — pass the
+    same spec to ``apply_encode_process_decode(..., cellblock_spec=...,
+    cellblock_mode="hybrid")`` to run the aggregation on the MXU path.
+    ``cellblock_reverse`` builds the S^T table too (training).
 
     The featurization semantics are exactly ``featurize``'s (noise-then-wrap,
     min-image velocities, raw-displacement edges, noise-shifted targets —
@@ -422,6 +447,51 @@ def featurize_halo(
         temp_rate = (shifted_temp - temp_seq[:, -1]) / dt
         target_temp_rate = (temp_rate - stats.temp_rate_mean) / stats.temp_rate_std
 
+    cb_state = None
+    if cellblock_spec is not None:
+        from cosmology_gnn_simulation_tpu.ops.cellblock import (
+            build_cellblock,
+        )
+
+        d = jax.lax.axis_index(axis_name)
+        edge = box / hc.grid_size
+        # Local x frame: the extended slab starts halo_layers BELOW the
+        # owned slab; the periodic remainder maps box-wrapped halo
+        # candidates into [0, gx_local * edge) too.
+        lo = (d * hc.slab_layers - hc.halo_layers).astype(jnp.float32) * edge
+        cand_local = jnp.concatenate(
+            [
+                jnp.remainder(cand_pos[:, :1] - lo, box),
+                cand_pos[:, 1:],
+            ],
+            axis=1,
+        )
+        n_cand = cand_pos.shape[0]
+        n_own = neighbors.shape[0]
+        # Halo rows have no query role: sentinel (>= n_cand) neighbor
+        # entries decode to "no edge" in the plan build.
+        nbr_full = jnp.concatenate(
+            [
+                neighbors,
+                jnp.full(
+                    (n_cand - n_own, num_neighbors), n_cand, jnp.int32
+                ),
+            ]
+        )
+        box_local = jnp.asarray(
+            [cellblock_spec.gx * edge, box, box], jnp.float32
+        )
+        plan = build_cellblock(
+            cand_local, nbr_full, box_local, cellblock_spec,
+            with_reverse=cellblock_reverse, valid=cand_valid,
+        )
+        invp = (
+            jnp.zeros((n_cand,), jnp.int32)
+            .at[plan.order]
+            .set(jnp.arange(n_cand, dtype=jnp.int32))
+        )
+        cb_state = HaloCellBlock(plan=plan, inv_owned=invp[:n_own])
+
     graph = ParticleGraph(
         nodes=nodes,
         neighbors=neighbors,
@@ -429,6 +499,7 @@ def featurize_halo(
         positions=recent,
         target_acceleration=target_acceleration,
         target_temp_rate=target_temp_rate,
+        cellblock=cb_state,
     )
 
     diagnostics = None
@@ -453,6 +524,11 @@ def featurize_halo(
             "max_excess_sq": max_excess,
             "cell_edge_sq": (box / hc.grid_size) ** 2,
         }
+        if cb_state is not None:
+            # Cell-block representability certificate (same contract as
+            # the single-device path: exact iff both are zero).
+            diagnostics["cb_overflow"] = cb_state.plan.overflow
+            diagnostics["cb_dropped"] = cb_state.plan.dropped_edges
     return graph, halo, diagnostics
 
 
@@ -577,11 +653,19 @@ def make_halo_train_step(
     optimizer,
     mesh,
     hc: HaloConfig,
+    cellblock_spec=None,
 ):
     """Training step with halo-exchange particle sharding over a
     (data, particle) mesh. Feed it ``partition_batch`` outputs placed with
     ``shard_halo_batch``. Loss semantics match the single-device step
     exactly (masked means over real particles; global momentum impulse).
+
+    ``cellblock_spec`` (``choose_cellblock_spec_halo``): run each shard's
+    message-passing aggregation on the selection-matrix MXU path — the
+    round-4 halo x cellblock composition. The backward flows through the
+    per-shard S^T kernel (plans are built ``with_reverse``) and the
+    ppermute transpose; gradients match the gather path (pinned by
+    tests/test_halo_cellblock.py).
     """
     import optax
     from jax.sharding import PartitionSpec as P
@@ -627,10 +711,13 @@ def make_halo_train_step(
             target_position=tpos,
             target_temperature=ttemp,
             noise_gids=gid,
+            cellblock_spec=cellblock_spec,
+            cellblock_reverse=cellblock_spec is not None,
         )
         preds = apply_encode_process_decode(
             params, graph, model_config, dtype,
             particle_axis=PARTICLE_AXIS, halo=halo,
+            cellblock_spec=cellblock_spec, cellblock_mode="hybrid",
         )
         mask = valid[:, None]
         count = jax.lax.psum(jnp.sum(valid), PARTICLE_AXIS)
@@ -684,6 +771,9 @@ def make_halo_train_step(
         mesh=mesh,
         in_specs=(P(), batch_specs, P(DATA_AXIS)),
         out_specs=(P(), P()),
+        # The cell-block Pallas kernels inside the shard don't carry
+        # varying-mesh-axes metadata; the invariance tests pin numerics.
+        check_vma=cellblock_spec is None,
     )
     def sharded_value_and_grad(params, batch, keys):
         (loss, components), grads = jax.value_and_grad(
@@ -838,8 +928,14 @@ def make_halo_rollout(
     dtype=None,
     query_tile: int = 2048,
     with_certificate_components: bool = False,
+    cellblock_spec=None,
 ):
     """Halo-sharded multi-step rollout (BASELINE config 5's execution plan).
+
+    ``cellblock_spec`` (``choose_cellblock_spec_halo``): per-shard
+    selection-matrix MXU aggregation (halo x cellblock composition); the
+    per-step exactness certificate additionally covers the plan's
+    overflow/dropped-edge diagnostics.
 
     Returns jitted ``(params, positions [W, P*cap, 3], temperatures
     [W, P*cap, 1], valid [P*cap], gid [P*cap]) -> (outputs, diag, exactness)``
@@ -895,6 +991,7 @@ def make_halo_rollout(
                 "migration_stranded": P(),
             },
         ),
+        check_vma=cellblock_spec is None,
     )
     def rollout_fn(params, init_pos, init_temp, valid, gid):
         def body(carry, _):
@@ -907,6 +1004,7 @@ def make_halo_rollout(
                 axis_name=PARTICLE_AXIS,
                 query_tile=query_tile,
                 with_diagnostics=True,
+                cellblock_spec=cellblock_spec,
             )
             # Per-step exactness certificate, the sharded counterpart of
             # rollout()'s in-scan guard (rollout.py): neighbor graphs are
@@ -918,9 +1016,14 @@ def make_halo_rollout(
                 & (fdiag["cell_overflow"] == 0)
                 & (fdiag["max_excess_sq"] <= 0.0)
             )
+            if cellblock_spec is not None:
+                exact_local &= (
+                    (fdiag["cb_overflow"] == 0) & (fdiag["cb_dropped"] == 0)
+                )
             preds = apply_encode_process_decode(
                 params, graph, model_config, dtype,
                 particle_axis=PARTICLE_AXIS, halo=halo,
+                cellblock_spec=cellblock_spec, cellblock_mode="hybrid",
             )
             acceleration = preds["acceleration"] * stats.acc_std + stats.acc_mean
             temp_rate = (
@@ -1042,6 +1145,7 @@ def run_halo_rollout(
     min_image_velocity: bool = False,
     dtype=None,
     query_tile: int = 2048,
+    cellblock_spec=None,
 ):
     """Partition -> halo rollout -> reassemble, with the same interface and
     trajectory layout as the single-device ``rollout()`` — including the
@@ -1055,6 +1159,7 @@ def run_halo_rollout(
         num_neighbors=num_neighbors,
         min_image_velocity=min_image_velocity,
         dtype=dtype, query_tile=query_tile,
+        cellblock_spec=cellblock_spec,
     )
     outs, diag, exactness = fn(
         params,
