@@ -83,6 +83,7 @@ def main(argv=None):
         neighbor_method=args.neighbor_method,
         strict_neighbor_check=not args.no_strict_neighbors,
         aggregation=getattr(args, "aggregation", "gather"),
+        fused_tail=getattr(args, "fused_tail", None),
     )
     if train_config.aggregation.startswith("cellblock") and (
         getattr(args, "spatial_shards", 0) > 1

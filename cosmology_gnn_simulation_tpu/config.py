@@ -101,6 +101,14 @@ def build_train_parser() -> argparse.ArgumentParser:
                              "num_message_passing_steps); the backward "
                              "holds M/c + c carries instead of M — what "
                              "lets config-4 (N=500k) training fit one chip")
+    parser.add_argument("--fused_tail", dest="fused_tail",
+                        action="store_const", const=True, default=None,
+                        help="Force the fused step-tail Pallas kernel ON in "
+                             "the train step (default: auto — on for "
+                             "real-TPU bf16 pruned training)")
+    parser.add_argument("--no_fused_tail", dest="fused_tail",
+                        action="store_const", const=False,
+                        help="Force the fused step-tail kernel OFF")
     parser.add_argument("--no_strict_neighbors", action="store_true",
                         help="Downgrade a failed kNN exactness certificate "
                              "from an error to a warning")

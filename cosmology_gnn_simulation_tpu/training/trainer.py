@@ -93,6 +93,12 @@ class TrainConfig:
     # transposed; exactness is certified per batch
     # (``cellblock_violations`` metric, checked at epoch end).
     aggregation: str = "gather"
+    # Fused step-tail Pallas kernel in the TRAIN step (ops/fused_step.py;
+    # differentiable since round 4 — fused recompute-backward with in-VMEM
+    # weight-grad accumulation). None = auto: on for real-TPU pruned bf16
+    # training, off elsewhere (interpret mode is correct but slow on CPU;
+    # f32 in-kernel matmuls are a Mosaic accuracy hazard on real TPU).
+    fused_tail: Optional[bool] = None
     # Key training noise per GLOBAL particle id instead of per row stream
     # (ops/noise.py): the noise a particle receives is then independent of
     # data layout, so single-device and halo-sharded training produce
@@ -139,10 +145,25 @@ def make_train_step(
         )
     # The pruned sender-latents model never reads edge features — skip
     # their [N, k, 4] gather in the hot loop.
-    need_edges = not (
+    pruned = (
         model_config.aggregate == "sender_latents"
         and model_config.prune_dead_edge_stream
     )
+    need_edges = not pruned
+    fused = tc.fused_tail
+    if fused is None:
+        # Same auto rule as rollout(): the kernel is bf16-only on real TPU
+        # and interpret-slow on CPU.
+        fused = (
+            pruned
+            and jax.default_backend() == "tpu"
+            and dtype is not None
+            and jnp.dtype(dtype) == jnp.bfloat16
+        )
+    elif fused and not pruned:
+        raise ValueError("fused_tail requires the pruned sender_latents mode")
+    if fused:
+        model_config = model_config._replace(fused_tail=True)
 
     def per_sample(params, pos, temp, tpos, ttemp, key):
         aug_key, feat_key = jax.random.split(key)
