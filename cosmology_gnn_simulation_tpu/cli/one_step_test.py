@@ -62,6 +62,10 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0,
                         help="Start-index sampling seed (the reference is "
                              "unseeded here; we default to deterministic)")
+    parser.add_argument("--cellblock_variable", action="store_true",
+                        help="variable per-column slot capacities for the "
+                             "cellblock aggregation modes (same surface as "
+                             "render_rollout)")
     parser.add_argument("--aggregation", type=str, default="gather",
                         choices=["gather", "cellblock", "cellblock_hybrid"],
                         help="message-passing aggregation (same surface as "
@@ -97,6 +101,7 @@ def main(argv=None):
         seed=args.seed,
         neighbor_method=args.neighbor_method,
         aggregation=args.aggregation,
+        cellblock_variable=getattr(args, "cellblock_variable", False),
     )
 
     print("\n" + "=" * 50)

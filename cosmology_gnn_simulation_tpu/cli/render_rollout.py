@@ -46,6 +46,11 @@ def main(argv=None):
                              "failing steps with exact brute force")
     parser.add_argument("--num_steps", type=int, default=None,
                         help="Steps to simulate (default: full trajectory)")
+    parser.add_argument("--cellblock_variable", action="store_true",
+                        help="variable per-column slot capacities for the "
+                             "cellblock aggregation modes (packed layout, "
+                             "~1.1x padding instead of the Poisson-tail "
+                             "1.3-1.4x; identical semantics/certificates)")
     parser.add_argument("--aggregation", type=str, default="gather",
                         choices=["gather", "cellblock", "cellblock_hybrid"],
                         help="message-passing aggregation: 'gather' "
@@ -160,6 +165,7 @@ def main(argv=None):
             reneighbor_every=args.reneighbor_every,
             exactness_guard=args.exactness_guard,
             aggregation=args.aggregation,
+            cellblock_variable=getattr(args, "cellblock_variable", False),
             fused_tail=False if args.no_fused_tail else None,
             sorted_state=args.sorted_state,
         )

@@ -83,6 +83,7 @@ def main(argv=None):
         neighbor_method=args.neighbor_method,
         strict_neighbor_check=not args.no_strict_neighbors,
         aggregation=getattr(args, "aggregation", "gather"),
+        cellblock_variable=getattr(args, "cellblock_variable", False),
         fused_tail=getattr(args, "fused_tail", None),
     )
     if train_config.aggregation.startswith("cellblock") and (

@@ -84,6 +84,15 @@ def build_train_parser() -> argparse.ArgumentParser:
                              "slot-space carry — the big-N training path) "
                              "or 'cellblock_hybrid' (same kernel, "
                              "particle-space carry)")
+    parser.add_argument("--cellblock_variable", action="store_true",
+                        help="Variable per-column slot capacities for the "
+                             "cellblock aggregation layouts (round 4): "
+                             "packs columns at query-block granularity "
+                             "behind data-dependent prefix offsets, cutting "
+                             "the slot-padding row tax from the Poisson "
+                             "tail (~1.3-1.4x) to the QB-rounding floor "
+                             "(~1.1x). Identical semantics/certificates; "
+                             "cubic-periodic specs only")
     parser.add_argument("--carry_dtype", type=str, default=None,
                         choices=[None, "bfloat16", "float32"],
                         help="Residual-stream carry dtype (bfloat16 halves "

@@ -44,6 +44,7 @@ def validate_one_step(
     dtype=None,
     neighbor_method: str = "auto",
     aggregation: str = "gather",
+    cellblock_variable: bool = False,
 ) -> Dict:
     """One-step position/temperature MSE over sampled start indices.
 
@@ -83,6 +84,7 @@ def validate_one_step(
             dtype=dtype,
             neighbor_method=neighbor_method,
             aggregation=aggregation,
+            cellblock_variable=cellblock_variable,
         )
         next_pos = coords[start + window_size]
         next_temp = temps[start + window_size]

@@ -97,6 +97,18 @@ class CellBlockSpec(NamedTuple):
                     the outermost halo layers, so the +-1 x-neighborhood
                     never leaves the local grid; the ring index uses a
                     plain difference instead of a modular one).
+      slot_budget:  0 = UNIFORM layout (every column owns ``col_capacity``
+                    slot rows — the round-2/3 design). Nonzero = VARIABLE
+                    per-column capacities (round 4): column ``col`` owns
+                    ``round_up(min(cnt_col, col_capacity), QB)`` rows at a
+                    data-dependent QB-aligned prefix offset, and
+                    ``slot_budget`` (a QB multiple) is the static total.
+                    Cuts the slot padding from the per-column Poisson tail
+                    (measured 1.41x flagship / 1.29x config 4) to the
+                    QB-rounding floor (~1.1x); ``col_capacity`` survives
+                    only as the per-column clamp (so it can be generous —
+                    it no longer costs slots). Exceeding the budget is
+                    counted by ``overflow`` like a per-column overflow.
     """
 
     grid_size: int
@@ -107,10 +119,15 @@ class CellBlockSpec(NamedTuple):
     h_block: int = 256
     grid_x: int = 0
     periodic_x: bool = True
+    slot_budget: int = 0
 
     @property
     def gx(self) -> int:
         return self.grid_x or self.grid_size
+
+    @property
+    def variable(self) -> bool:
+        return self.slot_budget > 0
 
     @property
     def num_columns(self) -> int:
@@ -122,10 +139,19 @@ class CellBlockSpec(NamedTuple):
 
     @property
     def num_tiles(self) -> int:
-        return self.num_columns * self.tiles_per_col
+        return self.num_slots // self.query_block
 
     @property
     def num_slots(self) -> int:
+        if self.variable:
+            return self.slot_budget
+        return self.num_columns * self.col_capacity
+
+    @property
+    def pack_slots(self) -> int:
+        """Size of the (col, rank) PACK encoding ``col * col_capacity + r``
+        the sender-decode tables use (== ``num_slots`` in uniform mode,
+        where pack ids ARE slot ids)."""
         return self.num_columns * self.col_capacity
 
     @property
@@ -134,6 +160,18 @@ class CellBlockSpec(NamedTuple):
 
     @property
     def num_padded(self) -> int:
+        if self.variable:
+            # Variable z-wrap image: per-column spans are
+            # round_up(c_pre + m + c_app, 16) at data-dependent offsets;
+            # the static budget adds the worst-case per-column wrap+round
+            # overhead plus one trailing window so the global window clamp
+            # never reads past the buffer.
+            return _round_up(
+                self.slot_budget
+                + self.num_columns * (2 * self.wrap_cap + 16)
+                + max(self.window, 16),
+                16,
+            )
         return self.num_columns * self.padded_col
 
     @property
@@ -158,6 +196,22 @@ class CellBlockSpec(NamedTuple):
             raise ValueError(f"grid_x {self.gx} must be >= 3")
         if not self.periodic_x and self.grid_x == 0:
             raise ValueError("periodic_x=False requires an explicit grid_x")
+        if self.variable:
+            if self.slot_budget % qb:
+                raise ValueError(
+                    f"slot_budget {self.slot_budget} not a multiple of "
+                    f"query_block {qb}"
+                )
+            if self.grid_x or not self.periodic_x:
+                raise ValueError(
+                    "variable capacities are cubic-periodic only (halo "
+                    "slabs use the uniform layout)"
+                )
+            if w % 16:
+                raise ValueError(
+                    f"window {w} must be a 16-multiple in variable mode "
+                    "(the global padded-image clamp must stay 16-aligned)"
+                )
         if cc % qb:
             raise ValueError(f"col_capacity {cc} not a multiple of "
                              f"query_block {qb}")
@@ -180,7 +234,7 @@ class CellBlockSpec(NamedTuple):
             raise ValueError(
                 f"window {w} exceeds padded column {self.padded_col}"
             )
-        if self.num_slots * g >= 2**31:
+        if max(self.num_slots, self.pack_slots) * g >= 2**31:
             raise ValueError("num_slots * grid_size overflows int32 packing")
 
 
@@ -190,6 +244,7 @@ def choose_cellblock_spec(
     *,
     h_block: int = 256,
     query_block: Optional[int] = None,
+    variable: bool = False,
 ) -> CellBlockSpec:
     """Pick (G, CC, QB, W, wrap_cap) for a roughly uniform distribution.
 
@@ -201,6 +256,12 @@ def choose_cellblock_spec(
     5-sigma fluctuation margin. Clustered data can exceed any of the static
     capacities — the ``overflow``/``dropped_edges`` diagnostics make
     violations loud, never silent.
+
+    ``variable=True`` (round 4): per-column VARIABLE capacities — slots
+    pack tightly at QB granularity behind data-dependent prefix offsets,
+    ``slot_budget`` covers the QB-rounding floor plus a 6-sigma total
+    fluctuation margin, and CC becomes a generous per-column clamp (it no
+    longer costs slots). See ``CellBlockSpec.slot_budget``.
     """
     if k is not None:
         g = choose_cell_grid(num_particles, k).grid_size
@@ -208,12 +269,14 @@ def choose_cellblock_spec(
         g = max(3, int(round((num_particles / 24.0) ** (1.0 / 3.0))))
     mean_col = num_particles / g**2
     mean_cell = num_particles / g**3
-    return _plan_spec(g, mean_col, mean_cell, h_block, query_block)
+    return _plan_spec(
+        g, mean_col, mean_cell, h_block, query_block, variable=variable
+    )
 
 
 def _plan_spec(
     g, mean_col, mean_cell, h_block, query_block,
-    num_columns=None, grid_x=0, periodic_x=True,
+    num_columns=None, grid_x=0, periodic_x=True, variable=False,
 ):
     """Capacity planning shared by the cubic and halo-slab choosers:
     CC covers the per-column Poisson tail, W a QB tile's z-extent plus one
@@ -223,14 +286,33 @@ def _plan_spec(
     wrap = _round_up(mean_cell + 6.0 * np.sqrt(mean_cell) + 4.0, 16)
 
     def plan(qb):
-        cc = _round_up(max(mean_col + 5.0 * np.sqrt(mean_col), qb), qb)
+        if variable:
+            # CC is only the per-column clamp: 8-sigma so real data never
+            # trips it; capacity costs slots only through the budget.
+            cc = _round_up(max(mean_col + 8.0 * np.sqrt(mean_col), qb), qb)
+        else:
+            cc = _round_up(max(mean_col + 5.0 * np.sqrt(mean_col), qb), qb)
         need = qb + 3.0 * mean_cell + 5.0 * np.sqrt(qb + 3.0 * mean_cell)
         w = _round_up(need, _LANE)
         padded = cc + 2 * wrap
         if w > padded:
             # Tiny columns: one window covers the whole padded column.
             w = padded if padded < _LANE else padded // _LANE * _LANE
+        if variable and w % 16:
+            w = _round_up(w, 16)
         return cc, w
+
+    def budget(qb):
+        # E[round_up(cnt, QB)] ~ mean + QB/2 per occupied column, plus a
+        # 6-sigma margin on the total (cnt variance ~ Poisson mean, the
+        # rounding jitter ~ QB^2/12).
+        n_total = num_columns * mean_col
+        exp_slots = num_columns * (mean_col + qb / 2.0)
+        sigma = np.sqrt(n_total + num_columns * qb * qb / 12.0)
+        return _round_up(exp_slots + 6.0 * sigma, qb)
+
+    def slots_for(qb, cc):
+        return budget(qb) if variable else num_columns * cc
 
     if query_block is not None:
         qb = query_block
@@ -244,8 +326,9 @@ def _plan_spec(
         best = None
         for qb_c in range(32, 257, 32):
             cc_c, w_c = plan(qb_c)
-            s_bytes = num_columns * cc_c * 9 * w_c
-            win_bytes = num_columns * (cc_c // qb_c) * 9 * w_c * h_block * 2
+            slots_c = slots_for(qb_c, cc_c)
+            s_bytes = slots_c * 9 * w_c
+            win_bytes = (slots_c // qb_c) * 9 * w_c * h_block * 2
             score = (s_bytes + win_bytes, -qb_c)
             if best is None or score < best[0]:
                 best = (score, qb_c, cc_c, w_c)
@@ -254,6 +337,7 @@ def _plan_spec(
         grid_size=g, col_capacity=cc, query_block=qb, window=w,
         wrap_cap=wrap, h_block=h_block, grid_x=grid_x,
         periodic_x=periodic_x,
+        slot_budget=budget(qb) if variable else 0,
     )
 
 
@@ -464,7 +548,6 @@ def _s_from_codes_fused(packed_aux_t, spec, k, cap, interpret):
         r_ring = start + rank
         cz_ring = (qz + (j27 % 3) - 1 + g) % g
         j_ring = (j27 // 9) * 3 + (j27 // 3) % 3
-        ok_ring = r_ring < cc
         # Resolved-spill decode (pure arithmetic by construction).
         v = jnp.where(is_res, codes - res_base, 0)
         jr2 = v // ccg
@@ -479,7 +562,7 @@ def _s_from_codes_fused(packed_aux_t, spec, k, cap, interpret):
         # Boolean select via logical ops: Mosaic cannot lower a vector
         # where() on i1 operands ("unsupported target bitwidth for
         # truncation" at backend compile).
-        ok = (is_res & ok2) | (~is_res & ok_ring)
+        ok = (is_res & ok2) | ~is_res
         # Per-(tile, j) constant select: [w_loc, cp, m, ca, cg1] at j*5+i.
         sel = [jnp.zeros((k, lanes_blk), jnp.int32) for _ in range(5)]
         for j in range(9):
@@ -489,6 +572,13 @@ def _s_from_codes_fused(packed_aux_t, spec, k, cap, interpret):
                     mj, const[j * 5 + i:j * 5 + i + 1, :], 0
                 )
         w_s, cp_s, m_s, ca_s, cg1_s = sel
+        # Capacity check against the sender column's USED main rows m
+        # (selected per ring column above) instead of the static CC:
+        # equivalent in the uniform layout (ranks are < count, so
+        # r < CC iff r < min(count, CC) == m), and REQUIRED in the
+        # variable layout where CC is only the per-column clamp — a rank
+        # in [m, CC) names a slot the column does not own there.
+        ok = ok & (r_s < m_s)
         rel_main = cp_s + r_s - w_s
         ok_main = ok & (rel_main >= 0) & (rel_main < w_cap)
         rank_pre = r_s - cg1_s
@@ -711,28 +801,85 @@ def build_cellblock(
     r = jnp.arange(n, dtype=jnp.int32) - jnp.take(
         col_start, jnp.minimum(sorted_col, num_cols)
     )
-    q_ok = real_row & (r < cc)
-    slot_of_sorted = jnp.where(q_ok, sorted_col * cc + r, num_slots)
-    overflow = jnp.sum(real_row & (r >= cc)).astype(jnp.int32)
-    if neighbor_codes is None:
-        # Only the aux path needs the inverse permutation; the codes path
-        # decodes sender slots arithmetically.
-        _, slot_of_particle = jax.lax.sort_key_val(order, slot_of_sorted)
-    # slot -> sorted index by ARITHMETIC (column col's particles pack at
-    # [col_start[col], ...), so slot (col, r) holds col_start[col] + r iff
-    # r < count) — no searchsorted over all slots, and exact under column
-    # overflow (the first CC particles of the column by sort order).
     col_cnt_raw = col_start[1:] - col_start[:-1]
-    slot_col = jnp.arange(num_slots, dtype=jnp.int32) // cc
-    slot_r = jnp.arange(num_slots, dtype=jnp.int32) % cc
-    particle_of_slot = jnp.where(
-        slot_r < jnp.take(col_cnt_raw, slot_col),
-        jnp.take(col_start[:-1], slot_col) + slot_r,
-        n,
-    )
+    slot_ids_i = jnp.arange(num_slots, dtype=jnp.int32)
+    pack_slots = spec.pack_slots
+    if spec.variable:
+        # VARIABLE layout (round 4): column `col` owns rows
+        # [prefix[col], prefix[col] + cap_col[col]) of the slot table,
+        # cap_col = round_up(min(cnt, CC), QB) clamped by the budget. The
+        # QB-aligned prefixes keep tiles single-column, so every per-tile
+        # structure below (windows, S blocks, reverse) carries over; CC is
+        # only the per-column clamp. All maps keyed by sorted_col or by
+        # slot id are MONOTONE gathers (fast on this backend — unlike
+        # elementwise ones).
+        used_raw = jnp.minimum(col_cnt_raw, cc)
+        alloc = -(-used_raw // qb) * qb
+        prefix = jnp.minimum(
+            jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(alloc)]
+            ),
+            num_slots,
+        ).astype(jnp.int32)
+        cap_col = prefix[1:] - prefix[:-1]
+        used_cols = jnp.minimum(used_raw, cap_col)
+        col_clamped = jnp.minimum(sorted_col, num_cols - 1)
+        q_ok = real_row & (r < jnp.take(cap_col, col_clamped))
+        slot_of_sorted = jnp.where(
+            q_ok, jnp.take(prefix, col_clamped) + r, num_slots
+        )
+        # PACK encoding (col * CC + r): what the sender-decode tables use —
+        # ring/cell arithmetic recovers (col, r) by the static CC stride,
+        # which real slot ids no longer admit.
+        pack_of_sorted = jnp.where(
+            q_ok, sorted_col * cc + r, pack_slots
+        )
+        overflow = jnp.sum(real_row & ~q_ok).astype(jnp.int32)
+        # slot -> column by boundary scatter + cumsum (col_of_slot[s] =
+        # #{col : prefix[col + 1] <= s}); reserve rows past prefix[-1] get
+        # num_cols.
+        marks = (
+            jnp.zeros((num_slots + 1,), jnp.int32)
+            .at[jnp.minimum(prefix[1:], num_slots)]
+            .add(1, mode="drop")
+        )
+        col_of_slot = jnp.cumsum(marks)[:num_slots]
+        csl = jnp.minimum(col_of_slot, num_cols - 1)
+        prefix_of_slot = jnp.take(prefix, csl)
+        slot_r_var = slot_ids_i - prefix_of_slot
+        in_use = (col_of_slot < num_cols) & (
+            slot_r_var < jnp.take(used_cols, csl)
+        )
+        particle_of_slot = jnp.where(
+            in_use, jnp.take(col_start[:-1], csl) + slot_r_var, n
+        )
+        if neighbor_codes is None:
+            _, pack_of_particle = jax.lax.sort_key_val(order, pack_of_sorted)
+    else:
+        q_ok = real_row & (r < cc)
+        slot_of_sorted = jnp.where(q_ok, sorted_col * cc + r, num_slots)
+        overflow = jnp.sum(real_row & (r >= cc)).astype(jnp.int32)
+        if neighbor_codes is None:
+            # Only the aux path needs the inverse permutation; the codes
+            # path decodes sender slots arithmetically.
+            _, pack_of_particle = jax.lax.sort_key_val(order, slot_of_sorted)
+        # slot -> sorted index by ARITHMETIC (column col's particles pack
+        # at [col_start[col], ...), so slot (col, r) holds
+        # col_start[col] + r iff r < count) — no searchsorted over all
+        # slots, and exact under column overflow (the first CC particles
+        # of the column by sort order).
+        slot_col = slot_ids_i // cc
+        slot_r = slot_ids_i % cc
+        particle_of_slot = jnp.where(
+            slot_r < jnp.take(col_cnt_raw, slot_col),
+            jnp.take(col_start[:-1], slot_col) + slot_r,
+            n,
+        )
 
     # Per-column z-wrap layout [cP | main | cA], tightly packed.
-    m = jnp.minimum(col_cnt, cc)  # used main rows
+    m = (
+        used_cols if spec.variable else jnp.minimum(col_cnt, cc)
+    )  # used main rows
     cnt_last = counts[:, g - 1]
     cnt_first = counts[:, 0]
     c_pre = jnp.minimum(cnt_last, wrap)
@@ -741,37 +888,95 @@ def build_cellblock(
     # extended so index G reads the used-row count.
     cstart_rel = jnp.clip(
         gstart[: num_cols * g].reshape(num_cols, g) - col_start[:-1, None],
-        0, cc,
+        0,
+        cap_col[:, None] if spec.variable else cc,
     )
     cstart_ext = jnp.concatenate([cstart_rel, m[:, None]], axis=1)  # [C, G+1]
     cstart_g1 = cstart_rel[:, g - 1]
 
-    # pad_src: padded-image row -> source slot.
-    t_pad = jnp.arange(ccp, dtype=jnp.int32)[None, :]  # [1, CCp]
-    src_pre = cstart_g1[:, None] + t_pad
-    src_main = t_pad - c_pre[:, None]
-    src_app = t_pad - c_pre[:, None] - m[:, None]
-    src = jnp.where(
-        t_pad < c_pre[:, None],
-        src_pre,
-        jnp.where(
-            t_pad < (c_pre + m)[:, None],
-            src_main,
-            jnp.where(t_pad < (c_pre + m + c_app)[:, None], src_app, cc),
-        ),
-    )
-    cols = jnp.arange(num_cols, dtype=jnp.int32)[:, None]
-    pad_src = jnp.where(
-        src < cc, cols * cc + src, num_slots
-    ).reshape(-1)
+    if spec.variable:
+        # Variable z-wrap image: column `col` spans padded rows
+        # [pprefix[col], pprefix[col] + span[col]), span 16-aligned so the
+        # 16-floored window starts stay provably sublane-aligned. Row ->
+        # column by the same boundary-scatter trick as col_of_slot; the
+        # relative 3-way [cP | main | cA] decode matches the uniform path.
+        span = -(-(c_pre + m + c_app) // 16) * 16
+        num_pad_rows = spec.num_padded
+        pprefix = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(span)]
+        ).astype(jnp.int32)
+        pmarks = (
+            jnp.zeros((num_pad_rows + 1,), jnp.int32)
+            .at[jnp.minimum(pprefix[1:], num_pad_rows)]
+            .add(1, mode="drop")
+        )
+        pcol = jnp.cumsum(pmarks)[:num_pad_rows]
+        pcsl = jnp.minimum(pcol, num_cols - 1)
+        t_rel = jnp.arange(num_pad_rows, dtype=jnp.int32) - jnp.take(
+            pprefix, pcsl
+        )
+        cpre_r = jnp.take(c_pre, pcsl)
+        m_r = jnp.take(m, pcsl)
+        capp_r = jnp.take(c_app, pcsl)
+        cg1_r = jnp.take(cstart_g1, pcsl)
+        cap_r = jnp.take(cap_col, pcsl)
+        src_v = jnp.where(
+            t_rel < cpre_r,
+            cg1_r + t_rel,
+            jnp.where(
+                t_rel < cpre_r + m_r,
+                t_rel - cpre_r,
+                jnp.where(
+                    t_rel < cpre_r + m_r + capp_r,
+                    t_rel - cpre_r - m_r,
+                    cap_r,
+                ),
+            ),
+        )
+        ok_src = (pcol < num_cols) & (src_v < cap_r) & (src_v >= 0)
+        pad_src = jnp.where(
+            ok_src, jnp.take(prefix, pcsl) + src_v, num_slots
+        )
+    else:
+        # pad_src: padded-image row -> source slot.
+        t_pad = jnp.arange(ccp, dtype=jnp.int32)[None, :]  # [1, CCp]
+        src_pre = cstart_g1[:, None] + t_pad
+        src_main = t_pad - c_pre[:, None]
+        src_app = t_pad - c_pre[:, None] - m[:, None]
+        src = jnp.where(
+            t_pad < c_pre[:, None],
+            src_pre,
+            jnp.where(
+                t_pad < (c_pre + m)[:, None],
+                src_main,
+                jnp.where(t_pad < (c_pre + m + c_app)[:, None], src_app, cc),
+            ),
+        )
+        cols = jnp.arange(num_cols, dtype=jnp.int32)[:, None]
+        pad_src = jnp.where(
+            src < cc, cols * cc + src, num_slots
+        ).reshape(-1)
 
     # Per-tile z extents (first/last VALID query row of the tile).
-    tile_col = jnp.arange(num_tiles, dtype=jnp.int32) // tpc
-    tile_qt = jnp.arange(num_tiles, dtype=jnp.int32) % tpc
-    a_row = tile_qt * qb
-    m_tile = jnp.take(m, tile_col)
-    has_rows = a_row < m_tile
-    b_row = jnp.clip(jnp.minimum((tile_qt + 1) * qb, m_tile) - 1, a_row, None)
+    if spec.variable:
+        # Tiles are single-column by the QB-aligned prefixes: tile t owns
+        # slots [t*QB, (t+1)*QB) of column col_of_slot[t*QB]; reserve tiles
+        # past the used prefix have no rows.
+        tile_col_raw = col_of_slot[::qb]  # [num_tiles] strided slice
+        tile_col = jnp.minimum(tile_col_raw, num_cols - 1)
+        a_row = slot_ids_i[::qb] - jnp.take(prefix, tile_col)
+        m_tile = jnp.take(m, tile_col)
+        has_rows = (tile_col_raw < num_cols) & (a_row < m_tile)
+        b_row = jnp.clip(jnp.minimum(a_row + qb, m_tile) - 1, a_row, None)
+    else:
+        tile_col = jnp.arange(num_tiles, dtype=jnp.int32) // tpc
+        tile_qt = jnp.arange(num_tiles, dtype=jnp.int32) % tpc
+        a_row = tile_qt * qb
+        m_tile = jnp.take(m, tile_col)
+        has_rows = a_row < m_tile
+        b_row = jnp.clip(
+            jnp.minimum((tile_qt + 1) * qb, m_tile) - 1, a_row, None
+        )
     base = jnp.take(col_start, tile_col)
     z_lo = jnp.take(sorted_cz, jnp.clip(base + a_row, 0, n - 1))
     z_hi = jnp.take(sorted_cz, jnp.clip(base + b_row, 0, n - 1))
@@ -823,13 +1028,33 @@ def build_cellblock(
     # candidate windows — unaligned Element offsets cost Mosaic re-align
     # copies); the chooser's tail slack absorbs the <=15 extra lead rows,
     # and padded_col - window is 16-aligned so the upper clamp stays
-    # aligned too.
-    w_loc = jnp.clip(w_loc // 16 * 16, 0, ccp - w_cap)
+    # aligned too. (Variable mode: spans and prefixes are 16-aligned and
+    # the window is a 16-multiple, so the clamped flat start stays
+    # provable; a span shorter than the window reads into the next
+    # column's rows, which no S entry references — rel offsets are bounded
+    # by the span.)
+    if spec.variable:
+        span_j = jnp.take(span, col_j)
+        w_loc = jnp.clip(
+            w_loc // 16 * 16, 0, jnp.maximum(span_j - w_cap, 0)
+        )
+        window_starts = (jnp.take(pprefix, col_j) + w_loc).astype(jnp.int32)
+        # In-column extent of each window: columns pack contiguously, so a
+        # window whose column span is shorter than W bleeds into the next
+        # column's rows. Forward S entries never reference those offsets
+        # (rel < span by construction), but the REVERSE build enumerates
+        # window rows as candidate receivers and must not match them.
+        window_lims = jnp.clip(span_j - w_loc, 0, w_cap).astype(jnp.int32)
+    else:
+        w_loc = jnp.clip(w_loc // 16 * 16, 0, ccp - w_cap)
+        window_starts = (col_j * ccp + w_loc).astype(jnp.int32)
+        # Uniform columns own a full CCp-row block with W <= CCp: windows
+        # never bleed (w_loc <= CCp - W), so the limit is inert.
+        window_lims = jnp.full((num_tiles, 9), w_cap, jnp.int32)
     window_overflow = jnp.max(
         jnp.where(has_rows[:, None], end - w_loc - w_cap, 0)
     ).astype(jnp.int32)
     window_overflow = jnp.maximum(window_overflow, 0)
-    window_starts = (col_j * ccp + w_loc).astype(jnp.int32)
 
     # ---- Forward S table --------------------------------------------------
     # The codes path fuses the sender-slot decode into the S tile sweep
@@ -866,7 +1091,9 @@ def build_cellblock(
             sp_cz = sp_cells_t % g
             sp_start = jnp.take(cstart_rel.reshape(-1), sp_cells_t)
             sp_rs = sp_start + sp_ranks_t
-            sp_slot = jnp.where(sp_rs < cc, sp_col * cc + sp_rs, num_slots)
+            sp_slot = jnp.where(
+                sp_rs < cc, sp_col * cc + sp_rs, pack_slots
+            )
             sp_aux = sp_slot * g + jnp.where(sp_rs < cc, sp_cz, 0)
         # Per-slot codes by ROW SCATTER through each particle's slot id —
         # table scatters are fast on this backend, while the previous
@@ -916,8 +1143,10 @@ def build_cellblock(
             .at[slot_idx_sorted]
             .set(sorted_cz, mode="drop", unique_indices=True)
         )
-        slot_ids0 = jnp.arange(num_slots, dtype=jnp.int32)
-        col_q_slot = slot_ids0 // cc
+        # Per-slot query column: arithmetic in the uniform layout, the
+        # boundary-scan map in the variable one (reserve slots clamp to a
+        # real column; their codes are sentinels, so nothing decodes).
+        col_q_slot = csl if spec.variable else slot_ids_i // cc
     if neighbor_codes is not None and not fuse_codes:
         start27_rows = jnp.take(
             cstart27, col_q_slot * g + qz_slot, axis=0
@@ -946,7 +1175,7 @@ def build_cellblock(
             scz = (qz_t[:, None] + dz + g) % g
             sr = start + rank
             ok = valid & (sr < cc)
-            slot = jnp.where(ok, scol * cc + sr, num_slots)
+            slot = jnp.where(ok, scol * cc + sr, pack_slots)  # PACK id
             aux = slot * g + jnp.where(ok, scz, 0)
             if sp_aux is not None:
                 # Spill codes (>= 27 * codes_cap, < sentinel) resolve
@@ -992,11 +1221,11 @@ def build_cellblock(
         # neighbor table. Neighbor entries >= N are no-edge sentinels
         # (halo shards pad candidate rows without neighbor lists): the
         # appended sentinel aux row decodes to "no sender".
-        aux = slot_of_particle * g + jnp.where(
-            slot_of_particle < num_slots, cz, 0
+        aux = pack_of_particle * g + jnp.where(
+            pack_of_particle < pack_slots, cz, 0
         )
         aux_ext = jnp.concatenate(
-            [aux, jnp.full((1,), num_slots * g, aux.dtype)]
+            [aux, jnp.full((1,), pack_slots * g, aux.dtype)]
         )
         nbr_aux = jnp.take(
             jnp.take(
@@ -1032,15 +1261,16 @@ def build_cellblock(
     lo_w = min(_LANE, w_cap)
     hi_w = w_cap // lo_w
 
-    gx_q = (slot_ids // cc) // g
-    gy_q = (slot_ids // cc) % g
+    col_q_all = csl if spec.variable else slot_ids // cc
+    gx_q = col_q_all // g
+    gy_q = col_q_all % g
 
     def s_tile(args):
         nbr_t, const_t, gxq_t, gyq_t, qok_t = args
         rows = nbr_t.shape[0]
-        s_slot = nbr_t // g
+        s_slot = nbr_t // g  # PACK id (col * CC + r) — static-CC stride
         s_cz = nbr_t % g
-        real = s_slot < num_slots
+        real = s_slot < pack_slots
         col_s = s_slot // cc
         r_s = s_slot % cc
         if spec.periodic_x:
@@ -1064,6 +1294,10 @@ def build_cellblock(
         w_s, cp_s, m_s, ca_s, cg1_s = (
             sel[..., 0], sel[..., 1], sel[..., 2], sel[..., 3], sel[..., 4]
         )
+        # Capacity against the sender column's USED rows m_s (uniform:
+        # always true for real packs, so bit-identical; variable: a pack
+        # rank in [m, CC) names a slot the column does not own).
+        in3 = in3 & (r_s < m_s)
         rel_main = cp_s + r_s - w_s
         ok_main = in3 & (rel_main >= 0) & (rel_main < w_cap)
         rank_pre = r_s - cg1_s
@@ -1128,7 +1362,7 @@ def build_cellblock(
                 )
                 aux_sp = jnp.sum(jnp.where(oh, sp_aux, 0), axis=2)
                 slot_sp = aux_sp // g
-                real = is_sp & (slot_sp < num_slots)
+                real = is_sp & (slot_sp < pack_slots)
                 col_sp = slot_sp // cc
                 dxm = (col_sp // g - gxq_t[:, None] + 1 + g) % g
                 dym = (col_sp % g - gyq_t[:, None] + 1 + g) % g
@@ -1204,9 +1438,10 @@ def build_cellblock(
                 jnp.where(oh27, s27_t.reshape(rows, 1, 27), 0), axis=2
             )  # exact integer one-hot select (f32 einsum would corrupt)
             r_s = start + rank  # sender's per-column compact rank
-            # real slot iff within column capacity (column-overflow
-            # senders fall to the sentinel, exactly like the aux path)
-            ok = valid27 & (r_s < cc)
+            # The capacity check happens against the USED rows m_s after
+            # the per-j const select below (uniform-equivalent to r < CC;
+            # required in the variable layout — see _s_from_codes_fused).
+            ok = valid27
             s_cz = (qz_t[:, None] + j27c % 3 - 1 + g) % g
             j = jnp.where(ok, (j27c // 9) * 3 + (j27c // 3) % 3, 9)
             sp_ring_drop = None
@@ -1230,7 +1465,7 @@ def build_cellblock(
                     )
                     aux_sp = jnp.sum(jnp.where(oh_sp, sp_aux, 0), axis=2)
                     slot_sp = aux_sp // g
-                    real_sp = is_sp & (slot_sp < num_slots)
+                    real_sp = is_sp & (slot_sp < pack_slots)
                     col_sp = slot_sp // cc
                     dxm = (col_sp // g - (col_t // g)[:, None] + 1 + g) % g
                     dym = (col_sp % g - (col_t % g)[:, None] + 1 + g) % g
@@ -1264,6 +1499,7 @@ def build_cellblock(
                 sel[..., 0], sel[..., 1], sel[..., 2], sel[..., 3],
                 sel[..., 4],
             )
+            ok = ok & (r_s < m_s)
             rel_main = cp_s + r_s - w_s
             ok_main = ok & (rel_main >= 0) & (rel_main < w_cap)
             rank_pre = r_s - cg1_s
@@ -1332,9 +1568,30 @@ def build_cellblock(
     s_rev_table = None
     reverse_mismatch = None
     if with_reverse:
+        # Each slot's main-image position in the padded image, and each
+        # tile's PACK-space base (senders in nbr_aux_slots are pack ids;
+        # tile t's rows are pack ids [base, base + QB) of its column).
+        if spec.variable:
+            main_pos_slot = (
+                jnp.take(pprefix, csl) + jnp.take(c_pre, csl) + slot_r_var
+            )
+            # Reserve tiles get a base past every sender value (senders
+            # are <= the pack sentinel): local = sender - base < 0 always.
+            tile_pack_base = jnp.where(
+                tile_col_raw < num_cols, tile_col * cc + a_row,
+                pack_slots + qb,
+            )
+        else:
+            main_pos_slot = (
+                (slot_ids // cc) * ccp
+                + jnp.take(c_pre, slot_ids // cc)
+                + slot_ids % cc
+            )
+            tile_pack_base = jnp.arange(num_tiles, dtype=jnp.int32) * qb
         s_rev_table, rev_total = _build_reverse_table(
-            nbr_aux_slots // g, pad_src, window_starts,
-            c_pre, spec, mode=s_build, interpret=interpret,
+            nbr_aux_slots // g, pad_src, window_starts, window_lims,
+            main_pos_slot, tile_pack_base, pack_slots, spec,
+            mode=s_build, interpret=interpret,
         )
         fwd_total = (
             jnp.sum(s_table.astype(jnp.int32)).astype(jnp.int32)
@@ -1357,8 +1614,8 @@ def build_cellblock(
 
 
 def _build_reverse_table(
-    nbr_slots_tbl, pad_src, window_starts, c_pre, spec,
-    mode="contract", interpret=None,
+    nbr_slots_tbl, pad_src, window_starts, window_lims, main_pos_slot,
+    tile_pack_base, pack_slots, spec, mode="contract", interpret=None,
 ):
     """Transpose selection table ``S_rev[tile, (j, off), local sender]``:
     entry counts the edges whose RECEIVER is the particle at padded-window
@@ -1383,34 +1640,32 @@ def _build_reverse_table(
     (the [T*9W, k+1] minor-dim-33 rows pad to 128 lanes;
     benchmarks/results/cb_parts_r3.json).
 
-    ``nbr_slots_tbl``: ``[num_slots, k]`` sender slots per receiver SLOT
-    row (padding rows hold the ``num_slots`` sentinel).
+    ``nbr_slots_tbl``: ``[num_slots, k]`` sender PACK ids per receiver SLOT
+    row (padding rows hold the ``pack_slots`` sentinel); ``tile_pack_base``
+    is each tile's first pack id (uniform: ``t * QB``; variable:
+    ``tile_col * CC + a_row``; reserve tiles carry ``pack_slots`` so they
+    match nothing), ``main_pos_slot`` each slot's main-image padded row.
     """
     g, cc, qb, w_cap = (spec.grid_size, spec.col_capacity,
                         spec.query_block, spec.window)
-    num_slots, num_tiles, ccp = spec.num_slots, spec.num_tiles, spec.padded_col
+    num_slots, num_tiles = spec.num_slots, spec.num_tiles
     k = nbr_slots_tbl.shape[1]
-    slot_ids = jnp.arange(num_slots, dtype=jnp.int32)
-    main_pos_slot = (
-        (slot_ids // cc) * ccp
-        + jnp.take(c_pre, slot_ids // cc)
-        + slot_ids % cc
-    )
     packed = jnp.concatenate(
         [nbr_slots_tbl, main_pos_slot[:, None]], axis=1
     )  # [num_slots, k+1]
     packed_ext = jnp.concatenate(
-        [packed, jnp.full((1, k + 1), num_slots, packed.dtype)]
+        [packed, jnp.full((1, k + 1), pack_slots, packed.dtype)]
     )
     packed_pad = jnp.take(
         packed_ext, pad_src, axis=0, mode="clip"
     )  # [num_padded, k+1]; sentinel rows read the sentinel line
     packed_pad = jnp.concatenate(
-        [packed_pad, jnp.full((1, k + 1), num_slots, packed.dtype)]
+        [packed_pad, jnp.full((1, k + 1), pack_slots, packed.dtype)]
     )
     if mode == "kernel":
         return _reverse_table_kernel(
-            packed_pad, window_starts, spec, k, interpret
+            packed_pad, window_starts, window_lims, tile_pack_base, spec,
+            k, interpret,
         )
 
     # Factor the row one-hot as [f1] x [f2] (f1*f2 == QB) with f2 near 16 —
@@ -1419,7 +1674,8 @@ def _build_reverse_table(
     f1 = qb // f2
 
     def rev_chunk(args):
-        starts_c, tile_idx_c = args  # [T, 9], [T]
+        # [T, 9], [T, 9], [T] (pack-space base)
+        starts_c, lims_c, tile_base_c = args
         t_chunk = starts_c.shape[0]
         offs = jnp.arange(w_cap, dtype=jnp.int32)
         rows = starts_c[:, :, None] + offs[None, None, :]  # [T, 9, W]
@@ -1429,16 +1685,21 @@ def _build_reverse_table(
         senders = win[..., :k]  # [T, 9W, k] sender slots of each candidate
         main_pos = win[..., k]  # [T, 9W]
         # Dedup: the candidate row speaks for its particle iff it IS the
-        # main image, or the main image lies outside this window.
+        # main image, or the main image lies outside this window. The
+        # in-column limit masks rows past the ring column's packed span
+        # (windows can bleed into the next column in the variable layout).
         pos = rows.reshape(t_chunk, 9 * w_cap)
         w_arr = starts_c[:, :, None]
         in_win = (
             (main_pos.reshape(t_chunk, 9, w_cap) >= w_arr)
             & (main_pos.reshape(t_chunk, 9, w_cap) < w_arr + w_cap)
         ).reshape(t_chunk, 9 * w_cap)
-        canonical = (main_pos == pos) | ~in_win
-        tile_base = tile_idx_c[:, None, None] * qb
-        local = senders - tile_base  # [T, 9W, k]
+        in_col = (offs[None, None, :] < lims_c[:, :, None]).reshape(
+            t_chunk, 9 * w_cap
+        )
+        canonical = ((main_pos == pos) | ~in_win) & in_col
+        tile_base = tile_base_c[:, None, None]
+        local = senders - tile_base  # [T, 9W, k] pack-relative rank
         valid = (
             (local >= 0) & (local < qb) & canonical[:, :, None]
         )
@@ -1462,20 +1723,23 @@ def _build_reverse_table(
     t_chunk = min(_REV_BUILD_TILES, num_tiles)
     pad_t = (-num_tiles) % t_chunk
     starts = window_starts
-    tile_idx = jnp.arange(num_tiles, dtype=jnp.int32)
+    lims = window_lims
+    tile_base = tile_pack_base
     if pad_t:
-        # Padding tiles read window 0 but match no senders (their slot
-        # range lies beyond num_slots).
+        # Padding tiles read window 0 but match no senders (their pack
+        # base lies past every sender value, incl. the sentinel).
         starts = jnp.pad(starts, ((0, pad_t), (0, 0)))
-        tile_idx = jnp.pad(
-            tile_idx, (0, pad_t), constant_values=num_tiles + pad_t
+        lims = jnp.pad(lims, ((0, pad_t), (0, 0)))
+        tile_base = jnp.pad(
+            tile_base, (0, pad_t), constant_values=pack_slots + qb
         )
     chunks = (num_tiles + pad_t) // t_chunk
     s_chunks, totals = jax.lax.map(
         rev_chunk,
         (
             starts.reshape(chunks, t_chunk, 9),
-            tile_idx.reshape(chunks, t_chunk),
+            lims.reshape(chunks, t_chunk, 9),
+            tile_base.reshape(chunks, t_chunk),
         ),
     )
     s_rev = s_chunks.reshape(num_tiles + pad_t, spec.s_width, qb)[:num_tiles]
@@ -1483,7 +1747,10 @@ def _build_reverse_table(
     return s_rev, jnp.sum(totals).astype(jnp.int32)
 
 
-def _reverse_table_kernel(packed_pad, window_starts, spec, k, interpret):
+def _reverse_table_kernel(
+    packed_pad, window_starts, window_lims, tile_pack_base, spec, k,
+    interpret,
+):
     """Pallas reverse-table build: fuse the per-tile window reads (dynamic
     ``pl.Element`` starts, scalar-prefetched in 16-row units like the
     aggregation kernel) with the sender one-hot accumulate on the VPU.
@@ -1507,12 +1774,12 @@ def _reverse_table_kernel(packed_pad, window_starts, spec, k, interpret):
 
     qpad = spec.rev_lanes
 
-    def kernel(starts_ref, lane0_ref, *wins_and_out):
+    def kernel(starts_ref, lane0_ref, tbase_ref, lims_ref, *wins_and_out):
         del lane0_ref  # lane-index divisibility token, see win_spec
         wins = wins_and_out[:9]
         out_ref = wins_and_out[9]
         t = pl.program_id(0)
-        tbase = t * qb
+        tbase = tbase_ref[t]  # tile's PACK-space base (see caller)
         q_iota = jax.lax.broadcasted_iota(jnp.int32, (w, qpad), 1)
         pos_rel = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
         for j in range(9):
@@ -1522,8 +1789,12 @@ def _reverse_table_kernel(packed_pad, window_starts, spec, k, interpret):
             in_win = (main >= start) & (main < start + w)
             # A candidate row speaks for its particle iff it IS the main
             # image or the main image lies outside this window (identical
-            # dedup rule to the contract path / forward build).
-            canonical = (main == start + pos_rel) | ~in_win
+            # dedup rule to the contract path / forward build), and lies
+            # within the ring column's packed span (variable-layout
+            # windows can bleed into the next column's rows).
+            canonical = ((main == start + pos_rel) | ~in_win) & (
+                pos_rel < lims_ref[t * 9 + j]
+            )
             # int32 accumulator: Mosaic cannot lower int8 vector adds on
             # this backend (arith.addi on i8 vectors rejected at backend
             # compile); cast to int8 only at the block write.
@@ -1536,6 +1807,10 @@ def _reverse_table_kernel(packed_pad, window_starts, spec, k, interpret):
             out_ref[0, j * w : (j + 1) * w, :] = acc.astype(jnp.int8)
 
     starts16 = (window_starts // 16).reshape(-1)
+    # In-column limits ride scalar prefetch too, flattened to 1-D (a
+    # [T, 9] SMEM operand lane-pads the minor dim to 128 and blows the
+    # 1 MB SMEM budget — backend-compile reject, see CLAUDE.md).
+    lims_flat = window_lims.reshape(-1).astype(jnp.int32)
 
     def win_spec(j):
         # The lane index is an opaque prefetched zero times 128: Mosaic's
@@ -1545,22 +1820,25 @@ def _reverse_table_kernel(packed_pad, window_starts, spec, k, interpret):
         # divides index", backend compile only).
         return pl.BlockSpec(
             (pl.Element(w), pl.Element(_LANE)),
-            lambda t, st, lz, j=j: (st[t * 9 + j] * 16, lz[0] * _LANE),
+            lambda t, st, lz, tb, lm, j=j: (st[t * 9 + j] * 16, lz[0] * _LANE),
         )
 
     lane0 = jnp.zeros((1,), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[win_spec(j) for j in range(9)],
-        out_specs=pl.BlockSpec((1, sw, qpad), lambda t, st, lz: (t, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (1, sw, qpad), lambda t, st, lz, tb, lm: (t, 0, 0)
+        ),
     )
     srt = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, sw, qpad), jnp.int8),
         interpret=interpret,
-    )(starts16, lane0, *([packed_pad] * 9))
+    )(starts16, lane0, tile_pack_base.astype(jnp.int32), lims_flat,
+      *([packed_pad] * 9))
     # Edge total for the reverse_mismatch certificate, summed outside the
     # kernel (a [T, 128] per-tile totals output would need 1-sublane int32
     # blocks, below Mosaic's (8, 128) tile floor — rejected at backend

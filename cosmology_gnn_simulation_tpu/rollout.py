@@ -101,6 +101,7 @@ def integrate_step(
         "exactness_guard",
         "aggregation",
         "cellblock_spec",
+        "cellblock_variable",
         "fused_tail",
         "sorted_state",
         "s_build",
@@ -123,6 +124,7 @@ def rollout(
     exactness_guard: str = "flag",
     aggregation: str = "gather",
     cellblock_spec=None,
+    cellblock_variable: bool = False,
     fused_tail: Optional[bool] = None,
     sorted_state: str = "auto",
     s_build: str = "auto",
@@ -215,6 +217,14 @@ def rollout(
                 "cellblock aggregation supports exactness_guard "
                 "'flag'/'off' (brute-force fallback neighbors can exceed "
                 "the one-cell window the selection matrices cover)"
+            )
+        if cellblock_spec is None and cellblock_variable:
+            from cosmology_gnn_simulation_tpu.ops.cellblock import (
+                choose_cellblock_spec,
+            )
+
+            cellblock_spec = choose_cellblock_spec(
+                initial_positions.shape[1], num_neighbors, variable=True
             )
         return _cellblock_rollout(
             params, model_config,
@@ -676,6 +686,7 @@ def _cellblock_rollout(
         "neighbor_method",
         "aggregation",
         "cellblock_spec",
+        "cellblock_variable",
     ),
 )
 def one_step_prediction(
@@ -691,6 +702,7 @@ def one_step_prediction(
     neighbor_method: str = "auto",
     aggregation: str = "gather",
     cellblock_spec=None,
+    cellblock_variable: bool = False,
 ):
     """Predict the next frame from a ``[W, N, ·]`` window
     (``one_step_test.py:67-105`` semantics, fully jitted).
@@ -714,6 +726,7 @@ def one_step_prediction(
             stats, num_neighbors, min_image_velocity, dtype,
             neighbor_method, cellblock_spec,
             "hybrid" if aggregation == "cellblock_hybrid" else "slots",
+            cellblock_variable,
         )
     graph = featurize(
         position_seq,
@@ -742,6 +755,7 @@ def one_step_prediction(
 def _cellblock_one_step(
     params, model_config, position_seq, temperature_seq, stats, k,
     min_image_velocity, dtype, method, spec, cellblock_mode,
+    variable=False,
 ):
     """One-step prediction through the cell-block aggregation path.
 
@@ -760,7 +774,7 @@ def _cellblock_one_step(
     n = position_seq.shape[1]
     box = stats.box_size
     if spec is None:
-        spec = choose_cellblock_spec(n, k)
+        spec = choose_cellblock_spec(n, k, variable=variable)
     s_build = "kernel" if jax.default_backend() == "tpu" else "contract"
     codes_ok = choose_cell_grid(n, k).grid_size == spec.grid_size
     wrapped = wrap_positions(position_seq[-1], box)

@@ -93,6 +93,11 @@ class TrainConfig:
     # transposed; exactness is certified per batch
     # (``cellblock_violations`` metric, checked at epoch end).
     aggregation: str = "gather"
+    # Variable per-column slot capacities for the cellblock layouts
+    # (ops/cellblock.py CellBlockSpec.slot_budget): cuts the slot-padding
+    # row tax from the Poisson tail (~1.3-1.4x) to the QB-rounding floor
+    # (~1.1x). Same semantics/certificates; cubic-periodic specs only.
+    cellblock_variable: bool = False
     # Fused step-tail Pallas kernel in the TRAIN step (ops/fused_step.py;
     # differentiable since round 4 — fused recompute-backward with in-VMEM
     # weight-grad accumulation). None = auto: on for real-TPU pruned bf16
@@ -213,7 +218,10 @@ def make_train_step(
             choose_cellblock_spec,
         )
 
-        spec = choose_cellblock_spec(pos.shape[1], tc.num_neighbors)
+        spec = choose_cellblock_spec(
+            pos.shape[1], tc.num_neighbors,
+            variable=tc.cellblock_variable,
+        )
         plan = build_cellblock(
             graph.positions, graph.neighbors, stats.box_size, spec,
             with_reverse=True,
@@ -319,7 +327,10 @@ def make_eval_step(
             )
 
             graph, codes, codes_cap, spill = graph
-            spec = choose_cellblock_spec(pos.shape[1], tc.num_neighbors)
+            spec = choose_cellblock_spec(
+                pos.shape[1], tc.num_neighbors,
+                variable=tc.cellblock_variable,
+            )
             plan = build_cellblock(
                 graph.positions, graph.neighbors, stats.box_size, spec,
                 neighbor_codes=codes, codes_cap=codes_cap,

@@ -437,3 +437,162 @@ def test_s_from_codes_fused_kernel_spill():
     np.testing.assert_array_equal(np.asarray(a.s_table), np.asarray(b.s_table))
     for f in ("overflow", "dropped_edges", "window_overflow"):
         assert int(getattr(a, f)) == int(getattr(b, f)), f
+
+
+# ---------------------------------------------------------------------------
+# Variable per-column capacities (round 4): slot_budget > 0 packs columns at
+# QB granularity behind data-dependent prefixes. Contract: identical
+# aggregation results and certificates; only the slot-table layout changes.
+# ---------------------------------------------------------------------------
+
+
+def _variable_spec(n, k, query_block=32):
+    spec = choose_cellblock_spec(n, k, query_block=query_block, variable=True)
+    assert spec.variable and spec.slot_budget % spec.query_block == 0
+    return spec
+
+
+def test_variable_spec_chooser():
+    spec = _variable_spec(3000, 5)
+    spec.validate()
+    uniform = choose_cellblock_spec(3000, 5, query_block=32)
+    # The budget undercuts the uniform layout's slot count (the whole
+    # point) while covering the expected QB-rounded occupancy.
+    assert spec.num_slots < uniform.num_slots
+    assert spec.num_slots >= 3000
+    with pytest.raises(ValueError):  # budget must be a QB multiple
+        spec._replace(slot_budget=spec.slot_budget + 1).validate()
+    with pytest.raises(ValueError):  # halo slabs are uniform-only
+        spec._replace(grid_x=spec.grid_size + 2, periodic_x=False).validate()
+
+
+@pytest.mark.parametrize("n,k", [(200, 4), (3000, 5)])
+def test_variable_matches_gather_sum_oracle(n, k):
+    pos, nbr, z = _fixture(n=n, k=k)
+    spec = _variable_spec(n, k)
+    plan = build_cellblock(pos, nbr, 1.0, spec)
+    assert int(plan.overflow) == 0
+    assert int(plan.dropped_edges) == 0
+    assert int(plan.window_overflow) == 0
+    nbr_sorted = sort_neighbors(nbr, plan.order)
+    z_sorted = z[plan.order]
+    got = cellblock_aggregate(z_sorted, plan, spec, interpret=True)
+    z_bf = z_sorted.astype(jnp.bfloat16).astype(jnp.float32)
+    want = reference_cellblock_aggregate(z_bf, nbr_sorted)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-6,
+                               atol=2e-6)
+    # Edge totals preserved (no edge lost to the packed layout).
+    assert int(np.asarray(plan.s_table, np.int64).sum()) == nbr.size
+
+
+@pytest.mark.parametrize("n", [180, 3000])
+def test_variable_vjp_matches_oracle(n):
+    pos, nbr, z = _fixture(n=n, k=4, h=16, seed=6)
+    spec = _variable_spec(n, 4)
+    plan = build_cellblock(pos, nbr, 1.0, spec, with_reverse=True)
+    assert int(plan.reverse_mismatch) == 0
+    nbr_sorted = sort_neighbors(nbr, plan.order)
+    z_sorted = z[plan.order]
+    w = jnp.asarray(
+        np.random.default_rng(9).standard_normal((16,)), jnp.float32
+    )
+
+    def f_cb(x):
+        slots = expand_to_slots(x, plan)
+        out = cellblock_aggregate_slots(
+            slots, plan, spec, carry_dtype=jnp.float32, interpret=True
+        )
+        return jnp.sum(compact_from_slots(out, plan) ** 2 @ w)
+
+    def f_oracle(x):
+        return jnp.sum(
+            reference_cellblock_aggregate(x, nbr_sorted) ** 2 @ w
+        )
+
+    np.testing.assert_allclose(
+        float(f_cb(z_sorted)), float(f_oracle(z_sorted)), rtol=1e-5
+    )
+    g_cb = jax.grad(f_cb)(z_sorted)
+    g_oracle = jax.grad(f_oracle)(z_sorted)
+    np.testing.assert_allclose(
+        np.asarray(g_cb), np.asarray(g_oracle), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_variable_kernel_builds_match_contract():
+    """Pallas S / reverse builds under the variable layout are bit-identical
+    to the contract path (interpret mode)."""
+    pos, nbr, _ = _fixture(n=3000, k=5, seed=3)
+    spec = _variable_spec(3000, 5)
+    a = build_cellblock(pos, nbr, 1.0, spec, with_reverse=True)
+    b = build_cellblock(
+        pos, nbr, 1.0, spec, with_reverse=True, s_build="kernel"
+    )
+    np.testing.assert_array_equal(np.asarray(a.s_table), np.asarray(b.s_table))
+    np.testing.assert_array_equal(
+        np.asarray(a.s_rev_table), np.asarray(b.s_rev_table)
+    )
+    assert int(a.reverse_mismatch) == int(b.reverse_mismatch) == 0
+    assert int(a.dropped_edges) == int(b.dropped_edges)
+
+
+@pytest.mark.parametrize("n", [200, 3000])
+def test_variable_neighbor_codes_paths(n):
+    """Codes-path plans (two-sweep, fused lax.map, fused kernel) under the
+    variable layout are all bit-identical to the aux path."""
+    from cosmology_gnn_simulation_tpu.ops.cell_list import CellGrid
+    from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
+        codes_packing_cap,
+        pallas_cell_list_knn,
+    )
+
+    rng = np.random.default_rng(12)
+    pos = jnp.asarray(rng.uniform(0, 1.0, size=(n, 3)), jnp.float32)
+    spec = _variable_spec(n, 4)
+    g = spec.grid_size
+    cap = max(8, int(np.ceil(n / g**3 * 4)))
+    grid = CellGrid(grid_size=g, cell_capacity=cap)
+    nbr, codes, spill = pallas_cell_list_knn(
+        pos, 4, 1.0, grid, with_codes=True, interpret=True
+    )
+    cap_out = codes_packing_cap(n, 4, grid)
+    a = build_cellblock(pos, nbr, 1.0, spec, with_reverse=True)
+    b = build_cellblock(
+        pos, nbr, 1.0, spec, with_reverse=True,
+        neighbor_codes=codes, codes_cap=cap_out, codes_spill=spill,
+    )
+    c = build_cellblock(
+        pos, None, 1.0, spec, s_build="contract",
+        neighbor_codes=codes, codes_cap=cap_out, codes_spill=spill,
+    )
+    d = build_cellblock(
+        pos, None, 1.0, spec, s_build="kernel",
+        neighbor_codes=codes, codes_cap=cap_out, codes_spill=spill,
+    )
+    for other in (b, c, d):
+        np.testing.assert_array_equal(
+            np.asarray(a.s_table), np.asarray(other.s_table)
+        )
+    np.testing.assert_array_equal(
+        np.asarray(a.s_rev_table), np.asarray(b.s_rev_table)
+    )
+    for f in ("overflow", "dropped_edges", "window_overflow"):
+        assert int(getattr(a, f)) == int(getattr(b, f)) == int(
+            getattr(c, f)
+        ) == int(getattr(d, f)), f
+
+
+def test_variable_budget_overflow_is_loud():
+    """A budget too small for the data trips the overflow counter (columns
+    past the clamped prefix own zero slots) — never a silent drop."""
+    pos, nbr, z = _fixture(n=3000, k=4, seed=2)
+    spec = _variable_spec(3000, 4)
+    tight = spec._replace(
+        slot_budget=(3000 // 2) // spec.query_block * spec.query_block
+    )
+    tight.validate()
+    plan = build_cellblock(pos, nbr, 1.0, tight)
+    assert int(plan.overflow) > 0
+    # The aggregation still runs (overflowed rows clamp to the zero row).
+    out = cellblock_aggregate(z[plan.order], plan, tight, interpret=True)
+    assert np.all(np.isfinite(np.asarray(out)))

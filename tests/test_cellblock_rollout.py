@@ -133,6 +133,26 @@ def test_cellblock_hybrid_matches_slots_mode():
     )
 
 
+def test_cellblock_hybrid_variable_rollout_matches_gather():
+    """Variable per-column capacities (round 4) through the full hybrid
+    rollout: identical trajectories to gather, certificate on every step."""
+    params, mc, pos, temp, stats = _setup()
+    base = rollout(params, mc, pos, temp, stats, 3, num_neighbors=8)
+    cb = rollout(
+        params, mc, pos, temp, stats, 3, num_neighbors=8,
+        aggregation="cellblock_hybrid", cellblock_variable=True,
+    )
+    assert bool(cb["neighbor_exactness"].all())
+    np.testing.assert_allclose(
+        np.asarray(cb["Coordinates"]), np.asarray(base["Coordinates"]),
+        rtol=0, atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cb["Coordinates"][5]), np.asarray(base["Coordinates"][5]),
+        rtol=0, atol=1e-5,
+    )
+
+
 def test_one_step_prediction_cellblock_matches_gather():
     """one_step_prediction --aggregation parity (CLI flag symmetry): the
     cell-block one-step path returns the gather path's prediction in the

@@ -116,9 +116,15 @@ def test_cellblock_training_reduces_loss():
     assert losses[-1] < losses[0]
 
 
-def test_cellblock_hybrid_train_step_matches_gather():
+import pytest
+
+
+@pytest.mark.parametrize("variable", [False, True])
+def test_cellblock_hybrid_train_step_matches_gather(variable):
     """Hybrid mode trains: the VJP chain is compact^T -> S^T kernel ->
-    expand^T around the particle-space tail."""
+    expand^T around the particle-space tail. ``variable`` additionally
+    exercises the round-4 packed slot layout end-to-end through the
+    train-step backward."""
     stats, mc, params, batch = _setup()
     key = jax.random.PRNGKey(7)
 
@@ -128,7 +134,9 @@ def test_cellblock_hybrid_train_step_matches_gather():
         params, opt.init(params), batch, key
     )
 
-    tc_h = _common_tc(aggregation="cellblock_hybrid")
+    tc_h = _common_tc(
+        aggregation="cellblock_hybrid", cellblock_variable=variable
+    )
     p_h, _, m_h = make_train_step(mc, stats, tc_h, opt)(
         params, opt.init(params), batch, key
     )
