@@ -125,6 +125,7 @@ def neighbor_search_certified(
     query_tile: int = 512,
     with_codes: bool = False,
     codes_only: bool = False,
+    codes_layout: str = "particle",
 ):
     """Neighbor search + a traced exactness certificate, usable INSIDE jit
     (e.g. every step of a rollout scan — clustered distributions can break
@@ -180,6 +181,7 @@ def neighbor_search_certified(
                     positions, k, box_size, grid,
                     return_diagnostics=True, with_codes=True,
                     codes_only=codes_only,
+                    codes_layout=codes_layout if codes_only else "particle",
                 )
             )
             codes_cap = codes_packing_cap(n, k, grid)

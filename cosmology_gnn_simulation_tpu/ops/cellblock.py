@@ -652,7 +652,8 @@ def _onehot_contract(jh, lo, valid, n_jh, n_lo):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "spec", "with_reverse", "s_build", "codes_cap", "interpret"
+        "spec", "with_reverse", "s_build", "codes_cap", "interpret",
+        "codes_layout",
     ),
 )
 def build_cellblock(
@@ -667,6 +668,7 @@ def build_cellblock(
     codes_spill: Optional[tuple] = None,
     interpret: Optional[bool] = None,
     valid: Optional[jnp.ndarray] = None,
+    codes_layout: str = "particle",
 ) -> CellBlockGraph:
     """Build the per-graph plan: binning, sort order, windows, S table(s).
 
@@ -708,6 +710,18 @@ def build_cellblock(
     particle's cell and in-cell stable-sort rank, from which its sender
     slot is derived exactly like a ring code's (the sorts share the key).
 
+    ``codes_layout="table"`` (round 4): ``neighbor_codes`` is the kNN
+    kernel's raw CELL-TABLE output ``[G^3 * codes_cap, k]`` (row
+    ``cell * codes_cap + rank``; ``pallas_cell_list_knn(...,
+    codes_layout="table")``). The slot layout visits table rows in
+    ascending (col, cz, rank) order — the identical stable sort key — so
+    the per-slot codes map becomes ONE quasi-monotone row gather,
+    replacing the particle layout's inverse-permutation sort + ``[N, k]``
+    row scatter here AND the kNN wrapper's random ``[N, k]`` re-order
+    gather. ``codes_spill`` must then carry the kernel's third element
+    (the solved spill queries' code picks), scattered into the spilled
+    particles' own slots.
+
     ``valid``: optional ``[N]`` bool — rows marked False (padding slots of
     a halo shard's candidate buffer) are binned past every real cell: they
     occupy no slot, appear in no window, and are excluded from the
@@ -734,6 +748,16 @@ def build_cellblock(
         raise ValueError("neighbor_codes and codes_cap go together")
     if neighbors is None and neighbor_codes is None:
         raise ValueError("neighbors=None requires neighbor_codes")
+    if codes_layout not in ("particle", "table"):
+        raise ValueError(f"unknown codes_layout: {codes_layout}")
+    if codes_layout == "table":
+        if neighbor_codes is None:
+            raise ValueError("codes_layout='table' requires neighbor_codes")
+        if codes_spill is not None and len(codes_spill) != 3:
+            raise ValueError(
+                "codes_layout='table' needs the kNN kernel's 3-element "
+                "spill info (cells, ranks, solved picks)"
+            )
     spec.validate()
     g = spec.grid_size
     gxd = spec.gx  # x-cells (== g on the default cubic grid)
@@ -1080,12 +1104,13 @@ def build_cellblock(
         # the spill block is active).
         code_sentinel = 27 * codes_cap + spill_len
         sp_aux = None
+        sp_slot_q = sp_code_picks = None
         if spill_len:
             # Per spill candidate: packed sender aux (slot * G + cz), the
             # same convention as the aux path — derived from its cell and
             # in-cell rank (unused slots carry rank 2**20 -> the overflow
             # sentinel). Tiny [spill_len] arrays, computed once.
-            sp_cells_t, sp_ranks_t = codes_spill
+            sp_cells_t, sp_ranks_t = codes_spill[0], codes_spill[1]
             sp_cells_t = jnp.clip(sp_cells_t, 0, g**3 - 1)
             sp_col = sp_cells_t // g
             sp_cz = sp_cells_t % g
@@ -1095,29 +1120,97 @@ def build_cellblock(
                 sp_rs < cc, sp_col * cc + sp_rs, pack_slots
             )
             sp_aux = sp_slot * g + jnp.where(sp_rs < cc, sp_cz, 0)
-        # Per-slot codes by ROW SCATTER through each particle's slot id —
-        # table scatters are fast on this backend, while the previous
-        # two-level gather (order[particle_of_slot] -> codes row gather)
-        # cost ~2.4 ms of the 6.4 ms flagship plan (planparts_r4.json).
-        # Slotless rows (column overflow) all write the discarded row
-        # num_slots; empty slots keep the sentinel fill.
-        _, slot_of_particle_codes = jax.lax.sort_key_val(
-            order, slot_of_sorted
-        )
-        # Slotless particles get unique out-of-range indices (dropped) so
-        # unique_indices holds exactly (the bucket_boundaries pattern).
+            if codes_layout == "table":
+                # The spilled particle's OWN slot (real slot id, not the
+                # pack encoding): its codes row comes from the kernel's
+                # solved spill picks, not from the table (it owns no table
+                # row). Unused spill slots carry rank 2**20 -> an
+                # out-of-range target, dropped by the scatter.
+                sp_code_picks = codes_spill[2].astype(jnp.int32)
+                if spec.variable:
+                    sp_in = sp_rs < jnp.take(cap_col, sp_col)
+                    sp_slot_q = jnp.where(
+                        sp_in, jnp.take(prefix, sp_col) + sp_rs, num_slots
+                    )
+                else:
+                    sp_slot_q = jnp.where(
+                        sp_rs < cc, sp_col * cc + sp_rs, num_slots
+                    )
         p_iota = jnp.arange(n, dtype=jnp.int32)
-        slot_idx = jnp.where(
-            slot_of_particle_codes < num_slots,
-            slot_of_particle_codes,
-            num_slots + p_iota,
-        )
-        codes_slots = (
-            jnp.full((num_slots, k), code_sentinel, jnp.int32)
-            .at[slot_idx]
-            .set(neighbor_codes.astype(jnp.int32), mode="drop",
-                 unique_indices=True)
-        )  # [num_slots, k]
+        if codes_layout == "table":
+            # Per-slot codes by ONE quasi-monotone row gather straight out
+            # of the kNN kernel's cell-table output: slot (col, r) holds
+            # the column's r-th particle = table row
+            # cell * cap + (in-cell rank), and slot order ascends through
+            # (col, cz, rank) — the gather indices are non-decreasing
+            # (monotone row gathers run ~2x the random rate on this
+            # backend). Replaces the particle layout's inverse-permutation
+            # N-key sort + [N, k] row scatter below AND the kNN wrapper's
+            # random [N, k] re-order gather. The per-slot table row rides
+            # the same sorted-order scatter pattern as qz_slot.
+            exp_rows = num_cells * codes_cap
+            if neighbor_codes.shape[0] != exp_rows:
+                raise ValueError(
+                    f"table-layout codes have {neighbor_codes.shape[0]} "
+                    f"rows, expected G^3*cap = {exp_rows}"
+                )
+            cellrank = p_iota - jnp.take(
+                gstart, jnp.minimum(sorted_cell, num_cells)
+            )
+            # Overflowed particles (in-cell rank >= cap) read their cell's
+            # clamped last row — identical to the particle-layout wrapper's
+            # table_row clamp (loud via the kNN overflow count; under the
+            # spill design their rows are overwritten by the spill scatter
+            # below).
+            trow_sorted = jnp.minimum(sorted_cell, num_cells - 1) * (
+                codes_cap
+            ) + jnp.clip(cellrank, 0, codes_cap - 1)
+            slot_idx_sorted = jnp.where(
+                slot_of_sorted < num_slots, slot_of_sorted, num_slots + p_iota
+            )
+            trow_slot = (
+                jnp.full((num_slots,), exp_rows, jnp.int32)
+                .at[slot_idx_sorted]
+                .set(trow_sorted, mode="drop", unique_indices=True)
+            )
+            codes_tbl_ext = jnp.concatenate(
+                [neighbor_codes.astype(jnp.int32),
+                 jnp.full((1, k), code_sentinel, jnp.int32)]
+            )
+            codes_slots = jnp.take(
+                codes_tbl_ext, trow_slot, axis=0, mode="clip"
+            )  # [num_slots, k]
+            if sp_slot_q is not None:
+                # Spilled particles own no table row: inject the kernel's
+                # solved picks at their slots (tiny [spill_len, k] scatter).
+                codes_slots = codes_slots.at[sp_slot_q].set(
+                    sp_code_picks, mode="drop"
+                )
+        else:
+            # Per-slot codes by ROW SCATTER through each particle's slot
+            # id — table scatters are fast on this backend, while the
+            # round-3 two-level gather (order[particle_of_slot] -> codes
+            # row gather) cost ~2.4 ms of the 6.4 ms flagship plan
+            # (planparts_r4.json). Slotless rows (column overflow) all
+            # write the discarded row num_slots; empty slots keep the
+            # sentinel fill.
+            _, slot_of_particle_codes = jax.lax.sort_key_val(
+                order, slot_of_sorted
+            )
+            # Slotless particles get unique out-of-range indices (dropped)
+            # so unique_indices holds exactly (the bucket_boundaries
+            # pattern).
+            slot_idx = jnp.where(
+                slot_of_particle_codes < num_slots,
+                slot_of_particle_codes,
+                num_slots + p_iota,
+            )
+            codes_slots = (
+                jnp.full((num_slots, k), code_sentinel, jnp.int32)
+                .at[slot_idx]
+                .set(neighbor_codes.astype(jnp.int32), mode="drop",
+                     unique_indices=True)
+            )  # [num_slots, k]
         # Clipped compact starts of each cell's 27 neighbors (periodic
         # rolls of the [G, G, G] start table — no gathers).
         cstart3 = cstart_rel.reshape(g, g, g)

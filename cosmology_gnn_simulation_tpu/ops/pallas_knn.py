@@ -329,7 +329,7 @@ def _build_table(positions, g: int, cap: int, box):
     jax.jit,
     static_argnames=(
         "k", "grid", "return_diagnostics", "with_codes", "interpret",
-        "cells_per_block", "lex_carry", "codes_only",
+        "cells_per_block", "lex_carry", "codes_only", "codes_layout",
     ),
 )
 def pallas_cell_list_knn(
@@ -344,6 +344,7 @@ def pallas_cell_list_knn(
     cells_per_block: Optional[int] = None,
     lex_carry: Optional[bool] = None,
     codes_only: bool = False,
+    codes_layout: str = "particle",
 ):
     """Exact periodic k-NN (self-query) via the fused Pallas kernel.
 
@@ -373,6 +374,18 @@ def pallas_cell_list_knn(
     ``None``; exact-distance ties break by smallest lane (lexicographic
     neighbor-cell offset, then in-cell rank) instead of smallest id.
 
+    ``codes_layout="table"`` (requires ``codes_only``): return the codes
+    in the kernel's CELL-TABLE order ``[G^3 * cap, k]`` (row
+    ``cell * cap + rank``) instead of gathering them back to particle
+    order. The cell-block plan build bins by the IDENTICAL key, so its
+    slot layout visits table rows in ascending order — consuming the
+    table directly turns its per-slot codes map into one quasi-monotone
+    row gather and deletes this wrapper's random ``[N, k]`` re-order
+    gather (round 4). ``spill`` then carries a third element: the solved
+    spill queries' code picks ``[spill_cap, k]`` (sentinel rows when no
+    spill), since those rows cannot be scattered into a table the spilled
+    particles have no row of.
+
     With codes, the extras are ``(codes, spill)``: ``spill`` is ``None``
     when the spill block is inactive, else ``(spill_cells, spill_ranks)``
     — per spill slot, the spilled particle's cell id and its stable-sort
@@ -387,6 +400,11 @@ def pallas_cell_list_knn(
     """
     if codes_only:
         with_codes = True
+    if codes_layout not in ("particle", "table"):
+        raise ValueError(f"unknown codes_layout: {codes_layout}")
+    table_codes = codes_layout == "table"
+    if table_codes and not codes_only:
+        raise ValueError("codes_layout='table' requires codes_only=True")
     if k > _LANE:
         raise ValueError(f"k={k} exceeds {_LANE}")
     g = grid.grid_size
@@ -586,11 +604,14 @@ def pallas_cell_list_knn(
     codes = None
     if codes_only:
         codes_tbl, kth_d2 = results[0], results[1]
-        codes = codes_tbl[:num_cells, :, :k].reshape(-1, k)[table_row]
+        codes = codes_tbl[:num_cells, :, :k].reshape(-1, k)
+        if not table_codes:
+            codes = codes[table_row]
         # Exhausted picks carry the num_cand lane sentinel; duplicate the
         # row's first code like the ids path duplicates its first id. The
         # kth output keeps _BIG, so the certificate still fails loudly on
-        # such rows.
+        # such rows. (Table layout: empty table slots keep all-sentinel
+        # rows — the plan build masks them by its own slot-occupancy map.)
         missing = codes >= valid_lanes
         codes = jnp.where(missing, codes[:, :1], codes)
         out = None
@@ -676,9 +697,17 @@ def pallas_cell_list_knn(
                 code_picks = jnp.where(
                     sp_miss, lane_sorted[:, :1], lane_sorted[:, :k]
                 )
-                codes_c = codes_c.at[sp_scatter].set(
-                    code_picks, mode="drop"
-                )
+                if table_codes:
+                    # Spilled particles have no table row: hand their
+                    # solved picks back as a separate [spill_cap, k] block
+                    # (the codes carry IS that buffer in table mode); the
+                    # plan build scatters them into the slots it computes
+                    # for the spill (cell, rank) pairs.
+                    codes_c = code_picks
+                else:
+                    codes_c = codes_c.at[sp_scatter].set(
+                        code_picks, mode="drop"
+                    )
                 if not codes_only:
                     picks = jnp.where(sp_miss, ids_sorted[:, :1],
                                       ids_sorted[:, :k])
@@ -704,22 +733,35 @@ def pallas_cell_list_knn(
             return out_c, codes_c, jnp.zeros((spill_cap,), jnp.float32)
 
         _dummy = jnp.zeros((1, 1), jnp.int32)
+        spill_picks = None
+        if table_codes:
+            # The codes carry is the spill-picks buffer (sentinel-filled
+            # when the solve is skipped); the table-layout codes array is
+            # untouched by the spill solve.
+            codes_carry = jnp.full((spill_cap, k), num_cand, jnp.int32)
+        else:
+            codes_carry = codes if codes is not None else _dummy
         out_r, codes_r, spill_kth = jax.lax.cond(
             jnp.any(spill_valid), _spill_solve, _spill_skip,
-            (out if out is not None else _dummy,
-             codes if codes is not None else _dummy),
+            (out if out is not None else _dummy, codes_carry),
         )
         if out is not None:
             out = out_r
-        if codes is not None:
+        if table_codes:
+            spill_picks = codes_r
+        elif codes is not None:
             codes = codes_r
 
     extras = ()
     if with_codes:
-        spill_info = (
-            (spill_planes["cell"], spill_planes["rank"]) if spill_cap
-            else None
-        )
+        if not spill_cap:
+            spill_info = None
+        elif table_codes:
+            spill_info = (
+                spill_planes["cell"], spill_planes["rank"], spill_picks
+            )
+        else:
+            spill_info = (spill_planes["cell"], spill_planes["rank"])
         extras = (codes, spill_info)
 
     if return_diagnostics:

@@ -582,6 +582,72 @@ def test_variable_neighbor_codes_paths(n):
         ) == int(getattr(d, f)), f
 
 
+@pytest.mark.parametrize("variable", [False, True])
+def test_table_codes_layout_matches_particle(variable):
+    """codes_layout='table' (round 4): a plan consumed straight from the
+    kNN kernel's cell-table codes output (one quasi-monotone gather, no
+    inverse-permutation sort / [N, k] scatter) is bit-identical to the
+    particle-layout plan — spill engaged, both S builds, uniform and
+    variable slot layouts, with and without the reverse table."""
+    from cosmology_gnn_simulation_tpu.ops.cell_list import CellGrid
+    from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
+        codes_packing_cap,
+        pallas_cell_list_knn,
+        spill_layout,
+    )
+
+    rng = np.random.default_rng(7)
+    n, k = 3000, 4
+    spec = _variable_spec(n, k) if variable else SPEC_TILED
+    g = spec.grid_size
+    pos = rng.uniform(0, 1.0, size=(n, 3)).astype(np.float32)
+    # Cram one cell so the spill block engages (spilled particles own no
+    # table row — their solved picks ride the 3rd spill element). 36 is
+    # tuned: 46 spill codes with zero window overflow / dropped edges —
+    # crammed harder the plan itself goes non-exact (the certificate's
+    # job) and the ==0 asserts below would test the wrong thing.
+    pos[:36] = 0.5 / g + rng.uniform(0, 0.2 / g, size=(36, 3))
+    pos = jnp.asarray(pos)
+    cap = max(8, int(np.ceil(n / g**3 * 2.0)))
+    grid = CellGrid(grid_size=g, cell_capacity=cap)
+    assert spill_layout(n, k, grid)[2] > 0
+    cap_out = codes_packing_cap(n, k, grid)
+    _, codes_p, spill_p = pallas_cell_list_knn(
+        pos, k, 1.0, grid, with_codes=True, codes_only=True, interpret=True
+    )
+    _, codes_t, spill_t = pallas_cell_list_knn(
+        pos, k, 1.0, grid, with_codes=True, codes_only=True,
+        codes_layout="table", interpret=True,
+    )
+    assert codes_t.shape == (g**3 * cap_out, k)
+    assert len(spill_t) == 3
+    assert int(jnp.sum(codes_p >= 27 * cap_out)) > 0  # spill codes present
+    for s_build in ("contract", "kernel"):
+        for with_reverse in (False, True):
+            a = build_cellblock(
+                pos, None, 1.0, spec, s_build=s_build,
+                with_reverse=with_reverse,
+                neighbor_codes=codes_p, codes_cap=cap_out,
+                codes_spill=spill_p[:2],
+            )
+            b = build_cellblock(
+                pos, None, 1.0, spec, s_build=s_build,
+                with_reverse=with_reverse,
+                neighbor_codes=codes_t, codes_cap=cap_out,
+                codes_spill=spill_t, codes_layout="table",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(a.s_table), np.asarray(b.s_table)
+            )
+            if with_reverse:
+                np.testing.assert_array_equal(
+                    np.asarray(a.s_rev_table), np.asarray(b.s_rev_table)
+                )
+                assert int(a.reverse_mismatch) == int(b.reverse_mismatch) == 0
+            for f in ("overflow", "dropped_edges", "window_overflow"):
+                assert int(getattr(a, f)) == int(getattr(b, f)), f
+
+
 def test_variable_budget_overflow_is_loud():
     """A budget too small for the data trips the overflow counter (columns
     past the clamped prefix own zero slots) — never a silent drop."""
