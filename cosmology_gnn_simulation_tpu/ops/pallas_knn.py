@@ -117,7 +117,7 @@ def codes_packing_cap(n: int, k: int, grid: CellGrid) -> int:
 def _select_kernel(
     k: int, cells_per_block: int, cap: int, num_cand: int,
     with_codes: bool = False, lex_carry: bool = True, mi_lanes: int = 0,
-    codes_only: bool = False,
+    codes_only: bool = False, row_groups: bool = False,
 ):
     """Build the kernel body: per cell, exact k-smallest-distance selection
     over its candidate row, emitting the selected **particle ids** directly
@@ -147,14 +147,31 @@ def _select_kernel(
     Both enumerate picks in identical exact (d2, id) ascending order.
     """
 
-    def codes_kernel(qx, qy, qz, cx, cy, cz, cids, nref, box_ref, *outs):
+    # Query-row grouping (round 4): the mean cell occupancy is well below
+    # ``cap`` (Poisson lam + 4.5 sigma sizing — lam ~ 9.6 vs cap 24 at the
+    # flagship spec), so ~60% of the selection loop's VPU work runs on
+    # EMPTY query rows. With ``row_groups`` the per-cell body processes the
+    # [cap, num_cand] tile as cap/8 sublane groups of 8 rows, each gated by
+    # ``pl.when(occ > gi * 8)`` on the cell's scalar occupancy — groups
+    # past the occupied rows are skipped entirely (E[ceil(occ/8) * 8] ~
+    # 13.4 of 24 rows at flagship). Skipped groups write the same sentinel
+    # rows (codes = num_cand / id = n, kth = _BIG) the selection emits for
+    # exhausted rows, so outputs stay deterministic.
+    group = 8 if row_groups else cap
+    n_groups = cap // group
+    assert cap % group == 0
+
+    def codes_kernel(qx, qy, qz, cx, cy, cz, cids, nref, box_ref, occ_ref,
+                     *outs):
         codes_ref, kth_ref = outs[0], outs[1]
         n_sentinel = nref[0]
         box = box_ref[0]
-        for c in range(cells_per_block):
-            d2 = jnp.zeros((cap, num_cand), jnp.float32)
+        cell_base = pl.program_id(0) * cells_per_block
+
+        def _codes_rows(c, rows):
+            d2 = jnp.zeros((group, num_cand), jnp.float32)
             for q_ref, c_ref in ((qx, cx), (qy, cy), (qz, cz)):
-                delta = q_ref[c, :][:, None] - c_ref[c, :][None, :]
+                delta = q_ref[c, rows][:, None] - c_ref[c, :][None, :]
                 if mi_lanes:
                     tail = delta[:, num_cand - mi_lanes:]
                     tail = jnp.where(tail > 0.5 * box, tail - box, tail)
@@ -163,17 +180,18 @@ def _select_kernel(
                         [delta[:, : num_cand - mi_lanes], tail], axis=1
                     )
                 d2 = d2 + delta * delta
-            ids_row = jnp.broadcast_to(cids[c, :][None, :], (cap, num_cand))
+            ids_row = jnp.broadcast_to(
+                cids[c, :][None, :], (group, num_cand))
             d2 = jnp.where(ids_row >= n_sentinel, _BIG, d2)
 
-            codes = jnp.zeros((cap, _LANE), jnp.int32)
+            codes = jnp.zeros((group, _LANE), jnp.int32)
             cand_lane = jax.lax.broadcasted_iota(
-                jnp.int32, (cap, num_cand), 1
+                jnp.int32, (group, num_cand), 1
             )
-            out_lane = jax.lax.broadcasted_iota(jnp.int32, (cap, _LANE), 1)
+            out_lane = jax.lax.broadcasted_iota(jnp.int32, (group, _LANE), 1)
             big_lane = jnp.int32(2**30)
-            m = jnp.full((cap, 1), -1.0, jnp.float32)
-            lane_pick = jnp.full((cap, 1), -1, jnp.int32)
+            m = jnp.full((group, 1), -1.0, jnp.float32)
+            lane_pick = jnp.full((group, 1), -1, jnp.int32)
             for j in range(k):
                 # In-place masked re-min keyed by the previous pick's LANE
                 # (lanes are unique per row by construction).
@@ -187,19 +205,40 @@ def _select_kernel(
                 # on later picks — no lane equals num_cand).
                 lane_pick = jnp.where(m < _BIG * 0.5, new_lane, num_cand)
                 codes = jnp.where(out_lane == j, lane_pick, codes)
-            codes_ref[c] = codes
-            kth_ref[c] = m[:, 0]
+            codes_ref[c, rows] = codes
+            kth_ref[c, rows] = m[:, 0]
+
+        for c in range(cells_per_block):
+            if not row_groups:
+                _codes_rows(c, slice(0, cap))
+                continue
+            occ = occ_ref[cell_base + c]
+            for gi in range(n_groups):
+                rows = slice(gi * group, (gi + 1) * group)
+
+                @pl.when(occ > gi * group)
+                def _(c=c, rows=rows):
+                    _codes_rows(c, rows)
+
+                @pl.when(occ <= gi * group)
+                def _(c=c, rows=rows):
+                    codes_ref[c, rows] = jnp.full(
+                        (group, _LANE), num_cand, jnp.int32)
+                    kth_ref[c, rows] = jnp.full(
+                        (group,), _BIG, jnp.float32)
 
     if codes_only:
         return codes_kernel
 
-    def kernel(qx, qy, qz, cx, cy, cz, cids, nref, box_ref, *outs):
+    def kernel(qx, qy, qz, cx, cy, cz, cids, nref, box_ref, occ_ref, *outs):
         out_ref, kth_ref = outs[0], outs[1]
         codes_ref = outs[2] if with_codes else None
         n_sentinel = nref[0]
         box = box_ref[0]
-        for c in range(cells_per_block):
-            d2 = jnp.zeros((cap, num_cand), jnp.float32)
+        cell_base = pl.program_id(0) * cells_per_block
+
+        def _select_rows(c, rows):
+            d2 = jnp.zeros((group, num_cand), jnp.float32)
             for q_ref, c_ref in ((qx, cx), (qy, cy), (qz, cz)):
                 # Candidates arrive PRE-SHIFTED by +-box on wrapped rolls
                 # (gather_cands), so the plain difference IS a valid
@@ -208,7 +247,7 @@ def _select_kernel(
                 # certified regime) and never underestimates the true
                 # distance otherwise — exactness is unchanged, and the
                 # VPU saves the |d| vs box-|d| compare-selects per dim.
-                delta = q_ref[c, :][:, None] - c_ref[c, :][None, :]
+                delta = q_ref[c, rows][:, None] - c_ref[c, :][None, :]
                 if mi_lanes:
                     # The trailing lane tiles carry the GLOBAL spill block
                     # (absolute coordinates from anywhere in the box) —
@@ -223,17 +262,18 @@ def _select_kernel(
                         [delta[:, : num_cand - mi_lanes], tail], axis=1
                     )
                 d2 = d2 + delta * delta
-            ids_row = jnp.broadcast_to(cids[c, :][None, :], (cap, num_cand))
+            ids_row = jnp.broadcast_to(
+                cids[c, :][None, :], (group, num_cand))
             # Empty slots carry the sentinel id — mask them out directly
             # (no separate validity plane needed).
             d2 = jnp.where(ids_row >= n_sentinel, _BIG, d2)
 
-            picked = jnp.zeros((cap, _LANE), jnp.int32)
-            codes = jnp.zeros((cap, _LANE), jnp.int32)
+            picked = jnp.zeros((group, _LANE), jnp.int32)
+            codes = jnp.zeros((group, _LANE), jnp.int32)
             cand_lane = jax.lax.broadcasted_iota(
-                jnp.int32, (cap, num_cand), 1
+                jnp.int32, (group, num_cand), 1
             )
-            out_lane = jax.lax.broadcasted_iota(jnp.int32, (cap, _LANE), 1)
+            out_lane = jax.lax.broadcasted_iota(jnp.int32, (group, _LANE), 1)
             big_id = jnp.int32(2**30)
             # Lexicographic-threshold selection: picks enumerate candidates
             # in exact (d2, id) ascending order — identical pick order to
@@ -249,8 +289,8 @@ def _select_kernel(
             # by lane order instead; the backends can differ on EXACT
             # distance ties — measure-zero for continuous data, possible
             # for lattice initial conditions.)
-            m = jnp.full((cap, 1), -1.0, jnp.float32)
-            pid = jnp.full((cap, 1), -1, jnp.int32)
+            m = jnp.full((group, 1), -1.0, jnp.float32)
+            pid = jnp.full((group, 1), -1, jnp.int32)
             for j in range(k):
                 if lex_carry:
                     # Strictly-after-(m, pid) candidates in lex order.
@@ -262,11 +302,11 @@ def _select_kernel(
                     # d2 itself (ids are unique per row).
                     d2 = jnp.where(ids_row == pid, _BIG, d2)
                     avail = d2
-                m = jnp.min(avail, axis=1, keepdims=True)  # [cap, 1]
+                m = jnp.min(avail, axis=1, keepdims=True)  # [group, 1]
                 new_pid = jnp.min(
                     jnp.where(avail <= m, ids_row, big_id),
                     axis=1, keepdims=True,
-                )  # [cap, 1] — min id among the minima
+                )  # [group, 1] — min id among the minima
                 # Exhausted row (fewer than k valid candidates — only in the
                 # uncertified regime): emit the sentinel instead of repeating
                 # an already-picked real id, so the failure is detectable and
@@ -284,12 +324,34 @@ def _select_kernel(
                     )
                     lane = jnp.where(m < _BIG * 0.5, lane, num_cand)
                     codes = jnp.where(out_lane == j, lane, codes)
-            out_ref[c] = picked
+            out_ref[c, rows] = picked
             # m after the last iteration IS the k-th smallest distance —
             # the exactness certificate for free.
-            kth_ref[c] = m[:, 0]
+            kth_ref[c, rows] = m[:, 0]
             if with_codes:
-                codes_ref[c] = codes
+                codes_ref[c, rows] = codes
+
+        for c in range(cells_per_block):
+            if not row_groups:
+                _select_rows(c, slice(0, cap))
+                continue
+            occ = occ_ref[cell_base + c]
+            for gi in range(n_groups):
+                rows = slice(gi * group, (gi + 1) * group)
+
+                @pl.when(occ > gi * group)
+                def _(c=c, rows=rows):
+                    _select_rows(c, rows)
+
+                @pl.when(occ <= gi * group)
+                def _(c=c, rows=rows):
+                    out_ref[c, rows] = jnp.full(
+                        (group, _LANE), n_sentinel, jnp.int32)
+                    kth_ref[c, rows] = jnp.full(
+                        (group,), _BIG, jnp.float32)
+                    if with_codes:
+                        codes_ref[c, rows] = jnp.full(
+                            (group, _LANE), num_cand, jnp.int32)
 
     return kernel
 
@@ -330,6 +392,7 @@ def _build_table(positions, g: int, cap: int, box):
     static_argnames=(
         "k", "grid", "return_diagnostics", "with_codes", "interpret",
         "cells_per_block", "lex_carry", "codes_only", "codes_layout",
+        "row_groups",
     ),
 )
 def pallas_cell_list_knn(
@@ -345,8 +408,15 @@ def pallas_cell_list_knn(
     lex_carry: Optional[bool] = None,
     codes_only: bool = False,
     codes_layout: str = "particle",
+    row_groups: Optional[bool] = None,
 ):
     """Exact periodic k-NN (self-query) via the fused Pallas kernel.
+
+    ``row_groups`` (round 4, default on): gate the per-cell selection in
+    8-row sublane groups on the cell's scalar occupancy — the Poisson
+    common-case capacity leaves ~60% of query rows empty at the flagship
+    spec, and skipped groups cost nothing (their output rows carry the
+    exhausted-row sentinels). Identical results on every REAL query row.
 
     Args / returns match ``cell_list_knn`` (queries == positions). ``k`` must
     be <= 128 (one output lane tile) and <= candidate width.
@@ -530,6 +600,11 @@ def pallas_cell_list_knn(
         lex_carry = False
     if cells_per_block is None:
         cells_per_block = 8
+    if row_groups is None:
+        row_groups = True
+    # Per-cell table occupancy (<= cap; overflow spills). Drives the
+    # row-group gating — cells' empty sublane groups are skipped.
+    occ = jnp.sum((ids < n).astype(jnp.int32), axis=1)
     num_cells = g**3
     pad_cells = (-num_cells) % cells_per_block
     if pad_cells:
@@ -538,6 +613,7 @@ def pallas_cell_list_knn(
         plane_x, plane_y, plane_z = padc(plane_x), padc(plane_y), padc(plane_z)
         cand_x, cand_y, cand_z = padc(cand_x), padc(cand_y), padc(cand_z)
         cand_ids = padc(cand_ids, n)
+        occ = jnp.pad(occ, (0, pad_cells))
     num_blocks = (num_cells + pad_cells) // cells_per_block
 
     q_spec = pl.BlockSpec(
@@ -579,16 +655,18 @@ def pallas_cell_list_knn(
     results = pl.pallas_call(
         _select_kernel(k, cells_per_block, cap, num_cand, with_codes,
                        lex_carry=lex_carry, mi_lanes=mi_lanes,
-                       codes_only=codes_only),
+                       codes_only=codes_only, row_groups=row_groups),
         grid=(num_blocks,),
         in_specs=[q_spec, q_spec, q_spec, c_spec, c_spec, c_spec, c_spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=tuple(out_block_specs),
         out_shape=tuple(out_shapes),
         interpret=interpret,
     )(plane_x, plane_y, plane_z, cand_x, cand_y, cand_z, cand_ids,
-      jnp.asarray([n], jnp.int32), jnp.asarray([box], jnp.float32))
+      jnp.asarray([n], jnp.int32), jnp.asarray([box], jnp.float32),
+      occ.astype(jnp.int32))
 
     # Back to original particle order via (cell, rank). Overflowed particles
     # (rank >= cap: cell held more than `cap` particles) have no query slot

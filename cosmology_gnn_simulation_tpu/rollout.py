@@ -562,15 +562,17 @@ def _cellblock_rollout(
         # the dual-payload pass (+10 ms in-scan at the flagship spec,
         # plan_parts_r3.json). Other backends ignore the flag and return
         # real ids with codes=None (aux plan path).
-        # codes_layout="table" (round 4): the kernel's codes stay in cell-
-        # table order and the plan consumes them with one quasi-monotone
-        # row gather — deleting the [N, k] re-order gather here and the
-        # inverse-permutation sort + [N, k] scatter in the plan build.
+        # codes_layout="table" (round 4) measured NEGATIVE end-to-end
+        # (30.2 vs 29.8 ms/step, benchmarks/results/tablecodes_r4.json):
+        # deleting the [N, k] re-order gather + inverse-permutation sort +
+        # [N, k] scatter saved less than the plan-side quasi-monotone
+        # [num_slots, k] row gather costs — table scatters really are fast
+        # here (CLAUDE.md). The particle layout stays the default; "table"
+        # remains available (and parity-pinned) via build_cellblock.
         neighbors, codes, codes_cap, spill, exact = (
             neighbor_search_certified(
                 wrapped, k, box, method=method, query_tile=tile,
                 with_codes=True, codes_only=codes_ok,
-                codes_layout="table" if codes_ok else "particle",
             )
         )
         if codes is not None and not codes_ok:
@@ -578,11 +580,7 @@ def _cellblock_rollout(
         plan = build_cellblock(wrapped, neighbors, box, spec,
                                s_build=s_build,
                                neighbor_codes=codes, codes_cap=codes_cap,
-                               codes_spill=spill,
-                               codes_layout=(
-                                   "table" if codes is not None
-                                   else "particle"
-                               ))
+                               codes_spill=spill)
         exact = exact & (plan.overflow == 0) & (plan.dropped_edges == 0)
         pos_w = permute_window(pos_w, plan.order)
         temp_w = permute_window(temp_w, plan.order)
@@ -789,14 +787,12 @@ def _cellblock_one_step(
     wrapped = wrap_positions(position_seq[-1], box)
     neighbors, codes, codes_cap, spill, _exact = neighbor_search_certified(
         wrapped, k, box, method=method, with_codes=True, codes_only=codes_ok,
-        codes_layout="table" if codes_ok else "particle",
     )
     if codes is not None and not codes_ok:
         codes = codes_cap = spill = None
     plan = build_cellblock(
         wrapped, neighbors, box, spec, s_build=s_build,
         neighbor_codes=codes, codes_cap=codes_cap, codes_spill=spill,
-        codes_layout="table" if codes is not None else "particle",
     )
     pos_w = _permute_window(position_seq, plan.order)
     temp_w = _permute_window(temperature_seq, plan.order)

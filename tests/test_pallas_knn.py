@@ -225,3 +225,41 @@ def test_codes_only_plan_matches_ids_plan(rng):
         np.asarray(a.window_starts), np.asarray(b.window_starts)
     )
     assert int(a.dropped_edges) == int(b.dropped_edges) == 0
+
+
+def test_row_groups_matches_ungrouped(rng):
+    """Occupancy-gated row groups (round 4): identical ids, codes, and
+    certificate on every REAL query row vs the ungrouped kernel — spill
+    engaged via a crammed cell so partially-empty and fully-empty groups
+    both occur."""
+    n, k = 3000, 8
+    pos = np.asarray(rng.uniform(0, 1, (n, 3)), np.float32)
+    g = choose_cell_grid(n, k).grid_size
+    pos[:40] = 0.5 / g + rng.uniform(0, 0.2 / g, size=(40, 3))
+    pos = jnp.asarray(pos)
+    grid = CellGrid(grid_size=g, cell_capacity=max(
+        8, int(np.ceil(n / g**3 * 2.0))))
+    outs = {}
+    for rg in (False, True):
+        idx, codes, spill, (overflow, max_d2, max_excess) = (
+            pallas_cell_list_knn(
+                pos, k, 1.0, grid, return_diagnostics=True,
+                with_codes=True, interpret=True, row_groups=rg,
+            )
+        )
+        outs[rg] = (idx, codes, overflow, max_d2, max_excess)
+    np.testing.assert_array_equal(np.asarray(outs[False][0]),
+                                  np.asarray(outs[True][0]))
+    np.testing.assert_array_equal(np.asarray(outs[False][1]),
+                                  np.asarray(outs[True][1]))
+    for i in (2, 3, 4):
+        assert float(outs[False][i]) == float(outs[True][i])
+    # codes_only path too (the production rollout payload).
+    a = pallas_cell_list_knn(pos, k, 1.0, grid, with_codes=True,
+                             codes_only=True, interpret=True,
+                             row_groups=False)
+    b = pallas_cell_list_knn(pos, k, 1.0, grid, with_codes=True,
+                             codes_only=True, interpret=True,
+                             row_groups=True)
+    # Per-particle codes (gathered to particle order) must match exactly.
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
