@@ -147,14 +147,17 @@ def _select_kernel(
     Both enumerate picks in identical exact (d2, id) ascending order.
     """
 
-    # Query-row grouping (round 4): the mean cell occupancy is well below
-    # ``cap`` (Poisson lam + 4.5 sigma sizing — lam ~ 9.6 vs cap 24 at the
-    # flagship spec), so ~60% of the selection loop's VPU work runs on
-    # EMPTY query rows. With ``row_groups`` the per-cell body processes the
-    # [cap, num_cand] tile as cap/8 sublane groups of 8 rows, each gated by
+    # Query-row grouping (round 4, OPT-IN — measured negative as a
+    # default): the mean cell occupancy is well below ``cap`` (Poisson
+    # lam + 4.5 sigma sizing — lam ~ 9.6 vs cap 24 at the flagship spec),
+    # so ~60% of the selection loop's VPU work runs on EMPTY query rows.
+    # With ``row_groups`` the per-cell body processes the [cap, num_cand]
+    # tile as cap/8 sublane groups of 8 rows, each gated by
     # ``pl.when(occ > gi * 8)`` on the cell's scalar occupancy — groups
-    # past the occupied rows are skipped entirely (E[ceil(occ/8) * 8] ~
-    # 13.4 of 24 rows at flagship). Skipped groups write the same sentinel
+    # past the occupied rows are skipped (E[ceil(occ/8) * 8] ~ 13.4 of 24
+    # rows at flagship). On this backend the branches SERIALIZE the
+    # pipeline and lose 2.3x end-to-end (see the wrapper docstring), so
+    # the default stays ungrouped. Skipped groups write the same sentinel
     # rows (codes = num_cand / id = n, kth = _BIG) the selection emits for
     # exhausted rows, so outputs stay deterministic.
     group = 8 if row_groups else cap
@@ -412,11 +415,14 @@ def pallas_cell_list_knn(
 ):
     """Exact periodic k-NN (self-query) via the fused Pallas kernel.
 
-    ``row_groups`` (round 4, default on): gate the per-cell selection in
-    8-row sublane groups on the cell's scalar occupancy — the Poisson
-    common-case capacity leaves ~60% of query rows empty at the flagship
-    spec, and skipped groups cost nothing (their output rows carry the
-    exhausted-row sentinels). Identical results on every REAL query row.
+    ``row_groups`` (round 4, default OFF — measured negative): gate the
+    per-cell selection in 8-row sublane groups on the cell's scalar
+    occupancy. The Poisson common-case capacity leaves ~60% of query rows
+    empty at the flagship spec, but the per-group ``pl.when`` branches
+    cost more than the skipped VPU work saves on this backend (bench.py
+    2.27M -> 0.98M particle-steps/s with gating on). Identical results on
+    every REAL query row (pinned by test_row_groups_matches_ungrouped);
+    kept opt-in for clustered-data probes where whole cells go empty.
 
     Args / returns match ``cell_list_knn`` (queries == positions). ``k`` must
     be <= 128 (one output lane tile) and <= candidate width.
@@ -601,7 +607,12 @@ def pallas_cell_list_knn(
     if cells_per_block is None:
         cells_per_block = 8
     if row_groups is None:
-        row_groups = True
+        # Measured NEGATIVE at the flagship spec despite cutting ~44% of
+        # the selection's VPU work: bench.py dropped 2.27M -> 0.98M
+        # particle-steps/s with gating on (round 4) — the per-group
+        # pl.when branches serialize Mosaic's pipeline far more than the
+        # skipped work saves. Kept opt-in for clustered data probes.
+        row_groups = False
     # Per-cell table occupancy (<= cap; overflow spills). Drives the
     # row-group gating — cells' empty sublane groups are skipped.
     occ = jnp.sum((ids < n).astype(jnp.int32), axis=1)
