@@ -13,8 +13,11 @@ the 8-chip TPU program; only the backend differs):
     remat): finite loss, grads applied.
 
 Usage (from /root/repo): python benchmarks/config5_virtual.py
-  [--n 2000000] [--steps 10] [--skip_train]
-Writes benchmarks/results/config5_virtual.json.
+  [--n 2000000] [--steps 10] [--skip_train] [--skip_rollout] [--cellblock]
+Writes benchmarks/results/config5_virtual.json (with --cellblock:
+config5_virtual_cellblock.json — per-shard cell-block MXU aggregation,
+the round-4 halo x cellblock compose, through BOTH the rollout and the
+S^T-VJP train step).
 """
 
 from __future__ import annotations
@@ -55,6 +58,12 @@ def main():
                          "the 2M run (window-margin component held all "
                          "steps); 5x absorbs the 10-step infall")
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--skip_rollout", action="store_true")
+    ap.add_argument("--cellblock", action="store_true",
+                    help="run each shard's aggregation on the cell-block "
+                         "MXU path (per-shard local plans over the "
+                         "candidate slab; round-4 halo x cellblock "
+                         "compose). Writes config5_virtual_cellblock.json")
     args = ap.parse_args()
     n, k = args.n, args.k
 
@@ -127,58 +136,80 @@ def main():
         "cell_capacity": hc.cell_capacity,
     }
     print("halo config:", results["halo_config"], flush=True)
+    cb_spec = None
+    if args.cellblock:
+        from cosmology_gnn_simulation_tpu.ops.cellblock import (
+            choose_cellblock_spec_halo,
+        )
+        cb_spec = choose_cellblock_spec_halo(
+            n, hc.grid_size, hc.slab_layers, hc.halo_layers, 8
+        )
+        results["cellblock_spec"] = {
+            "gx": cb_spec.gx, "grid_size": cb_spec.grid_size,
+            "col_capacity": cb_spec.col_capacity,
+            "query_block": cb_spec.query_block,
+            "window": cb_spec.window,
+            "num_slots": cb_spec.num_slots,
+        }
+        print("cellblock spec:", results["cellblock_spec"], flush=True)
     mesh = make_mesh((1, 8))
 
-    # ---- Rollout: full config-5 size, inter-slab migration, certificate.
-    t0 = time.perf_counter()
-    part = partition_windows(
-        np.asarray(sim["Coordinates"][:5], np.float32),
-        np.asarray(sim["InternalEnergy"][:5], np.float32),
-        hc, stats.box_size,
-    )
-    results["partition_s"] = round(time.perf_counter() - t0, 1)
-    fn = make_halo_rollout(model_config, stats, mesh, args.steps, hc,
-                           num_neighbors=k, with_certificate_components=True)
-    t0 = time.perf_counter()
-    outs, diag, exactness, certs = fn(
-        params,
-        jnp.asarray(part["positions"]),
-        jnp.asarray(part["temperatures"]),
-        jnp.asarray(part["valid"]),
-        jnp.asarray(part["gid"]),
-    )
-    valid_counts = np.asarray(outs["valid"]).sum(axis=1)
-    results["rollout_total_s"] = round(time.perf_counter() - t0, 1)
-    results["rollout_steps"] = args.steps
-    results["particles_preserved"] = bool((valid_counts == n).all())
-    results["migration_overflow"] = int(diag["overflow"])
-    results["migration_stranded"] = int(diag["stranded"])
-    results["neighbor_exactness_all_steps"] = bool(
-        np.asarray(exactness).all()
-    )
-    results["certificate_components"] = {
-        key: np.asarray(val).tolist() for key, val in certs.items()
-    }
-    print("per-step certificate components:", flush=True)
-    for key, val in results["certificate_components"].items():
-        print(f"  {key}: {val}", flush=True)
-    print(
-        f"rollout: {args.steps} steps in {results['rollout_total_s']}s, "
-        f"preserved={results['particles_preserved']}, diag="
-        f"{{overflow: {results['migration_overflow']}, stranded: "
-        f"{results['migration_stranded']}}}, exact="
-        f"{results['neighbor_exactness_all_steps']}", flush=True,
-    )
+    out = ("benchmarks/results/config5_virtual_cellblock.json"
+           if args.cellblock else "benchmarks/results/config5_virtual.json")
+
     def _flush():
         os.makedirs("benchmarks/results", exist_ok=True)
-        with open("benchmarks/results/config5_virtual.json", "w") as f:
+        with open(out, "w") as f:
             json.dump(results, f, indent=2)
 
-    _flush()  # artifact survives a failed assertion below
-    assert results["particles_preserved"]
-    assert results["migration_overflow"] == 0
-    assert results["migration_stranded"] == 0
-    assert results["neighbor_exactness_all_steps"]
+    # ---- Rollout: full config-5 size, inter-slab migration, certificate.
+    if not args.skip_rollout:
+        t0 = time.perf_counter()
+        part = partition_windows(
+            np.asarray(sim["Coordinates"][:5], np.float32),
+            np.asarray(sim["InternalEnergy"][:5], np.float32),
+            hc, stats.box_size,
+        )
+        results["partition_s"] = round(time.perf_counter() - t0, 1)
+        fn = make_halo_rollout(model_config, stats, mesh, args.steps, hc,
+                               num_neighbors=k,
+                               with_certificate_components=True,
+                               cellblock_spec=cb_spec)
+        t0 = time.perf_counter()
+        outs, diag, exactness, certs = fn(
+            params,
+            jnp.asarray(part["positions"]),
+            jnp.asarray(part["temperatures"]),
+            jnp.asarray(part["valid"]),
+            jnp.asarray(part["gid"]),
+        )
+        valid_counts = np.asarray(outs["valid"]).sum(axis=1)
+        results["rollout_total_s"] = round(time.perf_counter() - t0, 1)
+        results["rollout_steps"] = args.steps
+        results["particles_preserved"] = bool((valid_counts == n).all())
+        results["migration_overflow"] = int(diag["overflow"])
+        results["migration_stranded"] = int(diag["stranded"])
+        results["neighbor_exactness_all_steps"] = bool(
+            np.asarray(exactness).all()
+        )
+        results["certificate_components"] = {
+            key: np.asarray(val).tolist() for key, val in certs.items()
+        }
+        print("per-step certificate components:", flush=True)
+        for key, val in results["certificate_components"].items():
+            print(f"  {key}: {val}", flush=True)
+        print(
+            f"rollout: {args.steps} steps in {results['rollout_total_s']}s, "
+            f"preserved={results['particles_preserved']}, diag="
+            f"{{overflow: {results['migration_overflow']}, stranded: "
+            f"{results['migration_stranded']}}}, exact="
+            f"{results['neighbor_exactness_all_steps']}", flush=True,
+        )
+        _flush()  # artifact survives a failed assertion below
+        assert results["particles_preserved"]
+        assert results["migration_overflow"] == 0
+        assert results["migration_stranded"] == 0
+        assert results["neighbor_exactness_all_steps"]
 
     # ---- Config-5-shaped train step (noised, remat).
     if not args.skip_train:
@@ -191,7 +222,7 @@ def main():
         optimizer = make_optimizer(tc, steps_per_epoch=1)
         opt_state = optimizer.init(params)
         step = make_halo_train_step(model_config, stats, tc, optimizer,
-                                    mesh, hc)
+                                    mesh, hc, cellblock_spec=cb_spec)
         batch = {
             "positions": np.asarray(sim["Coordinates"][:5], np.float32)[None],
             "temperatures": np.asarray(
@@ -220,10 +251,7 @@ def main():
               f"metrics={metrics}", flush=True)
         assert results["train_loss_finite"] and results["params_updated"]
 
-    os.makedirs("benchmarks/results", exist_ok=True)
-    out = "benchmarks/results/config5_virtual.json"
-    with open(out, "w") as f:
-        json.dump(results, f, indent=2)
+    _flush()
     print("wrote", out, flush=True)
 
 
