@@ -66,8 +66,9 @@ def main(argv=None):
                         help="variable per-column slot capacities for the "
                              "cellblock aggregation modes (same surface as "
                              "render_rollout)")
-    parser.add_argument("--aggregation", type=str, default="gather",
-                        choices=["gather", "cellblock", "cellblock_hybrid"],
+    parser.add_argument("--aggregation", type=str, default="auto",
+                        choices=["auto", "gather", "cellblock",
+                                 "cellblock_hybrid"],
                         help="message-passing aggregation (same surface as "
                              "render_rollout): 'gather' (default) or the "
                              "selection-matrix MXU paths")

@@ -51,8 +51,9 @@ def main(argv=None):
                              "cellblock aggregation modes (packed layout, "
                              "~1.1x padding instead of the Poisson-tail "
                              "1.3-1.4x; identical semantics/certificates)")
-    parser.add_argument("--aggregation", type=str, default="gather",
-                        choices=["gather", "cellblock", "cellblock_hybrid"],
+    parser.add_argument("--aggregation", type=str, default="auto",
+                        choices=["auto", "gather", "cellblock",
+                                 "cellblock_hybrid"],
                         help="message-passing aggregation: 'gather' "
                              "(default), 'cellblock' (selection-matrix "
                              "MXU kernel, slot-space carry — the fast "

@@ -82,7 +82,7 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         neighbor_method=args.neighbor_method,
         strict_neighbor_check=not args.no_strict_neighbors,
-        aggregation=getattr(args, "aggregation", "gather"),
+        aggregation=getattr(args, "aggregation", "auto"),
         cellblock_variable=getattr(args, "cellblock_variable", False),
         fused_tail=getattr(args, "fused_tail", None),
     )

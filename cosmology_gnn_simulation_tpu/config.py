@@ -76,8 +76,9 @@ def build_train_parser() -> argparse.ArgumentParser:
     parser.add_argument("--neighbor_method", type=str, default="auto",
                         choices=["auto", "bruteforce", "celllist", "pallas"],
                         help="Periodic k-NN backend")
-    parser.add_argument("--aggregation", type=str, default="gather",
-                        choices=["gather", "cellblock", "cellblock_hybrid"],
+    parser.add_argument("--aggregation", type=str, default="auto",
+                        choices=["auto", "gather", "cellblock",
+                                 "cellblock_hybrid"],
                         help="Message-passing aggregation backend: 'gather' "
                              "(fused gather+sum, sorted-edge VJP), "
                              "'cellblock' (selection-matrix MXU kernel, "

@@ -43,7 +43,7 @@ def validate_one_step(
     seed: Optional[int] = 0,
     dtype=None,
     neighbor_method: str = "auto",
-    aggregation: str = "gather",
+    aggregation: str = "auto",
     cellblock_variable: bool = False,
 ) -> Dict:
     """One-step position/temperature MSE over sampled start indices.

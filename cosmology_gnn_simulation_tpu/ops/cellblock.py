@@ -341,6 +341,49 @@ def _plan_spec(
     )
 
 
+# Measured dispatch thresholds for ``choose_aggregation`` (TPU v5e,
+# docs/PERFORMANCE.md + benchmarks/results/train_r4.json):
+#   * training, N=65,536: cellblock_hybrid 117 ms vs gather 236 ms;
+#   * rollout,  N=65,536: hybrid 29.3 ms/step vs gather 38.3;
+#   * N=500,000 (config 4): slots beats hybrid (744 vs 814 ms rollout) —
+#     the expand/compact row gathers are latency-bound at 500k rows;
+#   * small N: the per-graph plan build exceeds the gather savings
+#     (N=65k rollout crossover analysis, docs/PERFORMANCE.md "Crossover").
+_AGG_SLOTS_MIN_N = 250_000
+_AGG_HYBRID_MIN_N_TRAIN = 32_768
+_AGG_HYBRID_MIN_N_ROLLOUT = 32_768
+
+
+def choose_aggregation(
+    num_particles: int,
+    *,
+    training: bool,
+    pruned: bool = True,
+    backend: Optional[str] = None,
+) -> str:
+    """Resolve ``aggregation="auto"`` to the measured-best backend.
+
+    Returns ``"gather"``, ``"cellblock_hybrid"`` (particle-space carry) or
+    ``"cellblock"`` (slot-space carry) by particle count, matching the
+    dispatch table measured on the v5e (see the constants above). Cell-block
+    requires the pruned sender-latents model and pays off only where the
+    Mosaic kernels run natively, so non-TPU backends and unpruned models
+    always resolve to ``"gather"``.
+    """
+    if backend is None:
+        backend = jax.default_backend()
+    if not pruned or backend != "tpu":
+        return "gather"
+    if num_particles >= _AGG_SLOTS_MIN_N:
+        return "cellblock"
+    threshold = (
+        _AGG_HYBRID_MIN_N_TRAIN if training else _AGG_HYBRID_MIN_N_ROLLOUT
+    )
+    if num_particles >= threshold:
+        return "cellblock_hybrid"
+    return "gather"
+
+
 def choose_cellblock_spec_halo(
     num_particles: int,
     grid_size: int,

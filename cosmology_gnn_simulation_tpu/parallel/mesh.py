@@ -134,8 +134,24 @@ def make_mesh(
         axis_sizes = (n,) + (1,) * (len(axis_names) - 1)
     num_procs = len({d.process_index for d in devices})
     if num_procs > 1:
+        # The DCN (cross-process) axis is normally the data axis; for pure
+        # spatial sharding (data axis 1, e.g. a config-5 rollout over more
+        # slabs than one host's chips) the particle axis spans DCN instead —
+        # halo ppermutes then ride the slower network, which the slab
+        # decomposition tolerates (boundary-cells-only traffic).
+        dcn_axis = list(axis_names).index("data")
+        if axis_sizes[dcn_axis] % num_procs != 0:
+            candidates = [
+                i for i, s in enumerate(axis_sizes) if s % num_procs == 0
+            ]
+            if not candidates:
+                raise ValueError(
+                    f"no mesh axis in {tuple(axis_sizes)} is divisible by "
+                    f"the process count {num_procs}"
+                )
+            dcn_axis = candidates[0]
         dev_array = hybrid_device_order(
-            devices, axis_sizes, data_axis=list(axis_names).index("data")
+            devices, axis_sizes, data_axis=dcn_axis
         )
     else:
         if int(np.prod(axis_sizes)) != n:

@@ -185,12 +185,26 @@ def rollout(
         )
     if exactness_guard not in ("off", "flag", "fallback"):
         raise ValueError(f"unknown exactness_guard: {exactness_guard}")
-    if aggregation not in ("gather", "cellblock", "cellblock_hybrid"):
+    if aggregation not in ("auto", "gather", "cellblock", "cellblock_hybrid"):
         raise ValueError(f"unknown aggregation: {aggregation}")
     pruned = (
         model_config.aggregate == "sender_latents"
         and model_config.prune_dead_edge_stream
     )
+    if aggregation == "auto":
+        from cosmology_gnn_simulation_tpu.ops.cellblock import (
+            choose_aggregation,
+        )
+
+        aggregation = choose_aggregation(
+            initial_positions.shape[1], training=False, pruned=pruned
+        )
+        if aggregation.startswith("cellblock") and (
+            exactness_guard == "fallback"
+        ):
+            # The brute-force fallback is incompatible with the selection
+            # windows (see below); keep the user's guard and use gather.
+            aggregation = "gather"
     # Fused step-tail kernel (ops/fused_step.py): one Pallas pass instead of
     # ~6 XLA fusions per message-passing step. Default: on for real-TPU
     # pruned bf16 rollouts (differentiable since round 4, so training may
@@ -723,8 +737,20 @@ def one_step_prediction(
     MXU aggregation; requires the pruned sender-latents model). Predictions
     are returned in the input particle order regardless of mode.
     """
-    if aggregation not in ("gather", "cellblock", "cellblock_hybrid"):
+    if aggregation not in ("auto", "gather", "cellblock", "cellblock_hybrid"):
         raise ValueError(f"unknown aggregation: {aggregation}")
+    if aggregation == "auto":
+        from cosmology_gnn_simulation_tpu.ops.cellblock import (
+            choose_aggregation,
+        )
+
+        aggregation = choose_aggregation(
+            position_seq.shape[1], training=False,
+            pruned=(
+                model_config.aggregate == "sender_latents"
+                and model_config.prune_dead_edge_stream
+            ),
+        )
     if aggregation != "gather":
         return _cellblock_one_step(
             params, model_config,

@@ -56,6 +56,19 @@ def plot_losses(
     ax_lr.set_yscale("log")
     ax_lr.grid(True, linestyle="--", alpha=0.7)
     ax_lr.legend()
+    # Initial/current-LR text boxes (reference train.py:85-96).
+    if learning_rates:
+        ax_lr.text(
+            0.02, 0.95, f"Initial LR: {learning_rates[0]:.2e}",
+            transform=ax_lr.transAxes, verticalalignment="top",
+            bbox=dict(boxstyle="round", facecolor="lightblue", alpha=0.7),
+        )
+    if len(learning_rates) > 1:
+        ax_lr.text(
+            0.02, 0.05, f"Current LR: {learning_rates[-1]:.2e}",
+            transform=ax_lr.transAxes, verticalalignment="bottom",
+            bbox=dict(boxstyle="round", facecolor="lightgreen", alpha=0.7),
+        )
 
     plt.tight_layout()
     plt.savefig(output_path, dpi=150, bbox_inches="tight")

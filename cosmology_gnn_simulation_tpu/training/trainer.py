@@ -92,7 +92,11 @@ class TrainConfig:
     # selection table once per graph so the backward is the same kernel
     # transposed; exactness is certified per batch
     # (``cellblock_violations`` metric, checked at epoch end).
-    aggregation: str = "gather"
+    # "auto" (default) resolves by particle count on first batch via
+    # ops.cellblock.choose_aggregation — the measured dispatch table:
+    # gather below 32k / non-TPU / unpruned models, hybrid to 250k,
+    # slots above.
+    aggregation: str = "auto"
     # Variable per-column slot capacities for the cellblock layouts
     # (ops/cellblock.py CellBlockSpec.slot_budget): cuts the slot-padding
     # row tax from the Poisson tail (~1.3-1.4x) to the QB-rounding floor
@@ -139,8 +143,35 @@ def make_train_step(
     ``target_temperatures [B,N,1]``."""
     tc = train_config
     dtype = jnp.dtype(tc.compute_dtype) if tc.compute_dtype else None
-    if tc.aggregation not in ("gather", "cellblock", "cellblock_hybrid"):
+    if tc.aggregation not in ("auto", "gather", "cellblock",
+                              "cellblock_hybrid"):
         raise ValueError(f"unknown aggregation: {tc.aggregation}")
+    if tc.aggregation == "auto":
+        # Resolve from the first batch's particle count (static per run —
+        # batch shapes are fixed), then build the real step once.
+        state = {}
+
+        def dispatching_step(params, opt_state, batch, key):
+            if "step" not in state:
+                from cosmology_gnn_simulation_tpu.ops.cellblock import (
+                    choose_aggregation,
+                )
+
+                resolved = choose_aggregation(
+                    batch["positions"].shape[2],
+                    training=True,
+                    pruned=(
+                        model_config.aggregate == "sender_latents"
+                        and model_config.prune_dead_edge_stream
+                    ),
+                )
+                state["step"] = make_train_step(
+                    model_config, stats,
+                    dataclasses.replace(tc, aggregation=resolved), optimizer,
+                )
+            return state["step"](params, opt_state, batch, key)
+
+        return dispatching_step
     if tc.aggregation.startswith("cellblock") and not (
         model_config.aggregate == "sender_latents"
         and model_config.prune_dead_edge_stream
@@ -299,6 +330,30 @@ def make_eval_step(
     (``validation.py:18-90`` semantics)."""
     tc = train_config
     dtype = jnp.dtype(tc.compute_dtype) if tc.compute_dtype else None
+    if tc.aggregation == "auto":
+        state = {}
+
+        def dispatching_eval(params, batch):
+            if "step" not in state:
+                from cosmology_gnn_simulation_tpu.ops.cellblock import (
+                    choose_aggregation,
+                )
+
+                resolved = choose_aggregation(
+                    batch["positions"].shape[2],
+                    training=True,
+                    pruned=(
+                        model_config.aggregate == "sender_latents"
+                        and model_config.prune_dead_edge_stream
+                    ),
+                )
+                state["step"] = make_eval_step(
+                    model_config, stats,
+                    dataclasses.replace(tc, aggregation=resolved),
+                )
+            return state["step"](params, batch)
+
+        return dispatching_eval
     zero_key = jax.random.PRNGKey(0)
     need_edges = not (
         model_config.aggregate == "sender_latents"
