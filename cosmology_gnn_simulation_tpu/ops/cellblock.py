@@ -443,6 +443,16 @@ class CellBlockGraph(NamedTuple):
                       candidate range exceeds ``window`` by (0 when every
                       window fit; the per-edge misses are already in
                       ``dropped_edges`` — this localizes the cause).
+      search_excess:  scalar f32 or None — dense-search path only
+                      (``dense_search=...``): max over occupied query rows
+                      of ``kth_d2 - window_margin_sq``; <= 0 certifies every
+                      query's k-th neighbor inside its provable window.
+      search_window_overflow: scalar int32 or None — dense-search path
+                      only: rows the per-search-tile candidate windows
+                      truncated, plus z-wrap copies beyond ``wrap_cap``
+                      (either can HIDE a true neighbor from the in-kernel
+                      selection without tripping the margin bound, so this
+                      must gate exactness).
       s_rev_table:    ``[num_tiles, 9*W, rev_lanes]`` int8 or None — transpose
                       selection matrices (``with_reverse=True``), consumed
                       by the custom VJP; entry ``[t, (j, off), q]`` counts
@@ -468,6 +478,8 @@ class CellBlockGraph(NamedTuple):
     window_overflow: jnp.ndarray
     s_rev_table: Optional[jnp.ndarray] = None
     reverse_mismatch: Optional[jnp.ndarray] = None
+    search_excess: Optional[jnp.ndarray] = None
+    search_window_overflow: Optional[jnp.ndarray] = None
 
 
 # Row-tile length for the chunked S build: bounds the bf16 one-hot factors
@@ -692,11 +704,406 @@ def _onehot_contract(jh, lo, valid, n_jh, n_lo):
     return s.reshape(s.shape[0], n_jh * n_lo).astype(jnp.int8)
 
 
+class DenseSearchSpec(NamedTuple):
+    """Static config of the fused dense-query kNN (round 5).
+
+    The dense search replaces the separate Pallas cell-list kNN + codes
+    decode for the cell-block pipeline: queries are processed QB dense
+    cell-sorted rows at a time against the 9 neighbor columns' z-windows of
+    the SAME padded-column coordinate layout the aggregation kernel reads —
+    so the selection's output lanes ARE (up to a per-tile window rebase)
+    S-table lanes, and the whole codes->S decode machinery disappears.
+
+    Attributes:
+      query_block: QB_s — dense query rows per kernel grid step (sublane
+        multiple of 8; smaller than the aggregation QB — the select's VPU
+        work scales with rows x width, and dense tiles keep rows ~= N
+        instead of num_slots).
+      window: W_s — candidate rows per neighbor column per search tile
+        (lane multiple of 128 — the 9 per-column distance segments
+        concatenate on lanes). Must cover a QB_s-row tile's z-extent plus
+        one cell each side; truncation is counted and gates the
+        exactness certificate.
+    """
+
+    query_block: int = 16
+    window: int = 128
+
+    def validate(self) -> None:
+        if self.query_block % 8 or self.query_block <= 0:
+            raise ValueError(
+                f"dense query_block {self.query_block} must be a positive "
+                "multiple of 8 (f32 sublane tiling)"
+            )
+        if self.window % _LANE:
+            raise ValueError(
+                f"dense window {self.window} must be a multiple of {_LANE} "
+                "(the 9 distance segments concatenate on lanes)"
+            )
+
+
+def choose_dense_search_spec(
+    num_particles: int, spec: CellBlockSpec, query_block: int = 16
+) -> DenseSearchSpec:
+    """Size the dense-search window for a roughly uniform distribution.
+
+    A QB_s-row tile's z-window holds ~QB_s + 2*mean_cell rows plus the
+    fluctuation of its two margin cells; 5 sigma on the total plus the
+    <= QB_s-1 extra span when a tile straddles cell boundaries keeps
+    truncation (certificate-gated, never silent) out of uniform runs.
+    """
+    g = spec.grid_size
+    mean_cell = num_particles / g**3
+    expect = query_block + 2.0 * mean_cell
+    w = expect + 5.0 * np.sqrt(max(expect, 1.0)) + query_block
+    return DenseSearchSpec(
+        query_block=query_block,
+        window=max(_round_up(int(np.ceil(w)), _LANE), _LANE),
+    )
+
+
+def _dense_select_kernel(k, qb, w_eff, num_cand):
+    """Masked re-min k-selection over 9 column windows.
+
+    Identical selection scheme to the production kNN kernel (in-place
+    masked re-min — the probed write-free alternatives measured 3.5x
+    slower, knn_ab_r3.json); candidates arrive as 9 z-windows of the
+    lane-major padded-column coordinate table, fetched as Element blocks
+    at 128-FLOORED lane starts (``wl128 * 128`` is the provably-divisible
+    form Mosaic's window-param pass accepts; the <=127 lead lanes are
+    absorbed by the widened ``w_eff`` window). The first cut of this
+    kernel compacted windows with in-kernel ``pltpu.roll`` instead —
+    measured 22.8-30.7 ms vs the codes round's 14.9 at the flagship spec
+    (flagship_dense_r5.json v1): 9 dynamic rolls per tile serialize the
+    VPU far beyond the wider window's extra compare work. Outputs per
+    tile: the k picked candidate lanes (codes, lanes [0, k) of a 128-lane
+    row) and the k-th distance broadcast across a full lane row (a
+    [1, QB]-shaped output block would violate Mosaic's sublane tiling).
+    """
+    # np scalar, not jnp: a jnp.int32 here is an eager Array the kernel
+    # would close over ("captures constants" trace error).
+    big_lane = np.int32(2**30)
+
+    def kernel(cols_r, wl_r, sxj_r, syj_r, box_ref, q_ref, *refs):
+        del cols_r, wl_r  # consumed by the index maps only
+        tab_refs = refs[:9]
+        codes_ref, kth_ref = refs[9], refs[10]
+        t = pl.program_id(0)
+        bx = box_ref[0]
+        q = q_ref[...]
+        qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+        segs = []
+        for j in range(9):
+            w = tab_refs[j][...]  # [8, w_eff] — sublanes 0..2 = x, y, z
+            cx = w[0:1, :] + sxj_r[t * 9 + j].astype(jnp.float32) * bx
+            cy = w[1:2, :] + syj_r[t * 9 + j].astype(jnp.float32) * bx
+            cz = w[2:3, :]
+            segs.append((qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2)
+        d2 = jnp.concatenate(segs, axis=1)  # [QB_s, 9*w_eff]
+
+        codes = jnp.zeros((qb, _LANE), jnp.int32)
+        cand_lane = jax.lax.broadcasted_iota(jnp.int32, (qb, num_cand), 1)
+        out_lane = jax.lax.broadcasted_iota(jnp.int32, (qb, _LANE), 1)
+        mm = jnp.full((qb, 1), -1.0, jnp.float32)
+        lane_pick = jnp.full((qb, 1), -1, jnp.int32)
+        for kk in range(k):
+            d2 = jnp.where(cand_lane == lane_pick, _DENSE_BIG, d2)
+            mm = jnp.min(d2, axis=1, keepdims=True)
+            new_lane = jnp.min(
+                jnp.where(d2 <= mm, cand_lane, big_lane),
+                axis=1, keepdims=True,
+            )
+            lane_pick = jnp.where(mm < _DENSE_BIG * 0.5, new_lane, num_cand)
+            codes = jnp.where(out_lane == kk, lane_pick, codes)
+        codes_ref[...] = codes
+        kth_ref[...] = jnp.broadcast_to(mm, (qb, _LANE))
+
+    return kernel
+
+
+_DENSE_BIG = np.float32(1e30)
+
+
+def _dense_search_offsets(
+    spec, dspec, k, n, box_size,
+    sx, sy, sz, sorted_col, sorted_cz, r_col, r_cell,
+    gstart, col_start, m, c_pre, c_app, cstart_ext,
+    w_loc_a, interpret,
+):
+    """Fused dense-query exact kNN -> aggregation S-lane offsets.
+
+    All row inputs are in CELL-SORTED order (build_cellblock's sort):
+    ``sx/sy/sz`` sorted coordinates, ``r_col``/``r_cell`` each row's rank
+    within its column/cell. Returns ``(offsets [num_slots, k] int32,
+    kth_sorted [n] f32, search_window_overflow scalar int32)``. Offsets use
+    the ``_s_from_offsets`` conventions: lane index in ``[0, 9*W)``, the
+    inert ``width`` sentinel for empty/no-pick entries, ``width + 1`` for
+    picks the aggregation window cannot represent (counted as dropped
+    edges). ``kth_sorted`` holds each sorted query row's k-th squared
+    distance (fill ``-_DENSE_BIG`` for rows without a search row) for the
+    margin certificate.
+    """
+    g = spec.grid_size
+    cc, wrap = spec.col_capacity, spec.wrap_cap
+    qb_a, w_cap = spec.query_block, spec.window
+    num_cols, num_slots = spec.num_columns, spec.num_slots
+    qb_s, w_s = dspec.query_block, dspec.window
+    ccp_s = _round_up(2 * wrap + cc, _LANE)
+    # Fetched window: the logical W_s plus one 128-lane block of slack for
+    # the 128-floored Element starts (clamped to the column width).
+    w_eff = min(w_s + _LANE, ccp_s)
+    max_tiles_col = -(-cc // qb_s)
+    t_bound = num_cols + -(-n // qb_s)
+    num_cand = 9 * w_eff
+    width = spec.s_width
+    drop_sent = jnp.int32(width + 1)
+    big_i = jnp.int32(2**30)
+    box_f = jnp.asarray(box_size, jnp.float32).reshape(())
+
+    # ---- Lane-major padded coordinate table [8*num_cols, CCP_s]:
+    # rows 8*col + {0,1,2} = x, y, z; rows 3..7 are the sublane-block
+    # floor. Same per-column [cP | main | cA] z-wrap layout as the
+    # aggregation's padded image (z-wrap copies carry pre-shifted z).
+    flat_sz = num_cols * ccp_s
+    oob = flat_sz
+    c_pre_i = jnp.take(c_pre, sorted_col)
+    m_i = jnp.take(m, sorted_col)
+    dst_main = jnp.where(
+        r_col < jnp.minimum(m_i, cc),
+        sorted_col * ccp_s + c_pre_i + r_col, oob,
+    )
+    pre_m = (sorted_cz == g - 1) & (r_cell < wrap)
+    dst_pre = jnp.where(pre_m, sorted_col * ccp_s + r_cell, oob)
+    app_m = (sorted_cz == 0) & (r_cell < wrap) & (r_col < cc)
+    dst_app = jnp.where(
+        app_m, sorted_col * ccp_s + c_pre_i + m_i + r_cell, oob
+    )
+    # Unused padded rows carry coordinate 4*box: their distance to any
+    # in-box query exceeds 9*box^2 — far outside any certifiable margin —
+    # so no validity plane is needed (a pick of one fails the margin
+    # certificate loudly, and its S entry references a zero padded row).
+    tabs = []
+    for vals, zshift in ((sx, 0.0), (sy, 0.0), (sz, 1.0)):
+        t0 = jnp.full((flat_sz + 1,), 1.0, jnp.float32) * (4.0 * box_f)
+        t0 = t0.at[dst_main].set(vals, mode="drop")
+        t0 = t0.at[dst_pre].set(vals - zshift * box_f, mode="drop")
+        t0 = t0.at[dst_app].set(vals + zshift * box_f, mode="drop")
+        tabs.append(t0[:flat_sz].reshape(num_cols, ccp_s))
+    zero = jnp.zeros((num_cols, ccp_s), jnp.float32)
+    tab = jnp.stack(
+        [tabs[0], tabs[1], tabs[2], zero, zero, zero, zero, zero], axis=1
+    ).reshape(num_cols * 8, ccp_s)
+
+    # ---- Dense query tiles: column `col` packs ceil(m/QB_s) tiles at the
+    # data-dependent prefix offset; T is the static hard bound.
+    tiles_per_col = -(-m // qb_s)
+    tile_ofs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(tiles_per_col).astype(jnp.int32)]
+    )
+    tile_col = jnp.zeros((t_bound + 1,), jnp.int32)
+    tile_row0 = jnp.zeros((t_bound + 1,), jnp.int32)
+    cols_iota = jnp.arange(num_cols, dtype=jnp.int32)
+    for ti in range(max_tiles_col):
+        sel = ti < tiles_per_col
+        idx = jnp.where(sel, tile_ofs[:-1] + ti, t_bound)
+        tile_col = tile_col.at[idx].set(cols_iota, mode="drop")
+        tile_row0 = tile_row0.at[idx].set(ti * qb_s, mode="drop")
+    tile_col, tile_row0 = tile_col[:t_bound], tile_row0[:t_bound]
+    t_used = tile_ofs[-1]
+    live = jnp.arange(t_bound, dtype=jnp.int32) < t_used
+
+    abs0 = jnp.take(col_start, tile_col) + tile_row0
+    rows_t = jnp.clip(jnp.take(m, tile_col) - tile_row0, 0, qb_s)
+    cz_ext = jnp.concatenate([sorted_cz, jnp.zeros((1,), jnp.int32)])
+    z_lo = jnp.take(cz_ext, jnp.clip(abs0, 0, n), mode="clip")
+    z_hi = jnp.take(
+        cz_ext, jnp.clip(abs0 + jnp.maximum(rows_t, 1) - 1, 0, n),
+        mode="clip",
+    )
+    z_lo = jnp.where(live & (rows_t > 0), z_lo, 0)
+    z_hi = jnp.where(live & (rows_t > 0), z_hi, 0)
+
+    # Queries in tile-dense order [T*QB_s, 128] (lanes 0..2), scatter-built.
+    q_dst = jnp.where(
+        r_col < cc,
+        (jnp.take(tile_ofs, sorted_col) + r_col // qb_s) * qb_s
+        + r_col % qb_s,
+        t_bound * qb_s,
+    )
+    qtab = jnp.zeros((t_bound * qb_s + 1, 8), jnp.float32)
+    qtab = qtab.at[q_dst].set(
+        jnp.stack([sx, sy, sz] + [jnp.zeros_like(sx)] * 5, axis=1),
+        mode="drop",
+    )[: t_bound * qb_s]
+    qtab = jnp.pad(qtab, ((0, 0), (0, _LANE - 8)))
+
+    # ---- Per-(tile, j) windows into the padded columns.
+    gx_t = tile_col // g
+    gy_t = tile_col % g
+    dxy = jnp.arange(9, dtype=jnp.int32)
+    dx = dxy[None, :] // 3 - 1
+    dy = dxy[None, :] % 3 - 1
+    cj = ((gx_t[:, None] + dx) % g) * g + (gy_t[:, None] + dy) % g
+    sx_j = jnp.where(
+        gx_t[:, None] + dx < 0, -1,
+        jnp.where(gx_t[:, None] + dx >= g, 1, 0),
+    )
+    sy_j = jnp.where(
+        gy_t[:, None] + dy < 0, -1,
+        jnp.where(gy_t[:, None] + dy >= g, 1, 0),
+    )
+    cp_j = jnp.take(c_pre, cj)
+    m_j = jnp.take(m, cj)
+    ca_j = jnp.take(c_app, cj)
+    ce_flat = jnp.take(cstart_ext, cj.reshape(-1), axis=0).reshape(
+        t_bound, 9, g + 1
+    )
+    start_lo = jnp.take_along_axis(
+        ce_flat,
+        jnp.broadcast_to(
+            jnp.clip(z_lo - 1, 0, g)[:, None, None], (t_bound, 9, 1)
+        ),
+        axis=2,
+    )[..., 0]
+    start = jnp.where(z_lo[:, None] >= 1, cp_j + start_lo, 0)
+    end_hi = jnp.take_along_axis(
+        ce_flat,
+        jnp.broadcast_to(
+            jnp.clip(z_hi + 2, 0, g)[:, None, None], (t_bound, 9, 1)
+        ),
+        axis=2,
+    )[..., 0]
+    end = jnp.where(z_hi[:, None] <= g - 2, cp_j + end_hi, cp_j + m_j + ca_j)
+    # 128-floored fetch start (clamped so the widened window stays inside
+    # the column); the lead lanes only add candidates, never hide one.
+    fl = jnp.clip(start // _LANE * _LANE, 0, ccp_s - w_eff)
+    window_truncated = jnp.sum(
+        jnp.where(live[:, None], jnp.maximum(end - fl - w_eff, 0), 0)
+    ).astype(jnp.int32)
+    # z-wrap copies beyond wrap_cap are invisible to the selection —
+    # certificate-gated like truncation (the aggregation side counts its
+    # own misses per edge, but a hidden CANDIDATE never becomes an edge).
+    wrap_hidden = (
+        jnp.sum(jnp.maximum(jnp.take(gstart, (cols_iota + 1) * g)
+                            - jnp.take(gstart, cols_iota * g + g - 1)
+                            - wrap, 0))
+        + jnp.sum(jnp.maximum(jnp.take(gstart, cols_iota * g + 1)
+                              - jnp.take(gstart, cols_iota * g)
+                              - wrap, 0))
+    ).astype(jnp.int32)
+    search_window_overflow = window_truncated + wrap_hidden
+
+    # ---- The select kernel.
+    codes2d, kth2d = pl.pallas_call(
+        _dense_select_kernel(k, qb_s, w_eff, num_cand),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(t_bound,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (qb_s, _LANE), lambda t, c, wl, sxp, syp: (t, 0)
+                ),
+            ]
+            + [
+                # Element fetches: row offset c*8 (f32 sublane tile) and
+                # lane offset wl*128 are the mul-by-tile forms Mosaic's
+                # window-param pass can prove divisible.
+                pl.BlockSpec(
+                    (pl.Element(8), pl.Element(w_eff)),
+                    lambda t, c, wl, sxp, syp, j=j: (
+                        c[t * 9 + j] * 8, wl[t * 9 + j] * _LANE,
+                    ),
+                )
+                for j in range(9)
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (qb_s, _LANE), lambda t, c, wl, sxp, syp: (t, 0)
+                ),
+                pl.BlockSpec(
+                    (qb_s, _LANE), lambda t, c, wl, sxp, syp: (t, 0)
+                ),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((t_bound * qb_s, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((t_bound * qb_s, _LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        cj.reshape(-1).astype(jnp.int32),
+        (fl // _LANE).reshape(-1).astype(jnp.int32),
+        sx_j.reshape(-1).astype(jnp.int32),
+        sy_j.reshape(-1).astype(jnp.int32),
+        jnp.asarray([box_f], jnp.float32),
+        qtab,
+        *([tab] * 9),
+    )
+
+    # ---- Rebase tile-window lanes -> absolute padded-column positions.
+    codes_t = codes2d.reshape(t_bound, qb_s, _LANE)[..., :k]
+    kth_t = kth2d.reshape(t_bound, qb_s, _LANE)[..., 0]
+    j_t = codes_t // w_eff  # 9 for the no-pick sentinel
+    wrow = codes_t - j_t * w_eff
+    wsel = jnp.zeros_like(codes_t)
+    for j in range(9):
+        wsel = wsel + jnp.where(j_t == j, fl[:, j][:, None, None], 0)
+    code_abs = jnp.where(j_t < 9, j_t * ccp_s + wsel + wrow, big_i)
+
+    # ---- Scatter tile rows to slot rows / sorted rows. Dead rows get
+    # UNIQUE out-of-range destinations (dropped) so unique_indices holds
+    # exactly — a shared sentinel index would be a duplicate, and lying to
+    # the scatter about uniqueness is undefined behavior on TPU.
+    row_i = jnp.arange(qb_s, dtype=jnp.int32)[None, :]
+    row_ok = live[:, None] & (row_i < rows_t[:, None])
+    flat_i = jnp.arange(t_bound * qb_s, dtype=jnp.int32).reshape(
+        t_bound, qb_s
+    )
+    slot_dst = jnp.where(
+        row_ok, tile_col[:, None] * cc + tile_row0[:, None] + row_i,
+        num_slots + flat_i,
+    ).reshape(-1)
+    offsets_abs = (
+        jnp.full((num_slots, k), big_i, jnp.int32)
+        .at[slot_dst]
+        .set(code_abs.reshape(-1, k), mode="drop", unique_indices=True)
+    )
+    sort_dst = jnp.where(row_ok, abs0[:, None] + row_i, n + flat_i).reshape(
+        -1
+    )
+    kth_sorted = (
+        jnp.full((n,), -_DENSE_BIG, jnp.float32)
+        .at[sort_dst]
+        .set(kth_t.reshape(-1), mode="drop", unique_indices=True)
+    )
+
+    # ---- Rebase to the aggregation tiles' windows: both coordinate
+    # systems are column-relative padded rows, so the lane offset is a
+    # plain difference against the slot's aggregation-tile window start.
+    slot_ids = jnp.arange(num_slots, dtype=jnp.int32)
+    w_a_rows = jnp.take(w_loc_a, slot_ids // qb_a, axis=0)  # monotone rows
+    j2 = jnp.minimum(offsets_abs // ccp_s, 9)
+    p2 = offsets_abs - j2 * ccp_s
+    wsel_a = jnp.zeros_like(offsets_abs)
+    for j in range(9):
+        wsel_a = wsel_a + jnp.where(j2 == j, w_a_rows[:, j][:, None], 0)
+    rel = p2 - wsel_a
+    picked = offsets_abs < big_i
+    ok = picked & (rel >= 0) & (rel < w_cap)
+    offsets = jnp.where(
+        ok, j2 * w_cap + rel,
+        jnp.where(picked, drop_sent, jnp.int32(width)),
+    )
+    return offsets, offsets_abs, kth_sorted, search_window_overflow
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "spec", "with_reverse", "s_build", "codes_cap", "interpret",
-        "codes_layout",
+        "codes_layout", "dense_search", "num_neighbors",
     ),
 )
 def build_cellblock(
@@ -712,6 +1119,8 @@ def build_cellblock(
     interpret: Optional[bool] = None,
     valid: Optional[jnp.ndarray] = None,
     codes_layout: str = "particle",
+    dense_search: Optional[DenseSearchSpec] = None,
+    num_neighbors: Optional[int] = None,
 ) -> CellBlockGraph:
     """Build the per-graph plan: binning, sort order, windows, S table(s).
 
@@ -789,7 +1198,31 @@ def build_cellblock(
         raise ValueError(f"unknown s_build mode: {s_build}")
     if (neighbor_codes is None) != (codes_cap is None):
         raise ValueError("neighbor_codes and codes_cap go together")
-    if neighbors is None and neighbor_codes is None:
+    if dense_search is not None:
+        # Fused dense-query kNN (round 5): the search runs HERE, against
+        # the plan's own padded-column layout — no neighbor ids, no codes
+        # decode. with_reverse decodes sender packs from the picks'
+        # absolute padded positions (see the dense branch below).
+        dense_search.validate()
+        if num_neighbors is None:
+            raise ValueError("dense_search requires num_neighbors")
+        if neighbors is not None or neighbor_codes is not None:
+            raise ValueError(
+                "dense_search replaces the neighbor search — pass "
+                "neighbors=None without codes"
+            )
+        if spec.variable or spec.grid_x or not spec.periodic_x:
+            raise ValueError(
+                "dense_search requires the uniform cubic periodic layout"
+            )
+        if valid is not None:
+            raise ValueError("dense_search does not support a validity mask")
+        if dense_search.window > _round_up(spec.padded_col, _LANE):
+            raise ValueError(
+                f"dense window {dense_search.window} exceeds the padded "
+                f"column {_round_up(spec.padded_col, _LANE)}"
+            )
+    elif neighbors is None and neighbor_codes is None:
         raise ValueError("neighbors=None requires neighbor_codes")
     if codes_layout not in ("particle", "table"):
         raise ValueError(f"unknown codes_layout: {codes_layout}")
@@ -811,7 +1244,10 @@ def build_cellblock(
     num_tiles = spec.num_tiles
     num_cells = num_cols * g
     n = positions.shape[0]
-    k = (neighbors if neighbors is not None else neighbor_codes).shape[1]
+    if dense_search is not None:
+        k = num_neighbors
+    else:
+        k = (neighbors if neighbors is not None else neighbor_codes).shape[1]
     if k > 127:
         raise ValueError(
             f"k={k} exceeds 127 — S-table entries are int8 multiplicity "
@@ -842,9 +1278,22 @@ def build_cellblock(
 
     # One sort network carries the index payload; a separate
     # cell_id[order] permutation would be an elementwise gather (slow here).
-    sorted_cell, order = jax.lax.sort(
-        (cell_id, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
-    )
+    # The dense search additionally co-sorts the coordinates (a
+    # positions[order] gather afterwards puts the size-3 axis minor-most —
+    # lane-padded 42x on TPU; sort payloads are the round-3 fast path).
+    sx = sy = sz = None
+    if dense_search is not None:
+        pos_f = positions.astype(jnp.float32)
+        sorted_cell, order, sx, sy, sz = jax.lax.sort(
+            (cell_id, jnp.arange(n, dtype=jnp.int32),
+             pos_f[:, 0], pos_f[:, 1], pos_f[:, 2]),
+            num_keys=1, is_stable=True,
+        )
+    else:
+        sorted_cell, order = jax.lax.sort(
+            (cell_id, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
+            is_stable=True,
+        )
     sorted_col = sorted_cell // g
     sorted_cz = sorted_cell % g
 
@@ -1122,6 +1571,102 @@ def build_cellblock(
         jnp.where(has_rows[:, None], end - w_loc - w_cap, 0)
     ).astype(jnp.int32)
     window_overflow = jnp.maximum(window_overflow, 0)
+
+    if dense_search is not None:
+        # ---- Fused dense-query kNN (round 5): search + S build in one
+        # pass over the plan's own layout. Early return — the codes/aux
+        # decode machinery below has nothing left to do.
+        from cosmology_gnn_simulation_tpu.ops.cell_list import (
+            CellGrid,
+            window_margin_sq,
+        )
+
+        interp = (
+            interpret if interpret is not None
+            else jax.default_backend() != "tpu"
+        )
+        r_cell = jnp.arange(n, dtype=jnp.int32) - jnp.take(
+            gstart, sorted_cell
+        )
+        (offsets, offsets_abs, kth_sorted,
+         search_window_overflow) = _dense_search_offsets(
+            spec, dense_search, k, n, box_size,
+            sx, sy, sz, sorted_col, sorted_cz, r, r_cell,
+            gstart, col_start, m, c_pre, c_app, cstart_ext,
+            w_loc, interp,
+        )
+        s_table = _s_from_offsets(offsets, spec, interp)
+        dropped = jnp.sum(offsets == spec.s_width + 1).astype(jnp.int32)
+        margin = window_margin_sq(
+            jnp.stack([sx, sy, sz], axis=1), box_size,
+            CellGrid(grid_size=g, cell_capacity=0),
+        )
+        search_excess = jnp.max(kth_sorted - margin)
+        s_rev_table = None
+        reverse_mismatch = None
+        if with_reverse:
+            # Training: sender PACK ids (col * CC + rank) by segment-
+            # decoding each pick's absolute padded position against its
+            # sender column's [cP | main | cA] layout — the reverse build
+            # consumes packs only (the cz component of the aux encoding is
+            # discarded there). reverse_mismatch == 0 certifies S_rev is
+            # the exact transpose, as on the codes path.
+            ccp_se = _round_up(2 * wrap + cc, _LANE)
+            slot_ids2 = jnp.arange(num_slots, dtype=jnp.int32)
+            ta = slot_ids2 // qb
+            j2 = jnp.minimum(offsets_abs // ccp_se, 9)
+            p2 = offsets_abs - j2 * ccp_se
+
+            def sel9(tbl):
+                rows = jnp.take(tbl, ta, axis=0)  # monotone row gather
+                out = jnp.zeros_like(offsets_abs)
+                for j in range(9):
+                    out = out + jnp.where(j2 == j, rows[:, j][:, None], 0)
+                return out
+
+            col_s = sel9(col_j)
+            cp_s = sel9(cp_j)
+            m_s = sel9(m_j)
+            cg1_s = sel9(cg1_j)
+            is_pre = p2 < cp_s
+            is_main = ~is_pre & (p2 < cp_s + m_s)
+            rank = jnp.where(
+                is_pre, cg1_s + p2,
+                jnp.where(is_main, p2 - cp_s, p2 - cp_s - m_s),
+            )
+            edge_ok = offsets < spec.s_width
+            sender_pack = jnp.where(
+                edge_ok & (rank >= 0) & (rank < cc),
+                col_s * cc + rank, spec.pack_slots,
+            )
+            main_pos_slot = (
+                (slot_ids2 // cc) * ccp
+                + jnp.take(c_pre, slot_ids2 // cc)
+                + slot_ids2 % cc
+            )
+            tile_pack_base = jnp.arange(num_tiles, dtype=jnp.int32) * qb
+            s_rev_table, rev_total = _build_reverse_table(
+                sender_pack, pad_src, window_starts, window_lims,
+                main_pos_slot, tile_pack_base, spec.pack_slots, spec,
+                mode=s_build, interpret=interp,
+            )
+            fwd_total = jnp.sum(s_table.astype(jnp.int32)).astype(jnp.int32)
+            reverse_mismatch = fwd_total - rev_total
+        return CellBlockGraph(
+            order=order,
+            slot_of_sorted=slot_of_sorted,
+            particle_of_slot=particle_of_slot,
+            pad_src=pad_src,
+            window_starts=window_starts,
+            s_table=s_table,
+            overflow=overflow,
+            dropped_edges=dropped,
+            window_overflow=window_overflow,
+            s_rev_table=s_rev_table,
+            reverse_mismatch=reverse_mismatch,
+            search_excess=search_excess,
+            search_window_overflow=search_window_overflow,
+        )
 
     # ---- Forward S table --------------------------------------------------
     # The codes path fuses the sender-slot decode into the S tile sweep

@@ -105,6 +105,8 @@ def integrate_step(
         "fused_tail",
         "sorted_state",
         "s_build",
+        "cellblock_search",
+        "dense_search_spec",
     ),
 )
 def rollout(
@@ -122,12 +124,14 @@ def rollout(
     neighbor_method: str = "auto",
     reneighbor_every: int = 1,
     exactness_guard: str = "flag",
-    aggregation: str = "gather",
+    aggregation: str = "auto",
     cellblock_spec=None,
     cellblock_variable: bool = False,
     fused_tail: Optional[bool] = None,
     sorted_state: str = "auto",
     s_build: str = "auto",
+    cellblock_search: str = "auto",
+    dense_search_spec=None,
 ) -> Dict[str, jnp.ndarray]:
     """Roll the learned simulator forward ``num_steps`` steps.
 
@@ -168,6 +172,18 @@ def rollout(
     model carry on the N particle rows, paying per-step expand/compact
     gathers instead of the slot-padding row tax — the flagship-scale
     winner (see ``apply_encode_process_decode``).
+
+    ``cellblock_search`` (cell-block modes only): ``"codes"`` = the
+    round-4 production research round (codes-only Pallas kNN + codes->S
+    plan build); ``"dense"`` = the round-5 FUSED dense-query search — the
+    kNN runs inside ``build_cellblock`` against the plan's own
+    padded-column layout and its output lanes rebase directly into S-table
+    lanes, deleting the separate search round and the whole codes->S
+    decode; ``"auto"`` picks dense on real TPU for uniform cubic specs.
+    Both are exact with the same certificate guarantees (margin bound +
+    overflow/truncation gates); neighbor sets agree with brute force
+    (tests/test_dense_search.py). ``dense_search_spec`` overrides the
+    dense kernel's (query_block, window) tuning.
 
     ``sorted_state`` applies the same cell-sorted state carriage to the
     default gather path. MEASURED NEGATIVE on real TPU at the flagship
@@ -248,7 +264,7 @@ def rollout(
             neighbor_query_tile, neighbor_method, reneighbor_every, guard,
             cellblock_spec, zero_key,
             "hybrid" if aggregation == "cellblock_hybrid" else "slots",
-            s_build,
+            s_build, cellblock_search, dense_search_spec,
         )
 
     if sorted_state not in ("auto", "on", "off"):
@@ -529,6 +545,7 @@ def _cellblock_rollout(
     params, model_config, init_pos, init_temp, stats, num_steps, k,
     min_image_velocity, dtype, tile, method, reneighbor_every, guard,
     spec, zero_key, cellblock_mode="slots", s_build="auto",
+    cellblock_search="auto", dense_search_spec=None,
 ):
     """Rollout with selection-matrix (cell-block) aggregation.
 
@@ -567,6 +584,55 @@ def _cellblock_rollout(
     from cosmology_gnn_simulation_tpu.ops.cell_list import choose_cell_grid
 
     codes_ok = choose_cell_grid(n, k).grid_size == spec.grid_size
+
+    # Fused dense-query search (round 5): search + plan in ONE pass over
+    # the plan's own padded-column layout — the kNN kernel's output lanes
+    # rebase directly into S-table lanes, deleting the separate search
+    # round and the codes->S decode entirely. The certificate composes the
+    # same guarantees: column overflow, un-representable edges, search
+    # window truncation / hidden z-wrap copies, and the per-query k-th
+    # distance within its window margin.
+    if cellblock_search not in ("auto", "dense", "codes"):
+        raise ValueError(f"unknown cellblock_search: {cellblock_search}")
+    # "auto" stays on codes for now: the round-5 dense kernel measured
+    # SLOWER than the codes research round on its first on-chip cut
+    # (22.8 vs 14.9 ms — flagship_dense_r5.json; per-tile roll/DMA
+    # overhead) — see docs/PERFORMANCE.md for the follow-up plan.
+    use_dense = cellblock_search == "dense"
+    if use_dense and (spec.variable or spec.grid_x or not spec.periodic_x):
+        raise ValueError(
+            "cellblock_search='dense' requires the uniform cubic periodic "
+            "layout"
+        )
+    if use_dense:
+        from cosmology_gnn_simulation_tpu.ops.cellblock import (
+            choose_dense_search_spec,
+        )
+
+        dspec = dense_search_spec or choose_dense_search_spec(n, spec)
+
+        def research_dense(pos_w, temp_w, inv_ids):
+            wrapped = wrap_positions(pos_w[-1], box)
+            plan = build_cellblock(
+                wrapped, None, box, spec, s_build=s_build,
+                dense_search=dspec, num_neighbors=k,
+            )
+            exact = (
+                (plan.overflow == 0)
+                & (plan.dropped_edges == 0)
+                & (plan.search_window_overflow == 0)
+                & (plan.search_excess <= 0.0)
+            )
+            pos_w = permute_window(pos_w, plan.order)
+            temp_w = permute_window(temp_w, plan.order)
+            nbr_sorted = jnp.zeros((n, k), jnp.int32)
+            invp = (
+                jnp.zeros((n,), jnp.int32)
+                .at[plan.order]
+                .set(jnp.arange(n, dtype=jnp.int32))
+            )
+            inv_ids = jnp.take(invp, inv_ids, axis=0)
+            return pos_w, temp_w, inv_ids, nbr_sorted, plan, exact
 
     def research(pos_w, temp_w, inv_ids):
         wrapped = wrap_positions(pos_w[-1], box)
@@ -611,6 +677,9 @@ def _cellblock_rollout(
         )
         inv_ids = jnp.take(invp, inv_ids, axis=0)
         return pos_w, temp_w, inv_ids, nbr_sorted, plan, exact
+
+    if use_dense:
+        research = research_dense
 
     def step(pos_w, temp_w, nbr_sorted, plan):
         graph = featurize(
@@ -811,8 +880,9 @@ def _cellblock_one_step(
     s_build = "kernel" if jax.default_backend() == "tpu" else "contract"
     codes_ok = choose_cell_grid(n, k).grid_size == spec.grid_size
     wrapped = wrap_positions(position_seq[-1], box)
-    neighbors, codes, codes_cap, spill, _exact = neighbor_search_certified(
-        wrapped, k, box, method=method, with_codes=True, codes_only=codes_ok,
+    neighbors, codes, codes_cap, spill, _ex = neighbor_search_certified(
+        wrapped, k, box, method=method, with_codes=True,
+        codes_only=codes_ok,
     )
     if codes is not None and not codes_ok:
         codes = codes_cap = spill = None
