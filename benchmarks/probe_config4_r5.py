@@ -109,7 +109,7 @@ def main():
         neighbor_search_certified,
     )
 
-    def make_plan(iters, with_reverse):
+    def make_plan(iters, with_reverse, codes_only):
         @jax.jit
         def f(eps):
             def step(carry, _):
@@ -118,7 +118,7 @@ def main():
                 # make_train_step requests them; rollout path: codes only.
                 idx, codes, cap, spill, exact = neighbor_search_certified(
                     p, K, 1.0, method="pallas", with_codes=True,
-                    codes_only=not with_reverse,
+                    codes_only=codes_only,
                 )
                 plan = build_cellblock(
                     p, idx, 1.0, spec, with_reverse=with_reverse,
@@ -138,14 +138,23 @@ def main():
 
         return f
 
-    for wr in (False, True):
+    # (with_reverse, codes_only): the (False, False) leg pins the dual-
+    # payload search + ids-plan baseline so (True, False) - (False, False)
+    # isolates the REVERSE BUILD itself (round-5 follow-up: the first cut
+    # of this probe conflated it with the codes_only -> dual search delta).
+    for wr, co in ((False, True), (False, False), (True, False)):
         try:
-            ms = marg(lambda it, wr=wr: make_plan(it, wr), k_s=3, k_l=9)
-            results[f"plan_reverse_{wr}_ms"] = round(ms, 3)
-            print(f"plan with_reverse={wr}: {ms:.1f} ms", flush=True)
+            ms = marg(lambda it, wr=wr, co=co: make_plan(it, wr, co),
+                      k_s=3, k_l=9)
+            results[f"plan_reverse_{wr}_codesonly_{co}_ms"] = round(ms, 3)
+            print(f"plan with_reverse={wr} codes_only={co}: {ms:.1f} ms",
+                  flush=True)
         except Exception as e:
-            results[f"plan_reverse_{wr}_ms"] = f"FAILED: {e}"[:200]
-            print(f"plan with_reverse={wr} FAILED: {e}", flush=True)
+            results[f"plan_reverse_{wr}_codesonly_{co}_ms"] = (
+                f"FAILED: {e}"[:200]
+            )
+            print(f"plan with_reverse={wr} codes_only={co} FAILED: {e}",
+                  flush=True)
 
     os.makedirs("benchmarks/results", exist_ok=True)
     with open("benchmarks/results/config4_r5.json", "w") as f:

@@ -246,9 +246,15 @@ def section_config4(results, n=500_000, k=32, latent=256, mp=15):
 
 
 def main():
+    global OUT
     ap = argparse.ArgumentParser()
     ap.add_argument("--sections", default="config2,flagship,config4")
+    ap.add_argument("--out", default=OUT,
+                    help="results JSON (merged over existing keys); round-5 "
+                         "reruns write train_r5.json to preserve the "
+                         "round-4 numbers")
     args = ap.parse_args()
+    OUT = args.out
     sections = set(args.sections.split(","))
 
     results = {}

@@ -35,7 +35,39 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--search", type=str, default="auto",
                     choices=["auto", "dense", "codes"])
+    ap.add_argument("--train_steps", type=int, default=0,
+                    help="with --mode trained: brief training on a "
+                         "synthetic N=65,536 sim before the rollout.")
+    ap.add_argument("--mode", type=str, default="zero_heads",
+                    choices=["zero_heads", "random", "trained"],
+                    help="model for the 100-step trajectory. The "
+                         "certificate is only as durable as the particle "
+                         "DISTRIBUTION stays in the spec's capacity "
+                         "regime: 'random' (random-init params) collapses "
+                         "it by ~step 40 (60/100 exact), 'trained' on the "
+                         "attractor-forced synthetic sim clusters "
+                         "genuinely by step 3 (3/100 — clustered data "
+                         "needs the capacity overrides, flagged loudly "
+                         "either way). 'zero_heads' zeroes the two "
+                         "decoder output layers: acc == 0 exactly, the "
+                         "trajectory is free-streaming drift (uniform "
+                         "forever), per-step COST is identical (every "
+                         "matmul/kernel still runs — weights don't change "
+                         "arithmetic), and the certificate can be "
+                         "exercised over the full 100 steps.")
+    ap.add_argument("--wrap_cap", type=int, default=0,
+                    help="override the cell-block spec's z-wrap capacity "
+                         "(the durable Poisson quantile is exactly the "
+                         "default 32 at flagship — a single max-occupancy "
+                         "cell at a z boundary trips the certificate; one "
+                         "step of 100 did in the first zero-heads run).")
+    ap.add_argument("--col_capacity", type=int, default=0,
+                    help="override the cell-block spec's column capacity")
     args = ap.parse_args()
+    if args.mode == "trained" and not args.train_steps:
+        args.train_steps = 400
+    if args.mode != "trained":
+        args.train_steps = 0
 
     from cosmology_gnn_simulation_tpu.models.encode_process_decode import (
         init_encode_process_decode,
@@ -48,21 +80,83 @@ def main():
 
     print("backend:", jax.default_backend(), flush=True)
     model_config = default_model_config()
-    stats = NormalizationStats(
-        temp_mean=jnp.asarray(1.0), temp_std=jnp.asarray(0.3),
-        temp_rate_mean=jnp.asarray(0.0), temp_rate_std=jnp.asarray(0.02),
-        vel_mean=jnp.asarray(0.0), vel_std=jnp.asarray(0.06),
-        acc_mean=jnp.asarray(0.0), acc_std=jnp.asarray(0.2),
-        box_size=1.0, dt=0.05,
-    )
-    params = init_encode_process_decode(jax.random.PRNGKey(0), model_config)
-    rng = np.random.default_rng(0)
-    base = rng.uniform(0, 1, (1, N, 3))
-    drift = rng.normal(0, 5e-4, (WINDOW, N, 3)).cumsum(axis=0)
-    positions = jnp.asarray(np.remainder(base + drift, 1.0), jnp.float32)
-    temperatures = jnp.asarray(
-        np.abs(rng.normal(1.0, 0.3, (WINDOW, N, 1))), jnp.float32
-    )
+    if args.train_steps:
+        from cosmology_gnn_simulation_tpu.data.synthetic import (
+            generate_synthetic_simulation,
+        )
+        from cosmology_gnn_simulation_tpu.metadata import compute_metadata
+        from cosmology_gnn_simulation_tpu.training.trainer import (
+            TrainConfig,
+            make_optimizer,
+            make_train_step,
+        )
+
+        sim = generate_synthetic_simulation(
+            num_snapshots=16, num_particles=N, seed=0,
+            velocity_scale=0.02,
+        )
+        stats = NormalizationStats.from_metadata(compute_metadata(sim))
+        params = init_encode_process_decode(
+            jax.random.PRNGKey(0), model_config
+        )
+        tc = TrainConfig(
+            num_neighbors=K, batch_size=1, noise_std=3e-4,
+            compute_dtype="bfloat16", aggregation="cellblock_hybrid",
+            momentum_loss_weight=0.0,
+        )
+        optimizer = make_optimizer(
+            tc, steps_per_epoch=max(args.train_steps, 1)
+        )
+        opt_state = optimizer.init(params)
+        step_fn = make_train_step(model_config, stats, tc, optimizer)
+        coords = np.asarray(sim["Coordinates"], np.float32)
+        temps = np.asarray(sim["InternalEnergy"], np.float32)
+        starts = list(range(16 - WINDOW))  # 11 windows
+        t0 = time.perf_counter()
+        loss = float("nan")
+        for i in range(args.train_steps):
+            s = starts[i % len(starts)]
+            batch = {
+                "positions": jnp.asarray(coords[None, s:s + WINDOW]),
+                "temperatures": jnp.asarray(temps[None, s:s + WINDOW]),
+                "target_positions": jnp.asarray(coords[None, s + WINDOW]),
+                "target_temperatures": jnp.asarray(temps[None, s + WINDOW]),
+            }
+            params, opt_state, metrics = step_fn(
+                params, opt_state, batch, jax.random.PRNGKey(i)
+            )
+            if i % 100 == 0 or i == args.train_steps - 1:
+                loss = float(metrics["loss"])
+                print(f"train step {i}: loss {loss:.5f} "
+                      f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        train_wall = time.perf_counter() - t0
+        positions = jnp.asarray(coords[:WINDOW])
+        temperatures = jnp.asarray(temps[:WINDOW])
+    else:
+        stats = NormalizationStats(
+            temp_mean=jnp.asarray(1.0), temp_std=jnp.asarray(0.3),
+            temp_rate_mean=jnp.asarray(0.0), temp_rate_std=jnp.asarray(0.02),
+            vel_mean=jnp.asarray(0.0), vel_std=jnp.asarray(0.06),
+            acc_mean=jnp.asarray(0.0), acc_std=jnp.asarray(0.2),
+            box_size=1.0, dt=0.05,
+        )
+        params = init_encode_process_decode(
+            jax.random.PRNGKey(0), model_config
+        )
+        if args.mode == "zero_heads":
+            for head in ("decoder_acc", "decoder_temp_rate"):
+                layers = params[head]["layers"]
+                params[head]["layers"] = layers[:-1] + (
+                    {k2: jnp.zeros_like(v) for k2, v in layers[-1].items()},
+                )
+        rng = np.random.default_rng(0)
+        base = rng.uniform(0, 1, (1, N, 3))
+        drift = rng.normal(0, 5e-4, (WINDOW, N, 3)).cumsum(axis=0)
+        positions = jnp.asarray(np.remainder(base + drift, 1.0), jnp.float32)
+        temperatures = jnp.asarray(
+            np.abs(rng.normal(1.0, 0.3, (WINDOW, N, 1))), jnp.float32
+        )
+        train_wall, loss = 0.0, None
 
     @jax.jit
     def checksum(out):
@@ -71,12 +165,26 @@ def main():
             + jnp.sum(out["InternalEnergy"][-1])
         )
 
+    spec = None
+    if args.wrap_cap or args.col_capacity:
+        from cosmology_gnn_simulation_tpu.ops.cellblock import (
+            choose_cellblock_spec,
+        )
+
+        spec = choose_cellblock_spec(N, K)
+        spec = spec._replace(
+            wrap_cap=args.wrap_cap or spec.wrap_cap,
+            col_capacity=args.col_capacity or spec.col_capacity,
+        )
+        print("spec override:", spec, flush=True)
+
     def run(eps):
         out = rollout(
             params, model_config,
             jnp.remainder(positions + eps, 1.0), temperatures,
             stats, args.steps, num_neighbors=K, dtype=jnp.bfloat16,
             aggregation="cellblock_hybrid", cellblock_search=args.search,
+            cellblock_spec=spec,
         )
         cs = float(checksum(out))  # forces full execution
         return out, cs
@@ -88,11 +196,49 @@ def main():
         out, _ = run((rep + 1) * 1e-6)
         best = min(best, time.perf_counter() - t0)
     exact = np.asarray(out["neighbor_exactness"])
+    diags = {}
+    if not exact.all():
+        # Per-component certificate diagnosis at the first few inexact
+        # frames: which guarantee tripped (search overflow/margin, plan
+        # column overflow / dropped edges / z-wrap truncation)?
+        from cosmology_gnn_simulation_tpu.featurize import (
+            neighbor_search_certified,
+        )
+        from cosmology_gnn_simulation_tpu.ops.cellblock import (
+            build_cellblock,
+            choose_cellblock_spec,
+        )
+
+        dspec = spec or choose_cellblock_spec(N, K)
+
+        @jax.jit
+        def diag(p):
+            p = jnp.remainder(p, 1.0)
+            idx, codes, cap, spill, s_exact = neighbor_search_certified(
+                p, K, 1.0, method="pallas", with_codes=True,
+                codes_only=True,
+            )
+            plan = build_cellblock(p, idx, 1.0, dspec,
+                                   neighbor_codes=codes, codes_cap=cap,
+                                   codes_spill=spill)
+            return (s_exact, plan.overflow, plan.dropped_edges,
+                    plan.window_overflow)
+
+        for i in np.nonzero(~exact)[0][:3]:
+            s_exact, ovf, drop, wovf = diag(out["Coordinates"][WINDOW + i - 1])
+            diags[f"step{int(i)}"] = dict(
+                search_exact=bool(s_exact), plan_overflow=int(ovf),
+                dropped_edges=int(drop), window_overflow=int(wovf),
+            )
+            print(f"inexact step {i}: {diags[f'step{int(i)}']}", flush=True)
     result = {
         "config": "BASELINE config 3: 100-step rollout at N=65,536, k=16, "
                   "latent 128, 10 MP steps, re-neighbor every step",
         "n": N, "k": K, "steps": args.steps,
-        "search": args.search,
+        "search": args.search, "mode": args.mode,
+        "train_steps": args.train_steps,
+        "train_wall_s": round(train_wall, 1),
+        "final_train_loss": loss,
         "wall_s": round(best, 3),
         "ms_per_step": round(best / args.steps * 1e3, 3),
         "particle_steps_per_s": round(N * args.steps / best, 1),
@@ -102,9 +248,13 @@ def main():
         "final_coords_finite": bool(
             np.isfinite(np.asarray(out["Coordinates"][-1])).all()
         ),
+        "wrap_cap": args.wrap_cap or None,
+        "col_capacity": args.col_capacity or None,
+        "inexact_step_diagnostics": diags or None,
     }
     os.makedirs("benchmarks/results", exist_ok=True)
-    with open("benchmarks/results/rollout100_r5.json", "w") as f:
+    suffix = "" if args.mode == "zero_heads" else f"_{args.mode}"
+    with open(f"benchmarks/results/rollout100_r5{suffix}.json", "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2), flush=True)
 

@@ -60,6 +60,7 @@ def neighbor_search(
     method: str = "auto",
     query_tile: int = 512,
     with_codes: bool = False,
+    codes_only: bool = False,
 ):
     """Dispatch between the periodic k-NN backends.
 
@@ -72,6 +73,14 @@ def neighbor_search(
     — the Pallas backend's candidate codes (and its spill-block
     resolution tables, see ``pallas_cell_list_knn``) for the cell-block
     plan build (all ``None`` for every other backend).
+
+    ``codes_only=True`` (round 5, requires ``with_codes``): when the
+    Pallas backend serves the search, request its single-payload codes
+    kernel — ``neighbors`` comes back ``None`` and the dual id+code
+    selection passes are skipped (the cell-block pipeline never reads
+    neighbor ids; the dual carriage costs ~+10 ms in-scan at flagship and
+    ~+200 ms at config 4 — ``config4_r5.json``). Other backends still
+    return real ids with ``codes=None`` — callers must handle both.
     """
     n = positions.shape[0]
     self_query = queries is None or queries is positions
@@ -94,7 +103,8 @@ def neighbor_search(
 
             if with_codes:
                 idx, codes, spill = pallas_cell_list_knn(
-                    positions, k, box_size, grid, with_codes=True
+                    positions, k, box_size, grid, with_codes=True,
+                    codes_only=codes_only,
                 )
                 return idx, codes, codes_packing_cap(n, k, grid), spill
             return pallas_cell_list_knn(positions, k, box_size, grid)
@@ -286,6 +296,7 @@ def featurize(
     build_edges: bool = True,
     noise_gids: Optional[jnp.ndarray] = None,
     with_codes: bool = False,
+    codes_only: bool = False,
 ) -> ParticleGraph:
     """Build a ``ParticleGraph`` from a trajectory window.
 
@@ -294,7 +305,12 @@ def featurize(
     candidate codes (+ spill-block resolution tables) computed on the
     (noised, wrapped) positions, for the cell-block plan build (all
     ``None`` when another backend served the search or ``neighbors``
-    were precomputed).
+    were precomputed). ``codes_only=True`` additionally requests the
+    single-payload codes kernel: ``graph.neighbors`` is then ``None``
+    when the Pallas backend served the search (the cell-block pipeline
+    never reads ids — skipping the dual id+code selection saves ~200 ms
+    per config-4 train step); incompatible with
+    ``build_edges``/``build_reverse``.
 
     Args:
       position_seq: ``[T, N, 3]`` time-major position history (HDF5 layout).
@@ -368,6 +384,11 @@ def featurize(
     codes = codes_cap = spill = None
     if neighbors is None:
         if with_codes:
+            if codes_only and (build_edges or build_reverse):
+                raise ValueError(
+                    "codes_only=True returns no neighbor ids — "
+                    "incompatible with build_edges/build_reverse"
+                )
             neighbors, codes, codes_cap, spill = neighbor_search(
                 all_positions,
                 num_neighbors,
@@ -376,6 +397,7 @@ def featurize(
                 method=neighbor_method,
                 query_tile=neighbor_query_tile,
                 with_codes=True,
+                codes_only=codes_only,
             )
         else:
             neighbors = neighbor_search(

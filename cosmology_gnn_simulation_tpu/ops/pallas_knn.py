@@ -117,7 +117,7 @@ def codes_packing_cap(n: int, k: int, grid: CellGrid) -> int:
 def _select_kernel(
     k: int, cells_per_block: int, cap: int, num_cand: int,
     with_codes: bool = False, lex_carry: bool = True, mi_lanes: int = 0,
-    codes_only: bool = False, row_groups: bool = False,
+    codes_only: bool = False, row_groups: bool = False, pick_batch: int = 1,
 ):
     """Build the kernel body: per cell, exact k-smallest-distance selection
     over its candidate row, emitting the selected **particle ids** directly
@@ -194,20 +194,41 @@ def _select_kernel(
             out_lane = jax.lax.broadcasted_iota(jnp.int32, (group, _LANE), 1)
             big_lane = jnp.int32(2**30)
             m = jnp.full((group, 1), -1.0, jnp.float32)
-            lane_pick = jnp.full((group, 1), -1, jnp.int32)
-            for j in range(k):
-                # In-place masked re-min keyed by the previous pick's LANE
-                # (lanes are unique per row by construction).
-                d2 = jnp.where(cand_lane == lane_pick, _BIG, d2)
-                m = jnp.min(d2, axis=1, keepdims=True)
-                new_lane = jnp.min(
-                    jnp.where(d2 <= m, cand_lane, big_lane),
-                    axis=1, keepdims=True,
-                )
-                # Exhausted row: emit the num_cand sentinel (stays excluded
-                # on later picks — no lane equals num_cand).
-                lane_pick = jnp.where(m < _BIG * 0.5, new_lane, num_cand)
-                codes = jnp.where(out_lane == j, lane_pick, codes)
+            # Batched picks (round 5): the in-place masked re-min pays one
+            # full-[group, num_cand] masked STORE of d2 per pick (~1/3 of
+            # kernel time at k=16, knn_kernel_r3.json). With pick_batch=B,
+            # B picks share ONE store — picks 2..B mask the previous pick
+            # out of a read-only `avail` view instead (the extra live tile
+            # is [group, num_cand] f32, well under scoped VMEM at
+            # production widths). pick_batch=1 is exactly the round-3 loop.
+            prev = []  # picked lanes not yet masked out of d2 itself
+            j = 0
+            while j < k:
+                b = min(pick_batch, k - j)
+                mask = None
+                for lp in prev:
+                    eq = cand_lane == lp
+                    mask = eq if mask is None else (mask | eq)
+                if mask is not None:
+                    d2 = jnp.where(mask, _BIG, d2)
+                prev = []
+                avail = d2
+                for t in range(b):
+                    m = jnp.min(avail, axis=1, keepdims=True)
+                    new_lane = jnp.min(
+                        jnp.where(avail <= m, cand_lane, big_lane),
+                        axis=1, keepdims=True,
+                    )
+                    # Exhausted row: emit the num_cand sentinel (stays
+                    # excluded on later picks — no lane equals num_cand).
+                    lane_pick = jnp.where(m < _BIG * 0.5, new_lane, num_cand)
+                    codes = jnp.where(out_lane == j + t, lane_pick, codes)
+                    prev.append(lane_pick)
+                    if t < b - 1:
+                        avail = jnp.where(
+                            cand_lane == lane_pick, _BIG, avail
+                        )
+                j += b
             codes_ref[c, rows] = codes
             kth_ref[c, rows] = m[:, 0]
 
@@ -395,7 +416,7 @@ def _build_table(positions, g: int, cap: int, box):
     static_argnames=(
         "k", "grid", "return_diagnostics", "with_codes", "interpret",
         "cells_per_block", "lex_carry", "codes_only", "codes_layout",
-        "row_groups",
+        "row_groups", "pick_batch",
     ),
 )
 def pallas_cell_list_knn(
@@ -412,6 +433,7 @@ def pallas_cell_list_knn(
     codes_only: bool = False,
     codes_layout: str = "particle",
     row_groups: Optional[bool] = None,
+    pick_batch: Optional[int] = None,
 ):
     """Exact periodic k-NN (self-query) via the fused Pallas kernel.
 
@@ -613,6 +635,15 @@ def pallas_cell_list_knn(
         # pl.when branches serialize Mosaic's pipeline far more than the
         # skipped work saves. Kept opt-in for clustered data probes.
         row_groups = False
+    if pick_batch is None:
+        pick_batch = 1
+    if pick_batch < 1 or (pick_batch > 1 and not codes_only):
+        # Batched picks are wired for the codes-only selection (the
+        # flagship rollout path); the ids/lex selections keep the round-3
+        # loops.
+        raise ValueError(
+            f"pick_batch={pick_batch} requires codes_only=True"
+        )
     # Per-cell table occupancy (<= cap; overflow spills). Drives the
     # row-group gating — cells' empty sublane groups are skipped.
     occ = jnp.sum((ids < n).astype(jnp.int32), axis=1)
@@ -666,7 +697,8 @@ def pallas_cell_list_knn(
     results = pl.pallas_call(
         _select_kernel(k, cells_per_block, cap, num_cand, with_codes,
                        lex_carry=lex_carry, mi_lanes=mi_lanes,
-                       codes_only=codes_only, row_groups=row_groups),
+                       codes_only=codes_only, row_groups=row_groups,
+                       pick_batch=pick_batch),
         grid=(num_blocks,),
         in_specs=[q_spec, q_spec, q_spec, c_spec, c_spec, c_spec, c_spec,
                   pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -594,10 +594,13 @@ def _cellblock_rollout(
     # distance within its window margin.
     if cellblock_search not in ("auto", "dense", "codes"):
         raise ValueError(f"unknown cellblock_search: {cellblock_search}")
-    # "auto" stays on codes for now: the round-5 dense kernel measured
-    # SLOWER than the codes research round on its first on-chip cut
-    # (22.8 vs 14.9 ms — flagship_dense_r5.json; per-tile roll/DMA
-    # overhead) — see docs/PERFORMANCE.md for the follow-up plan.
+    # "auto" stays on codes: BOTH dense kernel cuts measured SLOWER than
+    # the codes research round (v1 rolls 22.8-30.7 ms, v2 Element fetches
+    # 19.6-31.3 ms vs 14.9 — flagship_dense_r5.json; the 128-floored
+    # starts widen every window to w_eff = W + 128, tripling the
+    # selection width). Closed as a measured negative in
+    # docs/PERFORMANCE.md; the mode stays as an exactness-certified
+    # opt-in.
     use_dense = cellblock_search == "dense"
     if use_dense and (spec.variable or spec.grid_x or not spec.periodic_x):
         raise ValueError(

@@ -224,6 +224,12 @@ def make_train_step(
             build_edges=need_edges,
             noise_gids=noise_gids,
             with_codes=cellblock,
+            # The cell-block pipeline never reads neighbor IDS — request
+            # the kNN kernel's single-payload codes mode (round 5: the
+            # dual id+code carriage costs ~200 ms per config-4 train step,
+            # config4_r5.json; other backends still return ids + no codes
+            # and the plan build takes its aux path).
+            codes_only=cellblock and not need_edges,
         )
         codes = codes_cap = spill = None
         if cellblock:
@@ -374,6 +380,9 @@ def make_eval_step(
             neighbor_method=tc.neighbor_method,
             build_edges=need_edges,
             with_codes=tc.aggregation.startswith("cellblock"),
+            codes_only=(
+                tc.aggregation.startswith("cellblock") and not need_edges
+            ),
         )
         if tc.aggregation.startswith("cellblock"):
             from cosmology_gnn_simulation_tpu.ops.cellblock import (

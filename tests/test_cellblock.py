@@ -662,3 +662,45 @@ def test_variable_budget_overflow_is_loud():
     # The aggregation still runs (overflowed rows clamp to the zero row).
     out = cellblock_aggregate(z[plan.order], plan, tight, interpret=True)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("spec,n", [(SPEC, 200), (SPEC_TILED, 3000)])
+def test_ids_free_reverse_plan_matches_ids_plan(spec, n):
+    """Round 5: the TRAINING plan (``with_reverse=True``) built from
+    codes-only search output (``neighbors=None`` — the single-payload kNN
+    kernel the trainer now requests, saving the dual id+code selection)
+    is bit-identical to the ids+codes plan: forward table, reverse table,
+    and every diagnostic."""
+    from cosmology_gnn_simulation_tpu.ops.cell_list import CellGrid
+    from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
+        codes_packing_cap,
+        pallas_cell_list_knn,
+    )
+
+    rng = np.random.default_rng(12)
+    pos = jnp.asarray(rng.uniform(0, 1.0, size=(n, 3)), jnp.float32)
+    g = spec.grid_size
+    cap = max(8, int(np.ceil(n / g**3 * 4)))
+    grid = CellGrid(grid_size=g, cell_capacity=cap)
+    nbr, codes, spill = pallas_cell_list_knn(
+        pos, 4, 1.0, grid, with_codes=True, interpret=True
+    )
+    cap_out = codes_packing_cap(n, 4, grid)
+    a = build_cellblock(
+        pos, nbr, 1.0, spec, with_reverse=True,
+        neighbor_codes=codes, codes_cap=cap_out, codes_spill=spill,
+    )
+    _, codes2, spill2 = pallas_cell_list_knn(
+        pos, 4, 1.0, grid, with_codes=True, codes_only=True, interpret=True
+    )
+    b = build_cellblock(
+        pos, None, 1.0, spec, with_reverse=True,
+        neighbor_codes=codes2, codes_cap=cap_out, codes_spill=spill2,
+    )
+    np.testing.assert_array_equal(np.asarray(a.s_table), np.asarray(b.s_table))
+    np.testing.assert_array_equal(
+        np.asarray(a.s_rev_table), np.asarray(b.s_rev_table)
+    )
+    for f in ("overflow", "dropped_edges", "window_overflow",
+              "reverse_mismatch"):
+        assert int(getattr(a, f)) == int(getattr(b, f)), f

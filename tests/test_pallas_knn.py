@@ -1,6 +1,7 @@
 """Pallas fused cell-list kNN kernel — correctness in interpret mode (the
 kernel's compiled path is exercised on real TPUs by bench.py)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -263,3 +264,29 @@ def test_row_groups_matches_ungrouped(rng):
                              row_groups=True)
     # Per-particle codes (gathered to particle order) must match exactly.
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_pick_batch_matches_single(rng):
+    """Batched-pick selection (round 5): bit-identical codes and
+    certificate vs the single-pick loop for every batch size, including a
+    crammed cell that engages the spill block and exhausted rows."""
+    n, k = 3000, 8
+    pos = np.asarray(rng.uniform(0, 1, (n, 3)), np.float32)
+    g = choose_cell_grid(n, k).grid_size
+    pos[:40] = 0.5 / g + rng.uniform(0, 0.2 / g, size=(40, 3))
+    pos = jnp.asarray(pos)
+    grid = CellGrid(grid_size=g, cell_capacity=max(
+        8, int(np.ceil(n / g**3 * 2.0))))
+    outs = {}
+    for b in (1, 2, 3, 4, 8):
+        outs[b] = jax.tree.map(
+            np.asarray,
+            pallas_cell_list_knn(
+                pos, k, 1.0, grid, codes_only=True, interpret=True,
+                pick_batch=b, return_diagnostics=True,
+            ),
+        )
+    ref = jax.tree.leaves(outs[1])
+    for b in (2, 3, 4, 8):
+        for a, c in zip(ref, jax.tree.leaves(outs[b])):
+            np.testing.assert_array_equal(a, c)
