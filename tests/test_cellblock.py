@@ -664,7 +664,17 @@ def test_variable_budget_overflow_is_loud():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
-@pytest.mark.parametrize("spec,n", [(SPEC, 200), (SPEC_TILED, 3000)])
+@pytest.mark.parametrize(
+    "spec,n",
+    [
+        (SPEC, 200),
+        (SPEC_TILED, 3000),
+        # VARIABLE layout: the sender-pack decode takes the prefix-offset
+        # branch (the config-4 opt-in the TPU probe runs with
+        # --cellblock_variable).
+        (SPEC_TILED._replace(slot_budget=5760), 3000),
+    ],
+)
 def test_ids_free_reverse_plan_matches_ids_plan(spec, n):
     """Round 5: the TRAINING plan (``with_reverse=True``) built from
     codes-only search output (``neighbors=None`` — the single-payload kNN
