@@ -23,6 +23,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import argparse
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,6 +33,16 @@ N, K = 65536, 16
 
 
 def main():
+    global N, K
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=N)
+    ap.add_argument("--k", type=int, default=K)
+    ap.add_argument("--skip_parity", action="store_true",
+                    help="timing-only rerun (parity is pinned at the "
+                         "default spec and by the interpret-mode test)")
+    args = ap.parse_args()
+    N, K = args.n, args.k
+
     from cosmology_gnn_simulation_tpu.ops.cell_list import choose_cell_grid
     from cosmology_gnn_simulation_tpu.ops.pallas_knn import (
         pallas_cell_list_knn,
@@ -45,18 +57,18 @@ def main():
 
     # ---- Bit parity across batch sizes.
     outs = {}
-    for b in (1, 2, 4, 8):
+    parity_bs = () if args.skip_parity else (1, 2, 4, 8)
+    for b in parity_bs:
         o = jax.jit(lambda p, b=b: pallas_cell_list_knn(
             p, K, 1.0, grid, codes_only=True, pick_batch=b,
             return_diagnostics=True,
         ))(pos0)
         outs[b] = jax.tree.map(np.asarray, o)
-    ref = outs[1]
-
     def leaves(o):
         return [x for x in jax.tree.leaves(o) if x is not None]
 
-    for b in (2, 4, 8):
+    for b in parity_bs[1:]:
+        ref = outs[1]
         same = all(
             np.array_equal(a, c) for a, c in zip(leaves(ref), leaves(outs[b]))
         )
@@ -104,7 +116,8 @@ def main():
             print(f"search B={b} FAILED: {e}", flush=True)
 
     os.makedirs("benchmarks/results", exist_ok=True)
-    with open("benchmarks/results/pickbatch_r5.json", "w") as f:
+    suffix = "" if (N, K) == (65536, 16) else f"_n{N}_k{K}"
+    with open(f"benchmarks/results/pickbatch_r5{suffix}.json", "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2), flush=True)
 
